@@ -1,0 +1,107 @@
+"""LakeTable: atomic snapshots, CoW MERGE, idempotent replay, schema
+evolution at the sink (K1/K2/K7 analogs)."""
+
+import pytest
+
+from ticdc_spark.sinks.lake import LakeTable
+
+FIELDS = [("conv_id", "string"), ("turn_idx", "int"), ("role", "string"), ("text", "string")]
+KEY = ["conv_id", "turn_idx"]
+SRC = "conv_id string, turn_idx int, op string, role string, text string"
+
+
+def _mk(spark, path, n_buckets=4):
+    t = LakeTable(spark, path)
+    t.create(key=KEY, fields=FIELDS, n_buckets=n_buckets)
+    return t
+
+
+def _state(t):
+    return {(r["conv_id"], r["turn_idx"]): (r["role"], r["text"]) for r in t.read().collect()}
+
+
+def test_merge_insert_update_delete(spark, tmp_table_path):
+    t = _mk(spark, tmp_table_path)
+    b1 = spark.createDataFrame(
+        [("c1", 0, "I", "user", "hello"), ("c1", 1, "I", "assistant", "hi"), ("c2", 0, "I", "user", "x")],
+        SRC,
+    )
+    t.merge(b1, "b1", resolved_ts=10)
+    assert _state(t) == {("c1", 0): ("user", "hello"), ("c1", 1): ("assistant", "hi"), ("c2", 0): ("user", "x")}
+
+    b2 = spark.createDataFrame(
+        [("c1", 0, "U", "user", "hello v2"), ("c2", 0, "D", None, None), ("c3", 5, "I", "tool", "y")],
+        SRC,
+    )
+    t.merge(b2, "b2", resolved_ts=20)
+    assert _state(t) == {("c1", 0): ("user", "hello v2"), ("c1", 1): ("assistant", "hi"), ("c3", 5): ("tool", "y")}
+    assert t.checkpoint["resolved_ts"] == 20
+
+
+def test_merge_idempotent_replay(spark, tmp_table_path):
+    """Replaying a committed batch_id is a no-op — the redo/exactly-once
+    guarantee (replaces cdc/redo, see mysql.go:516 safe-mode analog)."""
+    t = _mk(spark, tmp_table_path)
+    b = spark.createDataFrame([("c1", 0, "I", "user", "v1")], SRC)
+    r1 = t.merge(b, "batch-1", resolved_ts=10)
+    assert r1["status"] == "committed"
+    b_changed = spark.createDataFrame([("c1", 0, "I", "user", "DIFFERENT")], SRC)
+    r2 = t.merge(b_changed, "batch-1", resolved_ts=10)
+    assert r2["status"] == "skipped"
+    assert _state(t)[("c1", 0)] == ("user", "v1")
+
+
+def test_delete_of_missing_key_is_noop(spark, tmp_table_path):
+    t = _mk(spark, tmp_table_path)
+    b = spark.createDataFrame([("ghost", 9, "D", None, None)], SRC)
+    t.merge(b, "b1")
+    assert _state(t) == {}
+
+
+def test_bucket_pruning_only_rewrites_affected(spark, tmp_table_path):
+    t = _mk(spark, tmp_table_path, n_buckets=8)
+    rows = [(f"c{i}", 0, "I", "user", f"t{i}") for i in range(50)]
+    t.merge(spark.createDataFrame(rows, SRC), "b1")
+    m1 = t.manifest()
+    t.merge(spark.createDataFrame([("c1", 0, "U", "user", "t1v2")], SRC), "b2")
+    m2 = t.manifest()
+    changed = [b for b in m1["buckets"] if m1["buckets"][b]["files"] != m2["buckets"][b]["files"]]
+    assert len(changed) == 1  # only c1's bucket rewritten
+
+
+def test_alter_add_and_rename_with_old_files(spark, tmp_table_path):
+    t = _mk(spark, tmp_table_path)
+    t.merge(spark.createDataFrame([("c1", 0, "I", "user", "old-file-row")], SRC), "b1")
+    assert t.alter("add_column", "tool_args", schema_version=100)
+    assert not t.alter("add_column", "tool_args", schema_version=100)  # foregone
+    assert t.alter("rename_column", "speaker", old_column="role", schema_version=200)
+
+    src2 = "conv_id string, turn_idx int, op string, speaker string, text string, tool_args string"
+    t.merge(spark.createDataFrame([("c9", 1, "I", "tool", "new-row", "args")], src2), "b2")
+    got = {(r["conv_id"], r["turn_idx"]): (r["speaker"], r["text"], r["tool_args"]) for r in t.read().collect()}
+    # old file: role→speaker via name_history, tool_args backfilled NULL
+    assert got == {("c1", 0): ("user", "old-file-row", None), ("c9", 1): ("tool", "new-row", "args")}
+
+
+def test_lineage_and_batch_registry(spark, tmp_table_path):
+    t = _mk(spark, tmp_table_path)
+    lin = [{"batch_id": "b1", "partition_id": 0, "resolved_ts": 10, "event_count": 1, "max_commit_ts": 9}]
+    t.merge(spark.createDataFrame([("c1", 0, "I", "u", "x")], SRC), "b1", lineage_rows=lin, resolved_ts=10)
+    ldf = t.lineage_df()
+    assert ldf.count() == 1
+    assert t.committed_batch_ids() == {"b1"}
+
+
+def test_create_requires_key_in_schema(spark, tmp_table_path):
+    t = LakeTable(spark, tmp_table_path)
+    with pytest.raises(ValueError):
+        t.create(key=["missing"], fields=FIELDS)
+
+
+def test_time_travel(spark, tmp_table_path):
+    t = _mk(spark, tmp_table_path)
+    t.merge(spark.createDataFrame([("c1", 0, "I", "u", "v1")], SRC), "b1")
+    v_after_b1 = t.manifest()["version"]
+    t.merge(spark.createDataFrame([("c1", 0, "U", "u", "v2")], SRC), "b2")
+    assert [r["text"] for r in t.read(version=v_after_b1).collect()] == ["v1"]
+    assert [r["text"] for r in t.read().collect()] == ["v2"]

@@ -1,0 +1,91 @@
+"""Schema multi-version replay + mounter decode tests.
+
+Mirrors cdc/entry/schema_storage_test.go (TestHandleDDL :294,
+TestMultiVersionStorage :486, TestHandleRenameTables :394) and
+cdc/entry/mounter_test.go (TestGetDefaultZeroValue :464, TestDecodeRow :1238).
+"""
+
+from pyspark.sql import functions as F
+
+from ticdc_spark.functions.mount import mount, mounted_columns, verify_checksum
+from ticdc_spark.plans.schema_registry import SchemaRegistry
+from ticdc_spark.sources.binlog_gen import BinlogSpec, DDLSpec, gen_binlog, gen_ddl_log
+
+
+def test_multi_version_snapshot_lookup():
+    reg = SchemaRegistry()
+    assert reg.apply_ddl(100, "add_column", "tool_args")
+    assert reg.apply_ddl(200, "rename_column", "speaker", old_column="role")
+    # idempotent / foregone replay (schema_storage.go:204-219)
+    assert not reg.apply_ddl(200, "rename_column", "speaker", old_column="role")
+    assert not reg.apply_ddl(50, "add_column", "zzz")
+
+    assert [n for n, _ in reg.snapshot_at(0).fields] == ["role", "text", "tool", "ts"]
+    assert [n for n, _ in reg.snapshot_at(99).fields] == ["role", "text", "tool", "ts"]
+    assert [n for n, _ in reg.snapshot_at(100).fields] == ["role", "text", "tool", "ts", "tool_args"]
+    assert [n for n, _ in reg.snapshot_at(10**9).fields] == ["speaker", "text", "tool", "ts", "tool_args"]
+    assert reg.resolved_ts == 200
+
+
+def test_writer_field_map_rename_chain():
+    reg = SchemaRegistry()
+    reg.apply_ddl(100, "rename_column", "speaker", old_column="role")
+    reg.apply_ddl(200, "rename_column", "actor", old_column="speaker")
+    cur = reg.snapshot_at(10**9)
+    maps = reg.writer_field_map(cur)
+    # a payload written at version 0 used 'role'; at 100 used 'speaker'
+    assert maps[0]["actor"] == "role"
+    assert maps[100]["actor"] == "speaker"
+    assert maps[200]["actor"] == "actor"
+
+
+def test_mount_decodes_payload_and_fills_missing(spark):
+    ddl = DDLSpec(commit_ts=1_500, ddl_type="add_column", column="tool_args")
+    spec = BinlogSpec(n_events=2_000, ddls=(ddl,))
+    reg = SchemaRegistry()
+    reg.replay([r.asDict() for r in gen_ddl_log(spark, spec).collect()])
+    df = gen_binlog(spark, spec)
+    out = mount(df, reg, as_of_ts=spec.max_commit_ts)
+    assert mounted_columns(reg, spec.max_commit_ts) == ["role", "text", "tool", "ts", "tool_args"]
+    live = out.filter(F.col("op") != "D")
+    # old-version events get NULL for the added column; new ones carry it
+    assert live.filter("commit_ts <= 1500 AND tool_args IS NOT NULL").count() == 0
+    assert live.filter("commit_ts > 1500 AND tool_args IS NULL").count() == 0
+    # text round-trips the JSON decode
+    bad = live.filter(
+        F.col("text") != F.format_string("t %s:%d v%d", "conv_id", "turn_idx", "commit_ts")
+    ).count()
+    assert bad == 0
+    # ts is a real timestamp
+    assert dict(out.dtypes)["ts"] == "timestamp"
+    # deletes decode to all-NULL payload
+    assert out.filter("op = 'D' AND text IS NOT NULL").count() == 0
+
+
+def test_mount_rename_maps_old_writers(spark):
+    ddl = DDLSpec(commit_ts=1_000, ddl_type="rename_column", column="speaker", old_column="role")
+    spec = BinlogSpec(n_events=2_000, ddls=(ddl,))
+    reg = SchemaRegistry()
+    reg.replay([r.asDict() for r in gen_ddl_log(spark, spec).collect()])
+    out = mount(gen_binlog(spark, spec), reg, as_of_ts=spec.max_commit_ts)
+    assert "speaker" in out.columns and "role" not in out.columns
+    # both pre- and post-rename writers populate the renamed column
+    assert out.filter("op != 'D' AND speaker IS NULL").count() == 0
+
+
+def test_mount_defaults(spark):
+    ddl = DDLSpec(commit_ts=1_000, ddl_type="add_column", column="quality")
+    spec = BinlogSpec(n_events=1_500, ddls=(ddl,))
+    reg = SchemaRegistry()
+    reg.replay([r.asDict() for r in gen_ddl_log(spark, spec).collect()])
+    out = mount(gen_binlog(spark, spec), reg, as_of_ts=spec.max_commit_ts,
+                defaults={"quality": "unknown"})
+    # default fills rows whose writer schema lacked the column
+    # (getDefaultOrZeroValue, mounter.go:909-965)
+    assert out.filter("op != 'D' AND commit_ts <= 1000 AND quality != 'unknown'").count() == 0
+
+
+def test_checksum(spark):
+    spec = BinlogSpec(n_events=500)
+    df = verify_checksum(gen_binlog(spark, spec))
+    assert df.filter(F.col("_checksum").isNull()).count() == 0

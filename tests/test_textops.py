@@ -1,0 +1,109 @@
+"""Training-data pipeline operators: dedup/minhash/simhash/quality/ANN."""
+
+from pyspark.sql import functions as F
+
+from ticdc_spark.functions.simsearch import cosine_topk, lsh_neardup_pairs, sign_lsh_bucket
+from ticdc_spark.functions.textops import (
+    exact_dedup,
+    minhash_bands,
+    neardup_pairs,
+    ngram_jaccard_adjacent,
+    simhash16,
+    token_count,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_counts(spark):
+    docs = _docs(spark)
+    d = exact_dedup(docs)
+    total = d.agg(F.sum("n_copies")).collect()[0][0]
+    assert total == docs.count()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark):
+    docs = _docs(spark).limit(10)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(dup)
+    d = exact_dedup(both)
+    assert d.filter("n_copies >= 2").count() == 10
+    # representative is the smaller id
+    assert d.filter("keep_doc_id >= 1000000").count() == 0
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    docs = _docs(spark).limit(5)
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    mh = minhash_bands(docs.unionByName(dup))
+    a = {(r["doc_id"], r["band"]): r["minhash"] for r in mh.collect()}
+    for i in range(5):
+        for b in range(4):
+            assert a[(i, b)] == a[(i + 100, b)]
+
+
+def test_neardup_pairs_catch_planted_near_duplicate(spark):
+    docs = _docs(spark).limit(20)
+    # planted near-dup: same text with a short suffix change
+    nd = docs.filter("doc_id = 0").select(
+        (F.col("doc_id") + 500).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    pairs = neardup_pairs(docs.unionByName(nd.select(*docs.columns)), min_bands=3)
+    assert pairs.filter("doc_id_a = 0 AND doc_id_b = 500").count() == 1
+
+
+def test_simhash_similar_docs_close(spark):
+    docs = _docs(spark).limit(3)
+    sh = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    nd = docs.filter("doc_id = 1").select(
+        (F.col("doc_id") + 700).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" x")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    sh2 = {r["doc_id"]: r["simhash"] for r in simhash16(docs.unionByName(nd.select(*docs.columns))).collect()}
+    hamming = bin(sh2[1] ^ sh2[701]).count("1")
+    assert hamming <= 4  # near-identical docs → near-identical simhash
+    assert sh[1] == sh2[1]
+
+
+def test_ngram_jaccard_bounds(spark):
+    j = ngram_jaccard_adjacent(_docs(spark).limit(50))
+    rows = j.collect()
+    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+
+
+def test_token_count_positive(spark):
+    assert token_count(_docs(spark)).filter("n_tokens <= 0").count() == 0
+
+
+def test_cosine_topk_shape_and_self_similarity(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    t = cosine_topk(embs, n_queries=4, k=3)
+    rows = t.collect()
+    assert len(rows) == 12
+    # planted exact duplicate vector must rank 1 with cos 1.0
+    dup = embs.filter("vec_id = 0").select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    t2 = cosine_topk(embs.unionByName(dup), n_queries=1, k=1)
+    r = t2.collect()[0]
+    assert r["neighbor_id"] == 10_000 and abs(r["cos_sim"] - 1.0) < 1e-6
+
+
+def test_lsh_bucket_and_pairs(spark):
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b = sign_lsh_bucket(embs)
+    assert b.filter("bucket < 0 OR bucket > 255").count() == 0
+    p = lsh_neardup_pairs(embs, min_cos=-1.0)
+    # pairs only within equal buckets
+    joined = (
+        p.join(b.withColumnRenamed("vec_id", "vec_id_a").withColumnRenamed("bucket", "ba"), "vec_id_a")
+        .join(b.withColumnRenamed("vec_id", "vec_id_b").withColumnRenamed("bucket", "bb"), "vec_id_b")
+    )
+    assert joined.filter("ba != bb").count() == 0

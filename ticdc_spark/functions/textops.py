@@ -1,0 +1,207 @@
+"""Text-corpus operators for large-scale training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, whole-stage-codegen)
+over the `documents` table — no Python in the hot path. Hash functions are
+md5 (available identically in Spark and DuckDB, so every operator has an
+exact SQL oracle).
+
+Scale notes: shingling explodes each doc into ~len/stride rows; at 100 TB
+that's a flatMap with no shuffle until the final per-doc aggregate, which
+combines map-side. Pair-generation ops join on (band, minhash) buckets —
+the LSH trick that replaces the O(n²) cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SHINGLE_LEN = 8
+SHINGLE_STRIDE = 4
+N_BANDS = 4
+
+
+def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Char-shingles (len 8, stride 4) per doc: (doc_id, h) with h = md5."""
+    pos = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col) - (SHINGLE_LEN - 1), F.lit(1)), F.lit(SHINGLE_STRIDE)
+    )
+    return docs.select(
+        "doc_id", F.explode(pos).alias("i")
+    ).join(docs.select("doc_id", text_col), "doc_id").select(
+        "doc_id", F.md5(F.expr(f"substr({text_col}, i, {SHINGLE_LEN})")).alias("h")
+    )
+
+
+def shingles_inline(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Same as `shingles` but without the self-join (single pass)."""
+    pos = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col) - (SHINGLE_LEN - 1), F.lit(1)), F.lit(SHINGLE_STRIDE)
+    )
+    return docs.select("doc_id", F.col(text_col).alias("_t"), F.explode(pos).alias("i")).select(
+        "doc_id", F.md5(F.expr(f"substr(_t, i, {SHINGLE_LEN})")).alias("h")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup by content hash: representative = min doc_id."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: length, mean token length, stopword
+    density proxy; label = short/low_stop/ok."""
+    t = F.trim(F.col(text_col))
+    n_tokens = F.size(F.split(t, r"\s+")).cast("long")
+    n_chars = F.length(t).cast("long")
+    the_hits = (F.length(t) - F.length(F.regexp_replace(t, "the", ""))) / 3
+    out = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round((n_chars - (n_tokens - 1)) / n_tokens, 4).alias("avg_token_len"),
+        F.round(the_hits / n_tokens, 4).alias("stop_density"),
+    )
+    return out.withColumn(
+        "quality_label",
+        F.when(F.col("n_tokens") < 20, "short")
+        .when(F.col("stop_density") < 0.01, "low_stop")
+        .otherwise("ok"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language guess (n-gram heuristic pattern; the markers
+    are placeholders — swap for real per-language stopword lists)."""
+    t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    return docs.select(
+        "doc_id",
+        F.when(t.contains(" the "), "en")
+        .when(t.contains(" der "), "de")
+        .when(t.contains(" le "), "fr")
+        .when(t.contains(" el "), "es")
+        .otherwise("unk")
+        .alias("lang_guess"),
+        F.col("lang").alias("lang_label"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Doc fingerprint: min shingle hash + distinct-shingle cardinality
+    (winnowing-style representative)."""
+    sh = shingles_inline(docs, text_col)
+    return sh.groupBy("doc_id").agg(
+        F.min("h").alias("fp"), F.count_distinct("h").alias("n_shingles")
+    )
+
+
+def minhash_bands(docs: DataFrame, text_col: str = "text", n_bands: int = N_BANDS) -> DataFrame:
+    """Banded minhash signature: band b's hash function = md5(b || shingle);
+    signature = min per band. (doc_id, band, minhash)."""
+    sh = shingles_inline(docs, text_col)
+    banded = sh.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"), "h"
+    ).select("doc_id", "band", F.md5(F.concat(F.col("band").cast("string"), F.col("h"))).alias("bh"))
+    return banded.groupBy("doc_id", "band").agg(F.min("bh").alias("minhash"))
+
+
+def neardup_pairs(docs: DataFrame, text_col: str = "text", min_bands: int = 3) -> DataFrame:
+    """LSH near-duplicate candidates: pairs agreeing on >= min_bands of the
+    band minima. Join is on (band, minhash) buckets — no cross join."""
+    mh = minhash_bands(docs, text_col)
+    a = mh.alias("a")
+    b = mh.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.minhash") == F.col("b.minhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+    return (
+        pairs.groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+    )
+
+
+def ngram_jaccard_adjacent(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Word-3-gram Jaccard between doc d and d+1 (bounded pair set used as
+    the exact-verification stage after LSH candidate generation)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 1)), "
+                "i -> concat_ws(' ', split(trim(text), '\\\\s+')[i-1], "
+                "split(trim(text), '\\\\s+')[i], split(trim(text), '\\\\s+')[i+1]))"
+            )
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.alias("a")
+    b = grams.withColumn("doc_id", F.col("doc_id") - 1).alias("b")
+    inter = (
+        a.join(b, ["doc_id", "g"]).groupBy("doc_id").agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.select((F.col("doc_id") - 1).alias("doc_id"), F.col("n").alias("nb")).alias("sb")
+    out = (
+        sa.join(sb, "doc_id")
+        .join(inter, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("doc_id_a"),
+            (F.col("doc_id") + 1).alias("doc_id_b"),
+            F.round(
+                F.coalesce(F.col("ni"), F.lit(0)).cast("double")
+                / (F.col("n") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    _ = toks  # kept for readability of the gram construction above
+    return out
+
+
+_HEX = "0123456789abcdef"
+
+
+def _nibble(col, pos: int):
+    return F.instr(F.lit(_HEX), F.substring(col, pos, 1)) - 1
+
+
+def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over word tokens: token hash = first 4 hex nibbles of
+    md5(token); bit b of the signature = sign of sum over tokens of
+    (bit set ? +1 : -1)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    h = F.md5(F.col("tok"))
+    val = (
+        _nibble(h, 1) * 4096 + _nibble(h, 2) * 256 + _nibble(h, 3) * 16 + _nibble(h, 4)
+    ).alias("hv")
+    tv = toks.select("doc_id", val)
+    bits = tv.select(
+        "doc_id", "hv", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b")
+    ).select(
+        "doc_id",
+        "b",
+        (F.when(F.floor(F.col("hv") / F.pow(F.lit(2), F.col("b"))).cast("long") % 2 == 1, 1)
+         .otherwise(-1)).alias("s"),
+    )
+    sums = bits.groupBy("doc_id", "b").agg(F.sum("s").alias("sb"))
+    return sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("sb") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(F.lit(0))
+        ).cast("long").alias("simhash")
+    )

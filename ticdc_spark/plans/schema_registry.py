@@ -1,0 +1,143 @@
+"""Multi-version schema registry — SchemaStorage re-expressed.
+
+TiCDC keeps a sorted list of immutable schema snapshots, one per applied
+DDL; every DML is decoded against the snapshot at ``commit_ts - 1``
+(/root/reference/cdc/entry/schema_storage.go:72-153, snapshot-at-CRTs-1
+rule /root/reference/cdc/entry/mounter.go:173). Replay is idempotent —
+DDL jobs already at or below the current version are skipped
+(schema_storage.go:204-219).
+
+Here a snapshot is a tuple of (version_ts, ordered payload fields,
+rename-map from every historical field name to its current name). The
+registry is tiny (one entry per DDL) and is shipped to executors inside
+the mount UDF's closure — the broadcast-dict pattern.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+_TYPE = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "bigint": T.LongType(),
+    "double": T.DoubleType(),
+    "timestamp": T.TimestampType(),
+}
+
+# transcript payload (BASELINE.json input_hint): non-key columns; `ts` is
+# transported as epoch-micros long inside the JSON payload and cast to
+# timestamp natively after decode.
+BASE_PAYLOAD_FIELDS: tuple[tuple[str, str], ...] = (
+    ("role", "string"),
+    ("text", "string"),
+    ("tool", "string"),
+    ("ts", "long"),
+)
+
+
+@dataclass(frozen=True)
+class SchemaSnapshot:
+    version_ts: int
+    fields: tuple[tuple[str, str], ...]  # (name, type_str) in order
+    # historical writer-field-name -> name in THIS snapshot, for every name
+    # that ever existed (rename chains collapsed)
+    name_map: dict
+
+    def struct_type(self) -> T.StructType:
+        return T.StructType([T.StructField(n, _TYPE[t], True) for n, t in self.fields])
+
+
+class SchemaRegistry:
+    """Event-sourced registry: replay DDL events into snapshots."""
+
+    def __init__(self, base_fields=BASE_PAYLOAD_FIELDS, base_version: int = 0):
+        name_map = {n: n for n, _ in base_fields}
+        self._snapshots: list[SchemaSnapshot] = [
+            SchemaSnapshot(base_version, tuple(base_fields), name_map)
+        ]
+
+    @property
+    def resolved_ts(self) -> int:
+        """Version of the newest applied DDL — the schema stream's
+        resolved-ts. A micro-batch upper bound must not exceed the DDL
+        stream's own resolved-ts (manager.go:479-487); the driver loop
+        enforces that by replaying the ddl_log for the window first."""
+        return self._snapshots[-1].version_ts
+
+    def apply_ddl(self, commit_ts: int, ddl_type: str, column: str,
+                  old_column: str | None = None, col_type: str = "string") -> bool:
+        """Apply one DDL; returns False if foregone (idempotent replay,
+        schema_storage.go:204-219)."""
+        if commit_ts <= self._snapshots[-1].version_ts:
+            return False
+        cur = self._snapshots[-1]
+        if ddl_type == "add_column":
+            fields = cur.fields + ((column, col_type),)
+            name_map = dict(cur.name_map)
+            name_map[column] = column
+        elif ddl_type == "rename_column":
+            if old_column is None:
+                raise ValueError("rename_column requires old_column")
+            fields = tuple((column if n == old_column else n, t) for n, t in cur.fields)
+            # every historical name that pointed at old_column now points at column
+            name_map = {h: (column if tgt == old_column else tgt) for h, tgt in cur.name_map.items()}
+            name_map[column] = column
+        else:
+            raise ValueError(f"unsupported ddl_type: {ddl_type}")
+        self._snapshots.append(SchemaSnapshot(commit_ts, fields, name_map))
+        return True
+
+    def replay(self, ddl_rows) -> int:
+        """Replay a list of DDL event rows (from gen_ddl_log / a ddl_log
+        table); returns number applied."""
+        n = 0
+        for r in sorted(ddl_rows, key=lambda r: r["commit_ts"]):
+            n += self.apply_ddl(
+                int(r["commit_ts"]), r["ddl_type"], r["column"], r["old_column"],
+                r["col_type"] or "string",
+            )
+        return n
+
+    def snapshot_at(self, ts: int) -> SchemaSnapshot:
+        """Newest snapshot with version_ts <= ts (binary-search lookup,
+        schema_storage.go:126-153). Decode of a DML at commit_ts c uses
+        ``snapshot_at(c - 1)``."""
+        lo, hi = 0, len(self._snapshots) - 1
+        ans = self._snapshots[0]
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            if self._snapshots[mid].version_ts <= ts:
+                ans = self._snapshots[mid]
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        return ans
+
+    def versions(self) -> list[int]:
+        return [s.version_ts for s in self._snapshots]
+
+    def writer_field_map(self, current: SchemaSnapshot) -> dict:
+        """{writer_version_ts: {current_field_name: writer_field_name}}
+        for every snapshot <= current — what the mount UDF needs to pull
+        each current column out of a payload written under any older
+        schema version. Missing entries mean the column did not exist for
+        that writer → default/NULL backfill
+        (getDefaultOrZeroValue analog, cdc/entry/mounter.go:909-965)."""
+        out = {}
+        for snap in self._snapshots:
+            if snap.version_ts > current.version_ts:
+                break
+            m = {}
+            for wname, _ in snap.fields:
+                # every name ever live is a key of current.name_map; a later
+                # add_column reusing a dropped historical name would clobber
+                # it (TiCDC disambiguates via column IDs; out of scope here)
+                cur_name = current.name_map.get(wname)
+                if cur_name is not None:
+                    m[cur_name] = wname
+            out[snap.version_ts] = m
+        return out

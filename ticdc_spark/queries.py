@@ -1,0 +1,810 @@
+"""Driver-facing query inventory: every operator from SURVEY.md §2 exposed
+as (spark, sf_dir) -> DataFrame, with a DuckDB-equivalent oracle SQL.
+
+The CDC operators run over a *deterministic binlog derivation* of the
+driver-provided ``events`` table (so DuckDB can compute the same stream
+from the same parquet): commit_ts = 1000+event_id, op from event_type,
+handle key (conv_id, turn_idx) from (user_id, event_id). Column names are
+aligned 1:1 with the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd  # noqa: F401  (pandas-UDF type hints resolve against module globals)
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ticdc_spark.operators.sortdedup import (
+    assemble_txns,
+    lww_dedup,
+    split_updates,
+    with_op_rank,
+)
+from ticdc_spark.operators.skew import detect_heavy_keys
+
+# ---------------------------------------------------------------------------
+# shared binlog derivation (Spark side) + its DuckDB twin
+# ---------------------------------------------------------------------------
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def binlog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RawKVEntry-shaped change stream derived from `events`
+    (cdc/model/kv.go:82-95 shape; op encoding per the CSV codec
+    pkg/sink/codec/csv/csv_message.go:43-55)."""
+    e = _events(spark, sf_dir)
+    return e.select(
+        (F.lit(1000) + F.col("event_id")).alias("commit_ts"),
+        (F.lit(1000) + F.col("event_id") - 1 - (F.col("event_id") % 3)).alias("start_ts"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("click", "view"), "U")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("conv-"), F.lpad((F.col("user_id") % 40).cast("string"), 6, "0")).alias(
+            "conv_id"
+        ),
+        (F.col("event_id") % 8).cast("int").alias("turn_idx"),
+        F.col("value"),
+        (F.col("user_id") % 4).cast("int").alias("partition_id"),
+    )
+
+
+BINLOG_CTE = """
+binlog AS (
+  SELECT 1000 + event_id AS commit_ts,
+         1000 + event_id - 1 - (event_id % 3) AS start_ts,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type IN ('click','view') THEN 'U'
+              ELSE 'I' END AS op,
+         'conv-' || lpad(CAST(user_id % 40 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 8 AS INT) AS turn_idx,
+         value,
+         CAST(user_id % 4 AS INT) AS partition_id
+  FROM events
+)
+"""
+
+OP_RANK_SQL = "CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END"
+
+# ---------------------------------------------------------------------------
+# CDC operator queries
+# ---------------------------------------------------------------------------
+
+
+def q_lww_final_state(spark, sf_dir):
+    """O5 + K1: last-writer-wins final table state (MERGE semantics)."""
+    b = with_op_rank(binlog_from_events(spark, sf_dir))
+    d = lww_dedup(b, ["conv_id", "turn_idx"])
+    return d.filter(F.col("op") != "D").select(
+        "conv_id", "turn_idx", F.col("commit_ts").alias("last_commit_ts"), "op", "value"
+    )
+
+
+SQL_LWW_FINAL = f"""
+WITH {BINLOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM binlog)
+SELECT conv_id, turn_idx, commit_ts AS last_commit_ts, op, value
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_lww_dedup(spark, sf_dir):
+    """O5 alone: one winner per key including deletes."""
+    b = with_op_rank(binlog_from_events(spark, sf_dir))
+    d = lww_dedup(b, ["conv_id", "turn_idx"])
+    return d.select("conv_id", "turn_idx", "commit_ts", "start_ts", "op")
+
+
+SQL_LWW_DEDUP = f"""
+WITH {BINLOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM binlog)
+SELECT conv_id, turn_idx, commit_ts, start_ts, op FROM ranked WHERE rn = 1
+"""
+
+
+def q_total_order_rank(spark, sf_dir):
+    """O1-O3: total event order (commit_ts, start_ts, D<U<I) per key
+    (cdc/model/mounter.go:115-140; pebble key encoding)."""
+    from pyspark.sql import Window as W
+
+    b = with_op_rank(binlog_from_events(spark, sf_dir))
+    w = W.partitionBy("conv_id", "turn_idx").orderBy("commit_ts", "start_ts", "op_rank")
+    return b.select(
+        "conv_id", "turn_idx", "commit_ts",
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+SQL_TOTAL_ORDER = f"""
+WITH {BINLOG_CTE}
+SELECT conv_id, turn_idx, commit_ts,
+       row_number() OVER (PARTITION BY conv_id, turn_idx
+                          ORDER BY commit_ts, start_ts, {OP_RANK_SQL}) AS seq
+FROM binlog
+"""
+
+
+_SPLIT_TS = 6000
+
+
+def q_safe_mode_split(spark, sf_dir):
+    """S5: updates at/below the replicating-ts split into D+I
+    (cdc/model/kv.go:116-130)."""
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "payload", F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))
+    ).withColumn("pre_payload", F.concat(F.lit("q-"), F.col("commit_ts").cast("string")))
+    out = split_updates(b, replicating_ts=_SPLIT_TS)
+    return out.select("commit_ts", "conv_id", "turn_idx", "op", "payload")
+
+
+SQL_SAFE_MODE_SPLIT = f"""
+WITH {BINLOG_CTE},
+b2 AS (SELECT *, 'p-' || CAST(commit_ts AS VARCHAR) AS payload,
+              'q-' || CAST(commit_ts AS VARCHAR) AS pre_payload FROM binlog)
+SELECT commit_ts, conv_id, turn_idx, op, payload FROM b2
+  WHERE NOT (op = 'U' AND commit_ts <= {_SPLIT_TS})
+UNION ALL
+SELECT commit_ts, conv_id, turn_idx, 'D' AS op, pre_payload AS payload FROM b2
+  WHERE op = 'U' AND commit_ts <= {_SPLIT_TS}
+UNION ALL
+SELECT commit_ts, conv_id, turn_idx, 'I' AS op, payload FROM b2
+  WHERE op = 'U' AND commit_ts <= {_SPLIT_TS}
+"""
+
+
+def q_txn_assembly(spark, sf_dir):
+    """A1: group rows sharing (start_ts, commit_ts) into txns
+    (cdc/sink/dmlsink/event_appender.go:46-130). Txn boundaries derived as
+    blocks of 4 events."""
+    b = binlog_from_events(spark, sf_dir)
+    b = b.withColumn("commit_ts", F.lit(1000) + (F.col("commit_ts") - 1000 - (F.col("commit_ts") - 1000) % 4))
+    b = b.withColumn("start_ts", F.col("commit_ts") - 1)
+    t = assemble_txns(b)
+    return t.select(
+        "start_ts", "commit_ts",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_insert").cast("long").alias("n_insert"),
+        F.col("n_update").cast("long").alias("n_update"),
+        F.col("n_delete").cast("long").alias("n_delete"),
+    )
+
+
+SQL_TXN_ASSEMBLY = f"""
+WITH {BINLOG_CTE},
+txn AS (SELECT 1000 + (commit_ts - 1000 - (commit_ts - 1000) % 4) AS commit_ts, op FROM binlog)
+SELECT commit_ts - 1 AS start_ts, commit_ts,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+       CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete
+FROM txn GROUP BY commit_ts
+"""
+
+
+def q_partition_resolved(spark, sf_dir):
+    """S3/A2: per-partition resolved-ts = max commit seen (frontier input,
+    cdc/puller/frontier/frontier.go:31-37)."""
+    b = binlog_from_events(spark, sf_dir)
+    return b.groupBy("partition_id").agg(F.max("commit_ts").alias("resolved_ts"))
+
+
+SQL_PARTITION_RESOLVED = f"""
+WITH {BINLOG_CTE}
+SELECT partition_id, max(commit_ts) AS resolved_ts FROM binlog GROUP BY partition_id
+"""
+
+
+def q_global_frontier(spark, sf_dir):
+    """S3: global watermark = min over per-partition resolved
+    (frontier.go:75-77) + span-coverage count (replication_manager.go:631-641)."""
+    per = q_partition_resolved(spark, sf_dir)
+    return per.agg(
+        F.min("resolved_ts").alias("frontier"),
+        F.count(F.lit(1)).alias("n_partitions"),
+    )
+
+
+SQL_GLOBAL_FRONTIER = f"""
+WITH {BINLOG_CTE},
+per AS (SELECT partition_id, max(commit_ts) AS resolved_ts FROM binlog GROUP BY partition_id)
+SELECT min(resolved_ts) AS frontier, count(*) AS n_partitions FROM per
+"""
+
+
+def q_lineage_metrics(spark, sf_dir):
+    """A2/A5: per-partition lineage row (event counts, max commit-ts) —
+    what every micro-batch commits to the checkpoint table."""
+    b = binlog_from_events(spark, sf_dir)
+    return b.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.max("commit_ts").alias("max_commit_ts"),
+        F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).cast("long").alias("n_deletes"),
+    )
+
+
+SQL_LINEAGE_METRICS = f"""
+WITH {BINLOG_CTE}
+SELECT partition_id, count(*) AS event_count, max(commit_ts) AS max_commit_ts,
+       CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+FROM binlog GROUP BY partition_id
+"""
+
+
+def q_event_filter_expr(spark, sf_dir):
+    """F2: SQL-expression event filter (pkg/filter/expr_filter.go:249
+    `ignore-insert-value-expr` analog): drop inserts with value < 5."""
+    b = binlog_from_events(spark, sf_dir)
+    return b.filter(~((F.col("op") == "I") & (F.col("value") < 5.0))).select(
+        "commit_ts", "conv_id", "turn_idx", "op", "value"
+    )
+
+
+SQL_EVENT_FILTER = f"""
+WITH {BINLOG_CTE}
+SELECT commit_ts, conv_id, turn_idx, op, value FROM binlog
+WHERE NOT (op = 'I' AND value < 5.0)
+"""
+
+
+def q_event_type_filter(spark, sf_dir):
+    """F3: drop-by-event-type (pkg/filter/sql_event_filter.go): ignore deletes."""
+    b = binlog_from_events(spark, sf_dir)
+    return b.filter(F.col("op") != "D").groupBy("op").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_EVENT_TYPE_FILTER = f"""
+WITH {BINLOG_CTE}
+SELECT op, count(*) AS n FROM binlog WHERE op <> 'D' GROUP BY op
+"""
+
+
+def q_ts_filter(spark, sf_dir):
+    """F5: ignore-txn-start-ts (pkg/filter/filter.go:159-184)."""
+    b = binlog_from_events(spark, sf_dir)
+    return b.filter(F.col("start_ts") % 97 != 0).select("commit_ts", "start_ts")
+
+
+SQL_TS_FILTER = f"""
+WITH {BINLOG_CTE}
+SELECT commit_ts, start_ts FROM binlog WHERE start_ts % 97 <> 0
+"""
+
+
+def q_table_router(spark, sf_dir):
+    """F1 + X4: table allow/block-list routing and MQ partition dispatch
+    (pkg/filter/filter.go:95-235; mq/dispatcher/partition/*)."""
+    e = _events(spark, sf_dir)
+    t = e.select(
+        F.concat(F.lit("tbl_"), (F.col("user_id") % 6).cast("string")).alias("table_name"),
+        ((F.col("event_id") % 8) % 3).cast("int").alias("kafka_partition"),
+    )
+    allowed = t.filter(
+        F.col("table_name").isin("tbl_0", "tbl_1", "tbl_2", "tbl_3") & (F.col("table_name") != "tbl_2")
+    )
+    return allowed.groupBy("table_name", "kafka_partition").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_TABLE_ROUTER = """
+WITH t AS (
+  SELECT 'tbl_' || CAST(user_id % 6 AS VARCHAR) AS table_name,
+         CAST((event_id % 8) % 3 AS INT) AS kafka_partition
+  FROM events)
+SELECT table_name, kafka_partition, count(*) AS n FROM t
+WHERE table_name IN ('tbl_0','tbl_1','tbl_2','tbl_3') AND table_name <> 'tbl_2'
+GROUP BY table_name, kafka_partition
+"""
+
+
+def q_mount_decode_props(spark, sf_dir):
+    """P1: vectorized pandas-UDF JSON decode (the mounter's hot loop,
+    cdc/entry/mounter.go:402-451) applied to events.props."""
+    import json
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.LongType())
+    def k_of(props: pd.Series) -> pd.Series:
+        return props.map(lambda s: json.loads(s).get("k") if isinstance(s, str) else None).astype(
+            "Int64"
+        )
+
+    e = _events(spark, sf_dir)
+    return e.select("event_id", k_of(F.col("props")).alias("k_val"))
+
+
+SQL_MOUNT_DECODE = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val FROM events
+"""
+
+
+def q_schema_asof_version(spark, sf_dir):
+    """W3/§2.6(a): event ↔ schema-version as-of association — decode uses
+    the newest snapshot with version_ts <= commit_ts - 1
+    (cdc/entry/mounter.go:173)."""
+    b = binlog_from_events(spark, sf_dir)
+    versions = spark.createDataFrame([(2000,), (5000,), (8000,)], "v long")
+    j = b.join(F.broadcast(versions), F.col("v") <= F.col("commit_ts") - 1, "left")
+    return j.groupBy("commit_ts").agg(F.coalesce(F.max("v"), F.lit(0)).alias("schema_version"))
+
+
+SQL_SCHEMA_ASOF = f"""
+WITH {BINLOG_CTE},
+versions(v) AS (VALUES (2000), (5000), (8000))
+SELECT commit_ts, coalesce(max(v), 0) AS schema_version
+FROM binlog LEFT JOIN versions ON v <= commit_ts - 1
+GROUP BY commit_ts
+"""
+
+
+def q_heavy_key_detect(spark, sf_dir):
+    """X2: hot-key detection by per-batch write volume
+    (keyspan/splitter_write.go:54-97 analog)."""
+    b = binlog_from_events(spark, sf_dir)
+    return detect_heavy_keys(b, ["conv_id"], threshold=250)
+
+
+SQL_HEAVY_KEY = f"""
+WITH {BINLOG_CTE}
+SELECT conv_id, count(*) AS n_events FROM binlog GROUP BY conv_id HAVING count(*) > 250
+"""
+
+
+def q_stream_window_counts(spark, sf_dir):
+    """W-analog: tumbling-window aggregation over event time (the
+    Structured-Streaming windowed agg, run as a batch query)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+SQL_STREAM_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    from ticdc_spark.functions.textops import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_doc_token_count(spark, sf_dir):
+    from ticdc_spark.functions.textops import token_count
+
+    return token_count(_docs(spark, sf_dir))
+
+
+SQL_DOC_TOKEN_COUNT = r"""
+SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    from ticdc_spark.functions.textops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+SQL_DOC_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(trim(text)) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         (length(trim(text)) - length(replace(trim(text), 'the', ''))) / 3 AS the_hits
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       round((n_chars - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
+       round(the_hits / n_tokens, 4) AS stop_density,
+       CASE WHEN n_tokens < 20 THEN 'short'
+            WHEN round(the_hits / n_tokens, 4) < 0.01 THEN 'low_stop'
+            ELSE 'ok' END AS quality_label
+FROM t
+"""
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from ticdc_spark.functions.textops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+SQL_DOC_LANG_ID = """
+SELECT doc_id,
+       CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
+            WHEN ' ' || text || ' ' LIKE '% der %' THEN 'de'
+            WHEN ' ' || text || ' ' LIKE '% le %' THEN 'fr'
+            WHEN ' ' || text || ' ' LIKE '% el %' THEN 'es'
+            ELSE 'unk' END AS lang_guess,
+       lang AS lang_label
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from ticdc_spark.functions.textops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+SQL_DOC_FINGERPRINT = """
+WITH sh AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i
+        FROM documents))
+SELECT doc_id, min(h) AS fp, count(DISTINCT h) AS n_shingles FROM sh GROUP BY doc_id
+"""
+
+
+def q_doc_minhash_bands(spark, sf_dir):
+    from ticdc_spark.functions.textops import minhash_bands
+
+    return minhash_bands(_docs(spark, sf_dir))
+
+
+SQL_DOC_MINHASH_BANDS = """
+WITH sh AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i
+        FROM documents)),
+banded AS (
+  SELECT doc_id, band, md5(CAST(band AS VARCHAR) || h) AS bh
+  FROM sh, (SELECT unnest(range(0, 4)) AS band))
+SELECT doc_id, CAST(band AS INT) AS band, min(bh) AS minhash
+FROM banded GROUP BY doc_id, band
+"""
+
+
+def q_doc_neardup_pairs(spark, sf_dir):
+    from ticdc_spark.functions.textops import neardup_pairs
+
+    return neardup_pairs(_docs(spark, sf_dir), min_bands=3)
+
+
+SQL_DOC_NEARDUP_PAIRS = """
+WITH sh AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i
+        FROM documents)),
+banded AS (
+  SELECT doc_id, band, md5(CAST(band AS VARCHAR) || h) AS bh
+  FROM sh, (SELECT unnest(range(0, 4)) AS band)),
+mh AS (SELECT doc_id, band, min(bh) AS minhash FROM banded GROUP BY doc_id, band)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_bands
+FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+"""
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    from ticdc_spark.functions.textops import ngram_jaccard_adjacent
+
+    return ngram_jaccard_adjacent(_docs(spark, sf_dir))
+
+
+SQL_DOC_NGRAM_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT)+1] || ' ' || tk[CAST(i AS INT)+2] AS g
+  FROM (SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 2, 1) + 1)) AS i FROM toks)),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id, count(*) AS ni
+  FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
+  GROUP BY a.doc_id)
+SELECT sa.doc_id AS doc_id_a, sa.doc_id + 1 AS doc_id_b,
+       round(CAST(coalesce(ni, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(ni, 0)), 4) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
+LEFT JOIN inter ON inter.doc_id = sa.doc_id
+"""
+
+
+def q_doc_simhash16(spark, sf_dir):
+    from ticdc_spark.functions.textops import simhash16
+
+    return simhash16(_docs(spark, sf_dir))
+
+
+SQL_DOC_SIMHASH16 = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+hv AS (
+  SELECT doc_id,
+         (strpos('0123456789abcdef', substr(md5(tok),1,1)) - 1) * 4096 +
+         (strpos('0123456789abcdef', substr(md5(tok),2,1)) - 1) * 256 +
+         (strpos('0123456789abcdef', substr(md5(tok),3,1)) - 1) * 16 +
+         (strpos('0123456789abcdef', substr(md5(tok),4,1)) - 1) AS v
+  FROM toks),
+bits AS (
+  SELECT doc_id, b, CASE WHEN (v // CAST(pow(2, b) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END AS s
+  FROM hv, (SELECT unnest(range(0, 16)) AS b)),
+sums AS (SELECT doc_id, b, sum(s) AS sb FROM bits GROUP BY doc_id, b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN sb > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM sums GROUP BY doc_id
+"""
+
+
+def q_emb_cosine_topk(spark, sf_dir):
+    from ticdc_spark.functions.simsearch import cosine_topk
+
+    return cosine_topk(_embs(spark, sf_dir), n_queries=8, k=3)
+
+
+SQL_EMB_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
+def q_emb_sign_lsh(spark, sf_dir):
+    from ticdc_spark.functions.simsearch import sign_lsh_bucket
+
+    return sign_lsh_bucket(_embs(spark, sf_dir))
+
+
+SQL_EMB_SIGN_LSH = """
+SELECT vec_id,
+       CAST((CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+            (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+            (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+            (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
+            (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
+            (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
+            (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) +
+            (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS BIGINT) AS bucket
+FROM embeddings
+"""
+
+
+def q_emb_neardup_pairs(spark, sf_dir):
+    from ticdc_spark.functions.simsearch import lsh_neardup_pairs
+
+    return lsh_neardup_pairs(_embs(spark, sf_dir), min_cos=0.1)
+
+
+SQL_EMB_NEARDUP_PAIRS = """
+WITH b AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
+         (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
+         (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
+         (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
+         (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
+         (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
+         (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) +
+         (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 4) AS cos_sim
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 4) >= 0.1
+"""
+
+# ---------------------------------------------------------------------------
+# the flagship: full CDC engine replay, checked against a pure-SQL oracle
+# ---------------------------------------------------------------------------
+
+# the e2e DDL commits 3/5 of the way through the stream; computed from the
+# event count so it scales with sf (oracle uses the same scalar subquery)
+def _e2e_ddl_ts(n_events: int) -> int:
+    return 1000 + 3 * (n_events // 5)
+
+
+def _transcript_binlog(spark, sf_dir, ddl_ts: int):
+    """Transcript-payload change stream for the engine e2e: JSON payloads,
+    an add_column DDL at ddl_ts, 4 source partitions."""
+    b = binlog_from_events(spark, sf_dir)
+    role = (
+        F.when(F.col("turn_idx") % 4 == 0, "user")
+        .when(F.col("turn_idx") % 4 == 1, "assistant")
+        .when(F.col("turn_idx") % 4 == 2, "system")
+        .otherwise("tool")
+    )
+    text = F.concat(F.lit("txt-"), F.col("commit_ts").cast("string"))
+    tool = F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string"))
+    ts_us = (F.lit(1_700_000_000) + F.col("commit_ts")) * F.lit(1_000_000)
+    base = F.to_json(
+        F.struct(role.alias("role"), text.alias("text"), tool.alias("tool"), ts_us.alias("ts"))
+    )
+    evolved = F.to_json(
+        F.struct(
+            role.alias("role"), text.alias("text"), tool.alias("tool"), ts_us.alias("ts"),
+            F.concat(F.lit("ta-"), F.col("commit_ts").cast("string")).alias("tool_args"),
+        )
+    )
+    payload = F.when(F.col("commit_ts") > ddl_ts, evolved).otherwise(base)
+    return b.select(
+        "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(payload).alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        F.when(F.col("commit_ts") > ddl_ts, F.lit(ddl_ts)).otherwise(F.lit(0))
+        .cast("long").alias("schema_version"),
+        "partition_id",
+    )
+
+
+def _run_engine(spark, sf_dir, work_dir, max_merges=None):
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
+
+    n = _events(spark, sf_dir).count()
+    ddl_ts = _e2e_ddl_ts(n)
+    binlog = _transcript_binlog(spark, sf_dir, ddl_ts)
+    max_ts = 1000 + n
+    bounds = sorted({max_ts * i // 3 for i in range(1, 4)} | {max_ts})
+    resolved = spark.createDataFrame(
+        [(p, r, i) for p in range(4) for i, r in enumerate(bounds)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    ddl = spark.createDataFrame(
+        [(ddl_ts, "add_column", "ALTER TABLE transcripts ADD COLUMN tool_args STRING",
+          "tool_args", None, "string", ddl_ts)],
+        "commit_ts long, ddl_type string, query string, column string, "
+        "old_column string, col_type string, schema_version long",
+    )
+    cf = Changefeed(
+        spark, binlog, resolved, ddl, LakeTable(spark, work_dir),
+        ChangefeedConfig(changefeed_id="e2e", n_buckets=8),
+    )
+    cf.run(max_merges=max_merges)
+    return cf
+
+
+def q_cdc_pipeline_e2e(spark, sf_dir):
+    """The full engine: transcript binlog replay → resolved-ts micro-batches
+    → pandas-UDF mount → LWW dedup → DDL barrier (add_column at ts 6000) →
+    exactly-once MERGE into the lake table. Result = final table state."""
+    work = tempfile.mkdtemp(prefix="ticdc_e2e_")
+    cf = _run_engine(spark, sf_dir, os.path.join(work, "t"))
+    return cf.target.read()
+
+
+def q_cdc_restart_resume(spark, sf_dir):
+    """Same replay, but killed after 1 merge and resumed from the manifest
+    checkpoint by a fresh engine instance — final state must be identical
+    (changefeed_pause_resume analog)."""
+    work = tempfile.mkdtemp(prefix="ticdc_resume_")
+    path = os.path.join(work, "t")
+    _run_engine(spark, sf_dir, path, max_merges=1)
+    cf = _run_engine(spark, sf_dir, path)  # resume
+    return cf.target.read()
+
+
+SQL_CDC_E2E = f"""
+WITH {BINLOG_CTE},
+ddl AS (SELECT 1000 + 3 * (count(*) // 5) AS ddl_ts FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM binlog)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+       CASE WHEN commit_ts > (SELECT ddl_ts FROM ddl)
+            THEN 'ta-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool_args
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+    "cdc_restart_resume": q_cdc_restart_resume,
+    "lww_final_state": q_lww_final_state,
+    "lww_dedup": q_lww_dedup,
+    "total_order_rank": q_total_order_rank,
+    "safe_mode_split": q_safe_mode_split,
+    "txn_assembly": q_txn_assembly,
+    "partition_resolved": q_partition_resolved,
+    "global_frontier": q_global_frontier,
+    "lineage_metrics": q_lineage_metrics,
+    "event_filter_expr": q_event_filter_expr,
+    "event_type_filter": q_event_type_filter,
+    "ts_filter": q_ts_filter,
+    "table_router": q_table_router,
+    "mount_decode_props": q_mount_decode_props,
+    "schema_asof_version": q_schema_asof_version,
+    "heavy_key_detect": q_heavy_key_detect,
+    "stream_window_counts": q_stream_window_counts,
+    "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_token_count": q_doc_token_count,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_minhash_bands": q_doc_minhash_bands,
+    "doc_neardup_pairs": q_doc_neardup_pairs,
+    "doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "doc_simhash16": q_doc_simhash16,
+    "emb_cosine_topk": q_emb_cosine_topk,
+    "emb_sign_lsh": q_emb_sign_lsh,
+    "emb_neardup_pairs": q_emb_neardup_pairs,
+}
+
+ORACLES = {
+    "cdc_pipeline_e2e": SQL_CDC_E2E,
+    "cdc_restart_resume": SQL_CDC_E2E,
+    "lww_final_state": SQL_LWW_FINAL,
+    "lww_dedup": SQL_LWW_DEDUP,
+    "total_order_rank": SQL_TOTAL_ORDER,
+    "safe_mode_split": SQL_SAFE_MODE_SPLIT,
+    "txn_assembly": SQL_TXN_ASSEMBLY,
+    "partition_resolved": SQL_PARTITION_RESOLVED,
+    "global_frontier": SQL_GLOBAL_FRONTIER,
+    "lineage_metrics": SQL_LINEAGE_METRICS,
+    "event_filter_expr": SQL_EVENT_FILTER,
+    "event_type_filter": SQL_EVENT_TYPE_FILTER,
+    "ts_filter": SQL_TS_FILTER,
+    "table_router": SQL_TABLE_ROUTER,
+    "mount_decode_props": SQL_MOUNT_DECODE,
+    "schema_asof_version": SQL_SCHEMA_ASOF,
+    "heavy_key_detect": SQL_HEAVY_KEY,
+    "stream_window_counts": SQL_STREAM_WINDOW,
+    "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_token_count": SQL_DOC_TOKEN_COUNT,
+    "doc_quality": SQL_DOC_QUALITY,
+    "doc_lang_id": SQL_DOC_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_minhash_bands": SQL_DOC_MINHASH_BANDS,
+    "doc_neardup_pairs": SQL_DOC_NEARDUP_PAIRS,
+    "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+    "doc_simhash16": SQL_DOC_SIMHASH16,
+    "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
+    "emb_sign_lsh": SQL_EMB_SIGN_LSH,
+    "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
+}

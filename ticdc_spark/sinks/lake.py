@@ -1,0 +1,310 @@
+"""LakeTable — a minimal snapshot-versioned, bucketed lake table with an
+idempotent copy-on-write MERGE. Stands in for Iceberg (whose runtime jars
+are not in this container) with the same commit semantics the engine needs.
+
+Maps TiCDC's sink stack onto lake primitives:
+
+- MERGE upsert = the MySQL txn sink's ordered delete→update→insert apply
+  (/root/reference/cdc/sink/dmlsink/txn/mysql/mysql.go:204-258,356-471)
+  expressed set-oriented: per batch, anti-join out matched keys, union in
+  non-delete images.
+- Safe mode / idempotency (mysql.go:516,533-537): MERGE is natively
+  idempotent; replaying a batch is additionally a no-op because the
+  batch_id is recorded **in the same atomic manifest commit** as the data
+  (replaces the redo WAL, /root/reference/cdc/redo/manager.go:245-520).
+- Snapshot manifests = Iceberg-style versioned metadata; one JSON per
+  commit, installed by atomic rename; readers resolve the newest version.
+  (File-naming analog: /root/reference/pkg/sink/cloudstorage/path.go:93-353.)
+- Lineage rows (per source partition: resolved_ts, event_count,
+  max_commit_ts) ride in the manifest — the checkpoint aggregation input
+  (/root/reference/cdc/scheduler/internal/v3/replication/replication_manager.go:556-731).
+- ALTER TABLE add/rename column = metadata-only commit; old files are
+  reconciled at read time via per-version schemas + a name-history map
+  (the DDL sink, /root/reference/cdc/owner/ddl_sink.go:237-330).
+
+Scale notes: data is hash-bucketed by conv_id so (a) MERGE prunes to
+affected buckets, (b) the target side is NEVER shuffled — matched keys are
+removed with a broadcast anti-join when the batch key-set is small (the
+overwhelming case: micro-batch ≪ table), falling back to a shuffled join
+(AQE skew-aware) otherwise, and (c) a conversation's turns are co-located
+for downstream reads.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TYPE = {
+    "string": T.StringType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "double": T.DoubleType(),
+    "timestamp": T.TimestampType(),
+}
+
+_MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
+
+# above this many distinct keys in a batch, skip the broadcast hint and let
+# AQE pick the join strategy (64 MiB autoBroadcast threshold still applies)
+BROADCAST_KEY_LIMIT = 2_000_000
+
+
+def _struct(fields) -> T.StructType:
+    return T.StructType([T.StructField(n, _TYPE[t], True) for n, t in fields])
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_dir = os.path.join(path, "_meta")
+        self.data_dir = os.path.join(path, "data")
+
+    # ---------------- manifest plumbing ----------------
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for f in os.listdir(self.meta_dir):
+            m = _MANIFEST_RE.match(f)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def manifest(self, version: int | None = None) -> dict:
+        vs = self._versions()
+        if not vs:
+            raise FileNotFoundError(f"LakeTable at {self.path} has no manifest")
+        v = version if version is not None else vs[-1]
+        with open(os.path.join(self.meta_dir, f"v{v:08d}.json")) as f:
+            return json.load(f)
+
+    def _commit(self, manifest: dict) -> int:
+        """Atomic single-writer commit: write tmp, rename into place."""
+        v = manifest["version"]
+        os.makedirs(self.meta_dir, exist_ok=True)
+        final = os.path.join(self.meta_dir, f"v{v:08d}.json")
+        if os.path.exists(final):
+            raise RuntimeError(f"concurrent commit detected at version {v}")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, final)
+        return v
+
+    def exists(self) -> bool:
+        return bool(self._versions())
+
+    # ---------------- DDL ----------------
+
+    def create(self, key: list, fields: list, n_buckets: int = 16,
+               schema_version: int = 0) -> None:
+        """``fields`` = full table columns [(name, type_str)...] including
+        the key; merge key must exist (ineligible-table rule F4,
+        cdc/entry/schema_storage.go:297-333)."""
+        names = [n for n, _ in fields]
+        for k in key:
+            if k not in names:
+                raise ValueError(f"merge key column {k} missing from schema")
+        if self.exists():
+            raise RuntimeError(f"table already exists at {self.path}")
+        manifest = {
+            "version": 1,
+            "key": list(key),
+            "n_buckets": n_buckets,
+            "schema_version": schema_version,
+            "schema": [list(x) for x in fields],
+            "schemas": {str(schema_version): [list(x) for x in fields]},
+            "name_history": {n: n for n in names},
+            "buckets": {str(b): {"files": [], "written_version": schema_version}
+                        for b in range(n_buckets)},
+            "batch_ids": {},
+            "checkpoint": {"resolved_ts": 0, "batch_seq": 0},
+            "lineage": [],
+        }
+        self._commit(manifest)
+
+    def alter(self, ddl_type: str, column: str, old_column: str | None = None,
+              col_type: str = "string", schema_version: int = 0) -> bool:
+        """Metadata-only schema evolution; idempotent by schema_version."""
+        m = self.manifest()
+        if schema_version <= m["schema_version"]:
+            return False  # foregone DDL (schema_storage.go:204-219)
+        schema = [tuple(x) for x in m["schema"]]
+        hist = dict(m["name_history"])
+        if ddl_type == "add_column":
+            schema = schema + [(column, col_type)]
+            hist[column] = column
+        elif ddl_type == "rename_column":
+            schema = [(column if n == old_column else n, t) for n, t in schema]
+            hist = {h: (column if cur == old_column else cur) for h, cur in hist.items()}
+            hist[column] = column
+        else:
+            raise ValueError(f"unsupported ddl_type {ddl_type}")
+        m["schema"] = [list(x) for x in schema]
+        m["schemas"][str(schema_version)] = [list(x) for x in schema]
+        m["name_history"] = hist
+        m["schema_version"] = schema_version
+        m["version"] += 1
+        self._commit(m)
+        return True
+
+    # ---------------- read ----------------
+
+    def _bucket_expr(self, n_buckets: int, key0: str = "conv_id"):
+        return F.pmod(F.xxhash64(F.col(key0)), F.lit(n_buckets)).cast("int")
+
+    def read(self, buckets: list | None = None, version: int | None = None) -> DataFrame:
+        """Current (or time-travel) table state, optionally bucket-pruned.
+        Old files written under pre-DDL schemas are reconciled: renamed
+        columns aliased via name_history, added columns backfilled NULL
+        (the add-column default rule, cdc/entry/mounter.go:909-965)."""
+        m = self.manifest(version)
+        cur_fields = [tuple(x) for x in m["schema"]]
+        cur_names = [n for n, _ in cur_fields]
+        hist = m["name_history"]
+        want = set(map(int, buckets)) if buckets is not None else None
+
+        by_version: dict = {}
+        for b, info in m["buckets"].items():
+            if want is not None and int(b) not in want:
+                continue
+            if info["files"]:
+                by_version.setdefault(info["written_version"], []).extend(info["files"])
+
+        parts = []
+        for wv, files in by_version.items():
+            wfields = [tuple(x) for x in m["schemas"][str(wv)]]
+            df = self.spark.read.schema(_struct(wfields)).parquet(*files)
+            cols = []
+            mapped = {hist.get(n): n for n, _ in wfields if hist.get(n)}
+            for n, t in cur_fields:
+                if n in mapped:
+                    cols.append(F.col(mapped[n]).alias(n))
+                else:
+                    cols.append(F.lit(None).cast(_TYPE[t]).alias(n))
+            parts.append(df.select(*cols))
+        if not parts:
+            return self.spark.createDataFrame([], _struct(cur_fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*cur_names)
+
+    # ---------------- MERGE ----------------
+
+    def merge(
+        self,
+        src: DataFrame,
+        batch_id: str,
+        lineage_rows: list | None = None,
+        resolved_ts: int | None = None,
+        op_col: str = "op",
+    ) -> dict:
+        """Exactly-once upsert of one deduplicated micro-batch.
+
+        ``src`` must carry the merge-key columns, ``op`` ('I'/'U'/'D') and
+        the current payload columns — at most ONE row per key (run
+        lww_dedup first; guarantees conflict-freedom, replacing the
+        causality conflict detector,
+        /root/reference/pkg/causality/conflict_detector.go:31-120).
+
+        Semantics = MERGE INTO target USING src ON key:
+        WHEN MATCHED AND op='D' THEN DELETE;
+        WHEN MATCHED THEN UPDATE; WHEN NOT MATCHED AND op!='D' THEN INSERT.
+        """
+        m = self.manifest()
+        if batch_id in m["batch_ids"]:
+            return {"status": "skipped", "batch_id": batch_id}
+        key = m["key"]
+        n_buckets = m["n_buckets"]
+        cur_fields = [tuple(x) for x in m["schema"]]
+        cur_names = [n for n, _ in cur_fields]
+
+        src = src.withColumn("_bucket", self._bucket_expr(n_buckets, key[0]))
+        src = src.persist()
+        try:
+            stats = src.groupBy("_bucket").count().collect()
+            affected = sorted(int(r["_bucket"]) for r in stats)
+            n_src = sum(int(r["count"]) for r in stats)
+
+            if affected:
+                live = self.read(buckets=affected).withColumn(
+                    "_bucket", self._bucket_expr(n_buckets, key[0])
+                )
+                keys_df = src.select(*key)
+                if n_src <= BROADCAST_KEY_LIMIT:
+                    keys_df = F.broadcast(keys_df)
+                keep = live.join(keys_df, on=key, how="left_anti")
+                upserts = src.filter(F.col(op_col) != "D").select(*cur_names, "_bucket")
+                out = keep.select(*cur_names, "_bucket").unionByName(upserts)
+
+                commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+                (
+                    out.repartition(len(affected), F.col("_bucket"))
+                    .write.partitionBy("_bucket")
+                    .parquet(commit_dir)
+                )
+                new_files: dict = {b: [] for b in affected}
+                for b in affected:
+                    bdir = os.path.join(commit_dir, f"_bucket={b}")
+                    if os.path.isdir(bdir):
+                        new_files[b] = sorted(
+                            os.path.join(bdir, f)
+                            for f in os.listdir(bdir)
+                            if f.endswith(".parquet")
+                        )
+                for b in affected:
+                    m["buckets"][str(b)] = {
+                        "files": new_files[b],
+                        "written_version": m["schema_version"],
+                    }
+        finally:
+            src.unpersist()
+
+        m["batch_ids"][batch_id] = {"resolved_ts": resolved_ts, "rows": n_src}
+        if resolved_ts is not None:
+            m["checkpoint"]["resolved_ts"] = max(m["checkpoint"]["resolved_ts"], resolved_ts)
+        m["checkpoint"]["batch_seq"] = m["checkpoint"].get("batch_seq", 0) + 1
+        if lineage_rows:
+            m["lineage"].extend(lineage_rows)
+        m["version"] += 1
+        self._commit(m)
+        return {"status": "committed", "batch_id": batch_id, "rows": n_src,
+                "buckets": affected, "version": m["version"]}
+
+    # ---------------- introspection ----------------
+
+    @property
+    def checkpoint(self) -> dict:
+        return self.manifest()["checkpoint"]
+
+    def committed_batch_ids(self) -> set:
+        return set(self.manifest()["batch_ids"].keys())
+
+    def lineage_df(self) -> DataFrame:
+        rows = self.manifest()["lineage"]
+        schema = (
+            "batch_id string, partition_id int, resolved_ts long, "
+            "event_count long, max_commit_ts long"
+        )
+        if not rows:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.createDataFrame(
+            [(r["batch_id"], r.get("partition_id"), r.get("resolved_ts"),
+              r.get("event_count"), r.get("max_commit_ts")) for r in rows],
+            schema,
+        )
+
+    def drop(self) -> None:
+        if os.path.isdir(self.path):
+            shutil.rmtree(self.path)
