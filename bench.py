@@ -39,9 +39,12 @@ BENCH_QUERIES = [
 ]
 
 
-def bench_engine_replay(spark, n_events: int, n_convs: int, block: int) -> dict:
+def bench_engine_replay(spark, n_events: int, n_convs: int, block: int,
+                        sink_mode: str = "mor") -> dict:
     """Full pipeline: generate → resolved-bounded micro-batches →
-    pandas-UDF mount → LWW dedup → MERGE into the lake table."""
+    LWW dedup → pandas-UDF mount → exactly-once sink commit.
+    sink_mode 'mor' (append deltas + compaction — the production ingest
+    path) or 'cow' (rewrite affected buckets per batch)."""
     from ticdc_spark.sinks.lake import LakeTable
     from ticdc_spark.sources.binlog_gen import BinlogSpec, gen_binlog, gen_resolved_log
     from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
@@ -50,11 +53,16 @@ def bench_engine_replay(spark, n_events: int, n_convs: int, block: int) -> dict:
                       n_partitions=8)
     work = tempfile.mkdtemp(prefix="ticdc_bench_")
     try:
-        binlog = gen_binlog(spark, spec)
+        # materialize the WAL once (untimed) — the replay reads a real log
+        # with commit_ts pushdown, as it would in production
+        wal = os.path.join(work, "wal")
+        gen_binlog(spark, spec).write.parquet(wal)
+        binlog = spark.read.parquet(wal)
         resolved = gen_resolved_log(spark, spec)
         cf = Changefeed(
             spark, binlog, resolved, None, LakeTable(spark, os.path.join(work, "t")),
-            ChangefeedConfig(changefeed_id="bench", n_buckets=32),
+            ChangefeedConfig(changefeed_id=f"bench-{sink_mode}", n_buckets=32,
+                             sink_mode=sink_mode, compact_every=8),
         )
         t0 = time.time()
         stats = cf.run()
@@ -63,6 +71,26 @@ def bench_engine_replay(spark, n_events: int, n_convs: int, block: int) -> dict:
                 "merges": stats["merges"]}
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_pipeline_blackhole(spark, n_events: int) -> dict:
+    """K6 blackhole-sink analog: generate → dedup → mount, no sink — pure
+    pipeline throughput (the reference benchmarks its pipeline the same way,
+    /root/reference/cdc/sink/dmlsink/blackhole/)."""
+    from ticdc_spark.functions.mount import mount
+    from ticdc_spark.operators.sortdedup import lww_dedup, with_op_rank
+    from ticdc_spark.plans.schema_registry import SchemaRegistry
+    from ticdc_spark.sources.binlog_gen import BinlogSpec, gen_binlog
+
+    spec = BinlogSpec(n_events=n_events, n_convs=max(n_events // 50, 100), n_turns=16,
+                      block=max(n_events // 10, 20_000), n_partitions=8)
+    reg = SchemaRegistry()
+    t0 = time.time()
+    out = mount(lww_dedup(with_op_rank(gen_binlog(spark, spec)), stats=False),
+                reg, spec.max_commit_ts)
+    n = out.count()
+    dt = time.time() - t0
+    return {"rows": n, "sec": dt, "events_per_sec": n_events / dt}
 
 
 def main():
@@ -79,12 +107,21 @@ def main():
     timings = {}
     total = 0.0
 
-    # headline: engine replay scaled to sf (sf0.1 → 2M events)
-    n_events = max(int(20_000_000 * sf), 100_000)
+    # headline: engine replay scaled to sf (sf0.1 → 4M events, MOR ingest)
+    n_events = max(int(40_000_000 * sf), 200_000)
     r = bench_engine_replay(spark, n_events=n_events, n_convs=max(n_events // 50, 100),
-                            block=max(n_events // 10, 10_000))
+                            block=max(n_events // 10, 20_000), sink_mode="mor")
     timings["cdc_engine_replay"] = round(r["sec"], 3)
     total += r["sec"]
+    # CoW MERGE comparison at quarter size
+    r_cow = bench_engine_replay(spark, n_events=n_events // 4,
+                                n_convs=max(n_events // 200, 100),
+                                block=max(n_events // 40, 20_000), sink_mode="cow")
+    timings["cdc_engine_replay_cow"] = round(r_cow["sec"], 3)
+    total += r_cow["sec"]
+    r_bh = bench_pipeline_blackhole(spark, n_events)
+    timings["cdc_pipeline_blackhole"] = round(r_bh["sec"], 3)
+    total += r_bh["sec"]
 
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
@@ -104,6 +141,7 @@ def main():
         "sf": sf,
         "engine_replay_events": r["events"],
         "engine_replay_events_per_sec": round(r["events_per_sec"], 1),
+        "blackhole_events_per_sec": round(r_bh["events_per_sec"], 1),
         "cpus": cpus,
     }
     print(json.dumps(out))

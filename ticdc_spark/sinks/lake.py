@@ -107,10 +107,21 @@ class LakeTable:
     # ---------------- DDL ----------------
 
     def create(self, key: list, fields: list, n_buckets: int = 16,
-               schema_version: int = 0) -> None:
+               schema_version: int = 0, with_order_cols: bool = False) -> None:
         """``fields`` = full table columns [(name, type_str)...] including
         the key; merge key must exist (ineligible-table rule F4,
-        cdc/entry/schema_storage.go:297-333)."""
+        cdc/entry/schema_storage.go:297-333).
+
+        ``with_order_cols=True`` adds the LWW metadata columns
+        (_commit_ts, _start_ts, _op_rank, _deleted) required by
+        :meth:`merge_lww` — the arrival-ordered/streaming mode, where
+        deletes persist as tombstones so a late older event cannot
+        resurrect a deleted key."""
+        if with_order_cols:
+            fields = list(fields) + [
+                ("_commit_ts", "long"), ("_start_ts", "long"),
+                ("_op_rank", "int"), ("_deleted", "int"),
+            ]
         names = [n for n, _ in fields]
         for k in key:
             if k not in names:
@@ -128,6 +139,7 @@ class LakeTable:
             "buckets": {str(b): {"files": [], "written_version": schema_version}
                         for b in range(n_buckets)},
             "batch_ids": {},
+            "deltas": [],
             "checkpoint": {"resolved_ts": 0, "batch_seq": 0},
             "lineage": [],
         }
@@ -163,7 +175,8 @@ class LakeTable:
     def _bucket_expr(self, n_buckets: int, key0: str = "conv_id"):
         return F.pmod(F.xxhash64(F.col(key0)), F.lit(n_buckets)).cast("int")
 
-    def read(self, buckets: list | None = None, version: int | None = None) -> DataFrame:
+    def read(self, buckets: list | None = None, version: int | None = None,
+             include_deleted: bool = False) -> DataFrame:
         """Current (or time-travel) table state, optionally bucket-pruned.
         Old files written under pre-DDL schemas are reconciled: renamed
         columns aliased via name_history, added columns backfilled NULL
@@ -180,6 +193,11 @@ class LakeTable:
                 continue
             if info["files"]:
                 by_version.setdefault(info["written_version"], []).extend(info["files"])
+        # table-level MOR deltas are not bucket-pruned (small by design;
+        # compaction folds them back into buckets)
+        has_deltas = bool(m.get("deltas"))
+        for d in m.get("deltas", []):
+            by_version.setdefault(d["written_version"], []).extend(d["files"])
 
         parts = []
         for wv, files in by_version.items():
@@ -194,11 +212,30 @@ class LakeTable:
                     cols.append(F.lit(None).cast(_TYPE[t]).alias(n))
             parts.append(df.select(*cols))
         if not parts:
-            return self.spark.createDataFrame([], _struct(cur_fields))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.select(*cur_names)
+            out = self.spark.createDataFrame([], _struct(cur_fields))
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out = out.select(*cur_names)
+        if has_deltas and want is not None:
+            # delta files are unbucketed: re-derive the bucket and prune
+            out = out.filter(
+                self._bucket_expr(m["n_buckets"], m["key"][0]).isin(*[int(x) for x in want])
+            )
+        if has_deltas and "_commit_ts" in cur_names:
+            # MOR read path: re-establish the LWW law across base ∪ deltas
+            key = m["key"]
+            payload = [c for c in cur_names if c not in key]
+            ordc = F.struct(F.col("_commit_ts"), F.col("_start_ts"), F.col("_op_rank"))
+            out = (
+                out.groupBy(*key)
+                .agg(F.max_by(F.struct(*[F.col(c) for c in payload]), ordc).alias("_w"))
+                .select(*key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+            )
+        if not include_deleted and "_deleted" in cur_names:
+            out = out.filter((F.col("_deleted").isNull()) | (F.col("_deleted") != 1))
+        return out
 
     # ---------------- MERGE ----------------
 
@@ -225,6 +262,8 @@ class LakeTable:
         m = self.manifest()
         if batch_id in m["batch_ids"]:
             return {"status": "skipped", "batch_id": batch_id}
+        if m.get("deltas"):
+            raise RuntimeError("table has uncompacted MOR deltas; run compact() before CoW merge")
         key = m["key"]
         n_buckets = m["n_buckets"]
         cur_fields = [tuple(x) for x in m["schema"]]
@@ -271,16 +310,220 @@ class LakeTable:
         finally:
             src.unpersist()
 
+        rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
         m["batch_ids"][batch_id] = {"resolved_ts": resolved_ts, "rows": n_src}
         if resolved_ts is not None:
             m["checkpoint"]["resolved_ts"] = max(m["checkpoint"]["resolved_ts"], resolved_ts)
         m["checkpoint"]["batch_seq"] = m["checkpoint"].get("batch_seq", 0) + 1
-        if lineage_rows:
-            m["lineage"].extend(lineage_rows)
+        if rows:
+            m["lineage"].extend(rows)
         m["version"] += 1
         self._commit(m)
         return {"status": "committed", "batch_id": batch_id, "rows": n_src,
-                "buckets": affected, "version": m["version"]}
+                "buckets": affected, "version": m["version"], "lineage": rows}
+
+    def merge_lww(
+        self,
+        src: DataFrame,
+        batch_id: str,
+        lineage_rows: list | None = None,
+        resolved_ts: int | None = None,
+        op_col: str = "op",
+    ) -> dict:
+        """Order-aware MERGE for arrival-ordered (Structured Streaming)
+        batches: a matched target row only loses to a strictly NEWER event.
+
+        Requires the table to carry the order metadata columns
+        ``_commit_ts, _start_ts, _op_rank`` (create the table with
+        ``with_order_cols=True``). ``src`` must carry them too, plus ``op``.
+        Unlike :meth:`merge`, batches may arrive in ANY commit-ts
+        interleaving — the LWW law is re-established per key against the
+        stored order columns, which is exactly the MySQL sink's
+        safe-mode/REPLACE idempotency
+        (/root/reference/cdc/sink/dmlsink/txn/mysql/mysql.go:516,533-537)
+        generalized to a lake table.
+        """
+        from ticdc_spark.operators.sortdedup import lww_dedup
+
+        m = self.manifest()
+        if batch_id in m["batch_ids"]:
+            return {"status": "skipped", "batch_id": batch_id}
+        if m.get("deltas"):
+            raise RuntimeError("table has uncompacted MOR deltas; run compact() before CoW merge")
+        key = m["key"]
+        n_buckets = m["n_buckets"]
+        cur_names = [n for n, _ in m["schema"]]
+        for c in ("_commit_ts", "_start_ts", "_op_rank"):
+            if c not in cur_names:
+                raise ValueError("merge_lww needs a table created with_order_cols=True")
+
+        src = src.withColumn("_bucket", self._bucket_expr(n_buckets, key[0]))
+        src = src.persist()
+        try:
+            stats = src.groupBy("_bucket").count().collect()
+            affected = sorted(int(r["_bucket"]) for r in stats)
+            n_src = sum(int(r["count"]) for r in stats)
+            if affected:
+                live = self.read(buckets=affected, include_deleted=True).withColumn(
+                    "_bucket", self._bucket_expr(n_buckets, key[0])
+                )
+                keys_df = src.select(*key)
+                if n_src <= BROADCAST_KEY_LIMIT:
+                    keys_df = F.broadcast(keys_df)
+                keep = live.join(keys_df, on=key, how="left_anti").select(*cur_names, "_bucket")
+                # contested keys: the stored row competes as an event whose
+                # op reflects its tombstone state, so a stored delete keeps
+                # deleting unless a strictly newer event arrives
+                contested = live.join(keys_df, on=key, how="left_semi").select(
+                    *cur_names, "_bucket"
+                ).withColumn(
+                    op_col, F.when(F.col("_deleted") == 1, "D").otherwise("I")
+                )
+                combined = contested.unionByName(
+                    src.select(*cur_names, "_bucket", op_col)
+                ).withColumnsRenamed(
+                    {"_commit_ts": "commit_ts", "_start_ts": "start_ts", "_op_rank": "op_rank"}
+                )
+                won = lww_dedup(combined, key).withColumnsRenamed(
+                    {"commit_ts": "_commit_ts", "start_ts": "_start_ts", "op_rank": "_op_rank"}
+                )
+                # winners are stored INCLUDING delete tombstones (_deleted=1)
+                upserts = won.withColumn(
+                    "_deleted", (F.col(op_col) == "D").cast("int")
+                ).select(*cur_names, "_bucket")
+                out = keep.unionByName(upserts)
+                commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+                (
+                    out.repartition(len(affected), F.col("_bucket"))
+                    .write.partitionBy("_bucket")
+                    .parquet(commit_dir)
+                )
+                for b in affected:
+                    bdir = os.path.join(commit_dir, f"_bucket={b}")
+                    files = (
+                        sorted(
+                            os.path.join(bdir, f)
+                            for f in os.listdir(bdir)
+                            if f.endswith(".parquet")
+                        )
+                        if os.path.isdir(bdir)
+                        else []
+                    )
+                    m["buckets"][str(b)] = {
+                        "files": files,
+                        "written_version": m["schema_version"],
+                    }
+        finally:
+            src.unpersist()
+
+        rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
+        m["batch_ids"][batch_id] = {"resolved_ts": resolved_ts, "rows": n_src}
+        if resolved_ts is not None:
+            m["checkpoint"]["resolved_ts"] = max(m["checkpoint"]["resolved_ts"], resolved_ts)
+        m["checkpoint"]["batch_seq"] = m["checkpoint"].get("batch_seq", 0) + 1
+        if rows:
+            m["lineage"].extend(rows)
+        m["version"] += 1
+        self._commit(m)
+        return {"status": "committed", "batch_id": batch_id, "rows": n_src,
+                "buckets": affected, "version": m["version"], "lineage": rows}
+
+    # ---------------- merge-on-read (LSM-style) ----------------
+
+    def append_delta(
+        self,
+        src: DataFrame,
+        batch_id: str,
+        lineage_rows: list | None = None,
+        resolved_ts: int | None = None,
+    ) -> dict:
+        """MOR ingest: append the deduplicated batch as delta files without
+        touching the base — O(batch) per commit. Readers re-establish LWW
+        against (_commit_ts, _start_ts, _op_rank); ``compact()`` folds
+        deltas into the base periodically. This is the LSM trade TiCDC's
+        pebble sorter makes (docs/design/2022-03-16-ticdc-db-sorter.md:28-47)
+        applied to the lake sink. Requires with_order_cols=True.
+
+        ``src`` contract: current table columns (incl. order cols and
+        ``_deleted``), at most one row per key per batch.
+        """
+        m = self.manifest()
+        if batch_id in m["batch_ids"]:
+            return {"status": "skipped", "batch_id": batch_id}
+        cur_names = [n for n, _ in m["schema"]]
+        if "_commit_ts" not in cur_names:
+            raise ValueError("append_delta needs a table created with_order_cols=True")
+
+        # deltas are table-level filesets written straight from the dedup
+        # output partitioning — NO extra shuffle on the ingest path; the
+        # only shuffle per batch is the dedup exchange itself. Bucketing is
+        # re-established at compaction.
+        commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        src.select(*cur_names).write.parquet(commit_dir)
+        files = sorted(
+            os.path.join(commit_dir, f)
+            for f in os.listdir(commit_dir)
+            if f.endswith(".parquet")
+        )
+        m.setdefault("deltas", []).append(
+            {"files": files, "written_version": m["schema_version"]}
+        )
+        rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
+        n_src = sum(r.get("event_count", 0) for r in rows)
+        m["batch_ids"][batch_id] = {"resolved_ts": resolved_ts, "rows": n_src, "mode": "mor"}
+        if resolved_ts is not None:
+            m["checkpoint"]["resolved_ts"] = max(m["checkpoint"]["resolved_ts"], resolved_ts)
+        m["checkpoint"]["batch_seq"] = m["checkpoint"].get("batch_seq", 0) + 1
+        if rows:
+            m["lineage"].extend(rows)
+        m["version"] += 1
+        self._commit(m)
+        return {"status": "committed", "batch_id": batch_id, "version": m["version"],
+                "lineage": rows}
+
+    def delta_depth(self) -> int:
+        return len(self.manifest().get("deltas", []))
+
+    def compact(self, drop_tombstones: bool = True) -> dict:
+        """Fold deltas into the base: LWW over base ∪ deltas, rewrite all
+        buckets (re-establishing bucket locality), clear deltas.
+        ``drop_tombstones`` is safe when no event older than the checkpoint
+        can still arrive (the resolved-ts driver mode guarantees that; keep
+        tombstones in arrival-ordered mode)."""
+        m = self.manifest()
+        key = m["key"]
+        n_buckets = m["n_buckets"]
+        if not m.get("deltas"):
+            return {"status": "noop"}
+        merged = self.read(include_deleted=True)
+        if drop_tombstones:
+            merged = merged.filter(
+                (F.col("_deleted").isNull()) | (F.col("_deleted") != 1)
+            )
+        merged = merged.withColumn("_bucket", self._bucket_expr(n_buckets, key[0]))
+        commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        (
+            merged.repartition(n_buckets, F.col("_bucket"))
+            .write.partitionBy("_bucket")
+            .parquet(commit_dir)
+        )
+        for b in range(n_buckets):
+            bdir = os.path.join(commit_dir, f"_bucket={b}")
+            files = (
+                sorted(
+                    os.path.join(bdir, f) for f in os.listdir(bdir) if f.endswith(".parquet")
+                )
+                if os.path.isdir(bdir)
+                else []
+            )
+            m["buckets"][str(b)] = {
+                "files": files,
+                "written_version": m["schema_version"],
+            }
+        m["deltas"] = []
+        m["version"] += 1
+        self._commit(m)
+        return {"status": "compacted", "version": m["version"]}
 
     # ---------------- introspection ----------------
 

@@ -48,6 +48,11 @@ class ChangefeedConfig:
     safe_mode_ts: int = 0  # updates with commit_ts <= this split into D+I (S5)
     defaults: dict = field(default_factory=dict)
     start_ts: int = 0
+    # sink mode: "cow" rewrites affected buckets per batch (Iceberg
+    # copy-on-write MERGE); "mor" appends LWW deltas and compacts every
+    # `compact_every` batches (LSM trade — O(batch) ingest)
+    sink_mode: str = "cow"
+    compact_every: int = 8
 
 
 def table_fields(registry: SchemaRegistry, as_of_ts: int, key=HANDLE_KEY) -> list:
@@ -89,6 +94,7 @@ class Changefeed:
                 fields=table_fields(self.registry, 0, self.config.key),
                 n_buckets=self.config.n_buckets,
                 schema_version=0,
+                with_order_cols=(self.config.sink_mode == "mor"),
             )
 
     def _reconcile_ddl(self, ckpt: int) -> None:
@@ -111,35 +117,96 @@ class Changefeed:
         df = self.binlog.filter((F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi))
         if self.config.safe_mode_ts:
             df = split_updates(df, self.config.safe_mode_ts)
-        df = with_op_rank(df)
+        # pre_payload is consumed by the safe-mode split above; dropping it
+        # here keeps the dead column out of the dedup shuffle
+        df = with_op_rank(df).drop("pre_payload")
 
-        # per-source-partition lineage (A2/A5): tiny agg, collected
-        lineage = [
-            {
-                "batch_id": batch_id,
-                "partition_id": int(r["partition_id"]),
-                "resolved_ts": hi,
-                "event_count": int(r["n"]),
-                "max_commit_ts": int(r["mx"]),
-            }
-            for r in df.groupBy("partition_id")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("commit_ts").alias("mx"))
-            .collect()
-        ]
+        # dedup BEFORE mount, with per-key stats folded into the SAME
+        # aggregate: one scan + one shuffle per batch total. The decode
+        # then touches only surviving rows.
+        deduped = lww_dedup(df, self.config.key, stats=True)
+
+        # per-source-partition lineage (A2/A5) via the Observation API:
+        # the metrics ride on the sink's own action — NO extra Spark job
+        # per micro-batch. partition_id is a function of conv_id, so
+        # per-key stats aggregate exactly.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"lineage-{batch_id}")
+        aggs = []
+        for p in self._partitions:
+            aggs.append(
+                F.sum(F.when(F.col("partition_id") == p, F.col("_n_events"))).alias(f"n_{p}")
+            )
+            aggs.append(
+                F.max(F.when(F.col("partition_id") == p, F.col("_max_commit_ts"))).alias(f"mx_{p}")
+            )
+        deduped = deduped.observe(obs, F.count(F.lit(1)).alias("n_keys"), *aggs)
+
+        def lineage_rows():
+            try:
+                vals = obs.get
+            except Exception:
+                # an empty window schedules zero tasks, so the Observation
+                # never fires — no events means no lineage rows
+                return []
+            rows = []
+            for p in self._partitions:
+                if vals.get(f"n_{p}") is not None:
+                    rows.append(
+                        {
+                            "batch_id": batch_id,
+                            "partition_id": int(p),
+                            "resolved_ts": hi,
+                            "event_count": int(vals[f"n_{p}"]),
+                            "max_commit_ts": int(vals[f"mx_{p}"]),
+                        }
+                    )
+            return rows
 
         # DML whose commit_ts equals a DDL finishedTs uses the schema
         # BEFORE the DDL (mounter.go:173) — windows end AT ddl ts, so the
         # decode snapshot is the one at the window's start
-        mounted = mount(df, self.registry, as_of_ts=lo if self._ddl_at(hi) else hi,
+        as_of = lo if self._ddl_at(hi) else hi
+        mounted = mount(deduped, self.registry, as_of_ts=as_of,
                         defaults=self.config.defaults)
-        deduped = lww_dedup(mounted, self.config.key)
-        payload_cols = mounted_columns(
-            self.registry, lo if self._ddl_at(hi) else hi
-        )
-        src = deduped.select(*self.config.key, "op", *payload_cols)
-        res = self.target.merge(src, batch_id, lineage_rows=lineage, resolved_ts=hi)
-        res["events"] = sum(r["event_count"] for r in lineage)
+        payload_cols = mounted_columns(self.registry, as_of)
+        if self.config.sink_mode == "mor":
+            src = mounted.select(
+                *self.config.key, *payload_cols,
+                F.col("commit_ts").alias("_commit_ts"),
+                F.col("start_ts").alias("_start_ts"),
+                F.col("op_rank").alias("_op_rank"),
+                (F.col("op") == "D").cast("int").alias("_deleted"),
+            )
+            res = self.target.append_delta(
+                src, batch_id, lineage_rows=lineage_rows, resolved_ts=hi
+            )
+        else:
+            src = mounted.select(*self.config.key, "op", *payload_cols)
+            res = self.target.merge(src, batch_id, lineage_rows=lineage_rows, resolved_ts=hi)
+        res["events"] = sum(r["event_count"] for r in res.get("lineage", []))
         return res
+
+    def is_synced(self) -> bool:
+        """Synced detection (W7, /root/reference/cdc/api/v2/changefeed.go:974-976):
+        the feed is fully synced when the sink checkpoint has reached the
+        source's global frontier — every resolved event is applied."""
+        from ticdc_spark.sources.frontier import global_frontier
+
+        return self.target.checkpoint["resolved_ts"] >= global_frontier(self.resolved_log)
+
+    def syncpoints(self) -> list:
+        """Syncpoint store analog (K8,
+        /root/reference/cdc/syncpointstore/mysql_syncpoint_store.go:133-180):
+        (source resolved-ts → lake snapshot version) pairs, one per commit —
+        the mapping a consistent cross-system snapshot read needs."""
+        m = self.target.manifest()
+        out = []
+        for bid, info in m["batch_ids"].items():
+            if info.get("resolved_ts") is not None:
+                out.append({"batch_id": bid, "primary_ts": info["resolved_ts"]})
+        return sorted(out, key=lambda r: r["primary_ts"])
 
     def _ddl_at(self, ts: int) -> dict | None:
         for d in self.ddl_rows:
@@ -155,6 +222,11 @@ class Changefeed:
         self.ensure_target()
         ckpt = max(self.target.checkpoint["resolved_ts"], self.config.start_ts)
         self._reconcile_ddl(ckpt)
+        # source partition ids, once per run (tiny): drives the observe-based
+        # per-partition lineage without a per-batch aggregation job
+        self._partitions = sorted(
+            int(r[0]) for r in self.resolved_log.select("partition_id").distinct().collect()
+        )
 
         steps = frontier_steps(self.resolved_log, low=ckpt)
         # fold k resolved steps into one micro-batch
@@ -187,6 +259,13 @@ class Changefeed:
                 events += res.get("events", 0)
                 merges += res["status"] == "committed"
             ckpt = r
+            if (
+                self.config.sink_mode == "mor"
+                and self.target.delta_depth() >= self.config.compact_every
+            ):
+                # resolved-ts mode: nothing older than the checkpoint can
+                # arrive → tombstones are droppable at compaction
+                self.target.compact(drop_tombstones=True)
             if max_merges and merges >= max_merges:
                 break
         return {"merges": merges, "events": events, "checkpoint": ckpt}

@@ -1,0 +1,108 @@
+"""Structured-Streaming mode: tail a binlog directory with a file-source
+readStream and apply arrival-ordered micro-batches via foreachBatch.
+
+Two execution modes exist for the same engine:
+
+1. ``pipeline.Changefeed`` — resolved-ts-driven windows (commit-ts space is
+   partitioned across batches; barrier-exact DDL). This mirrors TiCDC's
+   semantics precisely and is the mode used for DDL scenarios.
+2. this module — Spark-native streaming over file arrival. Batch
+   boundaries are arbitrary w.r.t. commit-ts, so the sink must be
+   order-aware: ``LakeTable.merge_lww`` compares each event against the
+   stored ``(_commit_ts, _start_ts, _op_rank)`` and keeps delete
+   tombstones, making the final state independent of batching — the
+   generalization of the MySQL sink's REPLACE idempotency
+   (/root/reference/cdc/sink/dmlsink/txn/mysql/mysql.go:516,533-537).
+
+Exactly-once: Spark's streaming checkpoint provides offset tracking;
+re-delivered epochs are no-ops via the batch_id registry committed
+atomically with the data (same guarantee as the driver-loop mode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from ticdc_spark.functions.mount import mount, mounted_columns
+from ticdc_spark.operators.sortdedup import lww_dedup, with_op_rank
+from ticdc_spark.plans.schema_registry import SchemaRegistry
+from ticdc_spark.sinks.lake import LakeTable
+from ticdc_spark.streaming.pipeline import ChangefeedConfig, table_fields
+
+BINLOG_SCHEMA = (
+    "commit_ts long, start_ts long, op string, conv_id string, turn_idx int, "
+    "payload string, pre_payload string, schema_version long, partition_id int"
+)
+
+_FAR_FUTURE = 2**62
+
+
+def run_streaming(
+    spark: SparkSession,
+    binlog_dir: str,
+    target: LakeTable,
+    config: ChangefeedConfig | None = None,
+    registry: SchemaRegistry | None = None,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> dict:
+    """Drain all currently-available binlog files (Trigger.AvailableNow)
+    into the lake table. Restartable via ``checkpoint_dir``; safe to call
+    repeatedly as new files land. DDL barriers are not supported in this
+    mode (use the resolved-ts driver loop); the registry's newest snapshot
+    decodes every event."""
+    config = config or ChangefeedConfig(changefeed_id="cf-stream")
+    registry = registry or SchemaRegistry()
+    if not target.exists():
+        target.create(
+            key=list(config.key),
+            fields=table_fields(registry, _FAR_FUTURE, config.key),
+            n_buckets=config.n_buckets,
+            schema_version=registry.resolved_ts,
+            with_order_cols=True,
+        )
+    payload_cols = mounted_columns(registry, _FAR_FUTURE)
+    stats = {"batches": 0, "events": 0}
+
+    def process(batch_df, epoch_id: int):
+        batch_id = f"{config.changefeed_id}:epoch-{epoch_id}"
+        df = with_op_rank(batch_df)
+        deduped = lww_dedup(df, config.key, stats=True).persist()
+        try:
+            lineage = [
+                {
+                    "batch_id": batch_id,
+                    "partition_id": int(r["partition_id"]),
+                    "resolved_ts": None,
+                    "event_count": int(r["n"]),
+                    "max_commit_ts": int(r["mx"]),
+                }
+                for r in deduped.groupBy("partition_id")
+                .agg(F.sum("_n_events").alias("n"), F.max("_max_commit_ts").alias("mx"))
+                .collect()
+            ]
+            mounted = mount(deduped, registry, as_of_ts=_FAR_FUTURE, defaults=config.defaults)
+            src = mounted.select(
+                *config.key, "op", *payload_cols,
+                F.col("commit_ts").alias("_commit_ts"),
+                F.col("start_ts").alias("_start_ts"),
+                F.col("op_rank").alias("_op_rank"),
+                (F.col("op") == "D").cast("int").alias("_deleted"),
+            )
+            target.merge_lww(src, batch_id, lineage_rows=lineage)
+        finally:
+            deduped.unpersist()
+        stats["batches"] += 1
+        stats["events"] += sum(r["event_count"] for r in lineage)
+
+    reader = spark.readStream.schema(BINLOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(binlog_dir)
+    writer = stream.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    q.awaitTermination()
+    return stats
