@@ -671,7 +671,7 @@ def _transcript_binlog(spark, sf_dir, ddl_ts: int):
     )
 
 
-def _run_engine(spark, sf_dir, work_dir, max_merges=None):
+def _run_engine(spark, sf_dir, work_dir, max_merges=None, sink_mode="cow"):
     from ticdc_spark.sinks.lake import LakeTable
     from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
 
@@ -692,7 +692,8 @@ def _run_engine(spark, sf_dir, work_dir, max_merges=None):
     )
     cf = Changefeed(
         spark, binlog, resolved, ddl, LakeTable(spark, work_dir),
-        ChangefeedConfig(changefeed_id="e2e", n_buckets=8),
+        ChangefeedConfig(changefeed_id="e2e", n_buckets=8, sink_mode=sink_mode,
+                         compact_every=2),
     )
     cf.run(max_merges=max_merges)
     return cf
@@ -705,6 +706,15 @@ def q_cdc_pipeline_e2e(spark, sf_dir):
     work = tempfile.mkdtemp(prefix="ticdc_e2e_")
     cf = _run_engine(spark, sf_dir, os.path.join(work, "t"))
     return cf.target.read()
+
+
+def q_cdc_pipeline_e2e_mor(spark, sf_dir):
+    """Same replay through the merge-on-read sink (delta append + read-time
+    LWW + compaction every 2 batches) — final visible state must be
+    identical to the CoW path and the SQL oracle."""
+    work = tempfile.mkdtemp(prefix="ticdc_e2e_mor_")
+    cf = _run_engine(spark, sf_dir, os.path.join(work, "t"), sink_mode="mor")
+    return cf.target.read().drop("_commit_ts", "_start_ts", "_op_rank", "_deleted")
 
 
 def q_cdc_restart_resume(spark, sf_dir):
@@ -745,6 +755,7 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 
 QUERIES = {
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
+    "cdc_pipeline_e2e_mor": q_cdc_pipeline_e2e_mor,
     "cdc_restart_resume": q_cdc_restart_resume,
     "lww_final_state": q_lww_final_state,
     "lww_dedup": q_lww_dedup,
@@ -778,6 +789,7 @@ QUERIES = {
 
 ORACLES = {
     "cdc_pipeline_e2e": SQL_CDC_E2E,
+    "cdc_pipeline_e2e_mor": SQL_CDC_E2E,
     "cdc_restart_resume": SQL_CDC_E2E,
     "lww_final_state": SQL_LWW_FINAL,
     "lww_dedup": SQL_LWW_DEDUP,
