@@ -749,6 +749,21 @@ SELECT conv_id, turn_idx,
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing (binary media columns → mapInPandas feature
+    extraction; decode kernel stubbed with a deterministic fake — the
+    image/audio libs aren't in this container). Rows-only check: no SQL
+    oracle since the synthetic media table is engine-generated."""
+    from ticdc_spark.functions.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, n=512)
+    return extract_features(media, fake=True).select(
+        "media_id", "kind", "n_bytes", "checksum"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -785,6 +800,7 @@ QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_sign_lsh": q_emb_sign_lsh,
     "emb_neardup_pairs": q_emb_neardup_pairs,
+    "media_features": q_media_features,
 }
 
 ORACLES = {
