@@ -107,3 +107,36 @@ def test_lsh_bucket_and_pairs(spark):
         .join(b.withColumnRenamed("vec_id", "vec_id_b").withColumnRenamed("bucket", "bb"), "vec_id_b")
     )
     assert joined.filter("ba != bb").count() == 0
+
+
+def test_neardup_bucket_cap_bounds_degenerate_bucket(spark):
+    """A boilerplate corpus (hundreds of identical docs sharing every band
+    minimum) must not explode O(b²): with a bucket cap the degenerate
+    bucket is dropped entirely and only genuinely-informative buckets pair."""
+    from ticdc_spark.functions.textops import neardup_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet " * 10) for i in range(400)]
+    distinct = [(1000 + i, f"unique text number {i} with words {i*7} {i*13}") for i in range(20)]
+    docs = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    capped = neardup_pairs(docs, min_bands=3, max_bucket=50)
+    # 400 identical docs -> C(400,2)=79,800 pairs uncapped; the cap drops the
+    # degenerate bucket so NO boilerplate pair survives (pairs among the 20
+    # similar 'unique' docs are legitimate and stay under the cap)
+    assert capped.filter("doc_id_a < 1000").count() == 0
+    assert capped.count() < 200
+    uncapped = neardup_pairs(docs.limit(30), min_bands=3)  # sanity: small uncapped still works
+    assert uncapped.count() >= 1
+
+
+def test_rp_lsh_deterministic_and_less_skewed(spark):
+    """Random-projection buckets are deterministic across calls and spread
+    normalized embeddings over many buckets (axis-aligned sign bits skew
+    when coordinates correlate)."""
+    from ticdc_spark.functions.simsearch import rp_lsh_bucket, rp_planes
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b1 = {r["vec_id"]: r["bucket"] for r in rp_lsh_bucket(embs).collect()}
+    b2 = {r["vec_id"]: r["bucket"] for r in rp_lsh_bucket(embs).collect()}
+    assert b1 == b2
+    assert len(set(b1.values())) > 50  # 500 vecs over 256 buckets: well spread
+    assert rp_planes() == rp_planes()  # seeded: stable across processes

@@ -62,24 +62,80 @@ def _bucket_col(vec_col: str, n_bits: int):
     return bucket
 
 
+RP_SEED = 7
+
+
+def rp_planes(n_bits: int = 8, dim: int = 64, seed: int = RP_SEED) -> list:
+    """Seeded Gaussian random-projection hyperplanes, rounded to 6 decimals
+    so the identical literals can be embedded in an external SQL oracle.
+    Real random projections (vs axis-aligned sign bits) split normalized
+    embeddings into near-uniform buckets — the axis-aligned variant skews
+    badly when coordinates are correlated."""
+    import random
+
+    rng = random.Random(seed)
+    return [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def _rp_dot(vec_col: str, plane: list):
+    """Left-associated explicit dot product: element i (cast to double) times
+    a double literal, summed in array order — the same IEEE operation
+    sequence a SQL oracle writes as e[1]*c1 + e[2]*c2 + ..., so the signs
+    match bitwise."""
+    acc = F.element_at(F.col(vec_col), 1).cast("double") * F.lit(plane[0])
+    for i in range(1, len(plane)):
+        acc = acc + F.element_at(F.col(vec_col), i + 1).cast("double") * F.lit(plane[i])
+    return acc
+
+
+def _rp_bucket_col(vec_col: str, planes: list):
+    bucket = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        bucket = bucket + F.when(_rp_dot(vec_col, plane) >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return bucket
+
+
 def sign_lsh_bucket(embs: DataFrame, n_bits: int = 8,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane-LSH stand-in with deterministic axis-aligned
-    hyperplanes: bucket = sign pattern of the first n_bits coordinates."""
+    """Sign-LSH with deterministic axis-aligned hyperplanes: bucket = sign
+    pattern of the first n_bits coordinates (demo variant; the production
+    path is :func:`rp_lsh_bucket`)."""
     return embs.select(
         F.col(id_col).alias("vec_id"), _bucket_col(vec_col, n_bits).alias("bucket")
     )
 
 
+def rp_lsh_bucket(embs: DataFrame, n_bits: int = 8, dim: int = 64,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane sign-LSH: bucket = sign pattern of n_bits seeded
+    Gaussian projections (SimHash for embeddings, Charikar 2002)."""
+    return embs.select(
+        F.col(id_col).alias("vec_id"),
+        _rp_bucket_col(vec_col, rp_planes(n_bits, dim)).alias("bucket"),
+    )
+
+
 def lsh_neardup_pairs(embs: DataFrame, n_bits: int = 8, min_cos: float = 0.1,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      planes: list | None = None,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dup candidate pairs: same LSH bucket, then exact cosine filter
-    (bucket-join candidate generation + exact verify)."""
+    (bucket-join candidate generation + exact verify).
+
+    ``planes`` switches to random-projection buckets (pass
+    :func:`rp_planes` output). ``max_bucket`` drops buckets larger than the
+    cap before the self-join — a degenerate bucket (all-zero or boilerplate
+    embeddings) otherwise goes O(b²); an over-full bucket carries no
+    near-dup signal. Any oracle must apply the same cap."""
+    bucket = _rp_bucket_col(vec_col, planes) if planes else _bucket_col(vec_col, n_bits)
     withb = embs.select(
         F.col(id_col).alias("vec_id"),
-        _bucket_col(vec_col, n_bits).alias("bucket"),
+        bucket.alias("bucket"),
         F.col(vec_col).alias("v"),
     )
+    if max_bucket is not None:
+        sizes = withb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bsz"))
+        withb = withb.join(sizes.filter(F.col("_bsz") <= max_bucket), "bucket").drop("_bsz")
     a = withb.alias("a")
     b = withb.alias("b")
     return (

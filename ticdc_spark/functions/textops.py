@@ -22,19 +22,8 @@ N_BANDS = 4
 
 
 def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Char-shingles (len 8, stride 4) per doc: (doc_id, h) with h = md5."""
-    pos = F.sequence(
-        F.lit(1), F.greatest(F.length(text_col) - (SHINGLE_LEN - 1), F.lit(1)), F.lit(SHINGLE_STRIDE)
-    )
-    return docs.select(
-        "doc_id", F.explode(pos).alias("i")
-    ).join(docs.select("doc_id", text_col), "doc_id").select(
-        "doc_id", F.md5(F.expr(f"substr({text_col}, i, {SHINGLE_LEN})")).alias("h")
-    )
-
-
-def shingles_inline(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Same as `shingles` but without the self-join (single pass)."""
+    """Char-shingles (len 8, stride 4) per doc: (doc_id, h) with h = md5.
+    Single-pass explode — no self-join, no shuffle."""
     pos = F.sequence(
         F.lit(1), F.greatest(F.length(text_col) - (SHINGLE_LEN - 1), F.lit(1)), F.lit(SHINGLE_STRIDE)
     )
@@ -98,7 +87,7 @@ def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Doc fingerprint: min shingle hash + distinct-shingle cardinality
     (winnowing-style representative)."""
-    sh = shingles_inline(docs, text_col)
+    sh = shingles(docs, text_col)
     return sh.groupBy("doc_id").agg(
         F.min("h").alias("fp"), F.count_distinct("h").alias("n_shingles")
     )
@@ -107,17 +96,30 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def minhash_bands(docs: DataFrame, text_col: str = "text", n_bands: int = N_BANDS) -> DataFrame:
     """Banded minhash signature: band b's hash function = md5(b || shingle);
     signature = min per band. (doc_id, band, minhash)."""
-    sh = shingles_inline(docs, text_col)
+    sh = shingles(docs, text_col)
     banded = sh.select(
         "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"), "h"
     ).select("doc_id", "band", F.md5(F.concat(F.col("band").cast("string"), F.col("h"))).alias("bh"))
     return banded.groupBy("doc_id", "band").agg(F.min("bh").alias("minhash"))
 
 
-def neardup_pairs(docs: DataFrame, text_col: str = "text", min_bands: int = 3) -> DataFrame:
+def neardup_pairs(
+    docs: DataFrame, text_col: str = "text", min_bands: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """LSH near-duplicate candidates: pairs agreeing on >= min_bands of the
-    band minima. Join is on (band, minhash) buckets — no cross join."""
+    band minima. Join is on (band, minhash) buckets — no cross join.
+
+    ``max_bucket`` caps the bucket size: a degenerate bucket (e.g. empty or
+    boilerplate docs all sharing one minhash) otherwise goes O(b²) in the
+    self-join. Buckets above the cap are dropped entirely — standard LSH
+    practice (an over-full bucket carries no dedup signal; its members are
+    near-duplicates of *boilerplate*, not of each other specifically).
+    The same rule must be applied in any oracle comparing results."""
     mh = minhash_bands(docs, text_col)
+    if max_bucket is not None:
+        sizes = mh.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("_bsz"))
+        mh = mh.join(sizes.filter(F.col("_bsz") <= max_bucket), ["band", "minhash"]).drop("_bsz")
     a = mh.alias("a")
     b = mh.alias("b")
     pairs = a.join(
@@ -136,14 +138,14 @@ def neardup_pairs(docs: DataFrame, text_col: str = "text", min_bands: int = 3) -
 def ngram_jaccard_adjacent(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Word-3-gram Jaccard between doc d and d+1 (bounded pair set used as
     the exact-verification stage after LSH candidate generation)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     grams = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), r"\s+").alias("tk")
+    ).select(
         "doc_id",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 2, 1)), "
-                "i -> concat_ws(' ', split(trim(text), '\\\\s+')[i-1], "
-                "split(trim(text), '\\\\s+')[i], split(trim(text), '\\\\s+')[i+1]))"
+                "transform(sequence(1, greatest(size(tk) - 2, 1)), "
+                "i -> concat_ws(' ', tk[i-1], tk[i], tk[i+1]))"
             )
         ).alias("g"),
     ).distinct()
@@ -168,7 +170,6 @@ def ngram_jaccard_adjacent(docs: DataFrame, text_col: str = "text") -> DataFrame
             ).alias("jaccard"),
         )
     )
-    _ = toks  # kept for readability of the gram construction above
     return out
 
 

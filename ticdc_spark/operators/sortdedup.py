@@ -115,6 +115,45 @@ def split_updates(df: DataFrame, replicating_ts: int) -> DataFrame:
     ).drop("_split")
 
 
+def split_key_changing_updates(
+    df: DataFrame, key: Sequence[str] = HANDLE_KEY, pre_prefix: str = "pre_"
+) -> DataFrame:
+    """Handle-key-changing update split
+    (ShouldSplitUpdateEvent / trySplitAndSortUpdateEvent,
+    /root/reference/cdc/model/sink.go:1166-1238).
+
+    An update whose pre-image handle key differs from its post-image key
+    MUST become delete(old key) + insert(new key): applied as a plain
+    update it would leave the old row live and corrupt state. The two
+    halves keep the update's (commit_ts, start_ts); op_rank D<I orders the
+    delete first within the same timestamp (REPLACE-safety,
+    cdc/model/sink.go:54-58).
+
+    Pre-image keys ride in ``pre_<key>`` columns (NULL = key unchanged).
+    No-op when those columns are absent. The synthesized delete's payload
+    is NULL — a delete only needs its key."""
+    pre_cols = [pre_prefix + k for k in key]
+    if not all(c in df.columns for c in pre_cols):
+        return df
+    changed = F.col("op") == "U"
+    diff = F.lit(False)
+    for k, pc in zip(key, pre_cols):
+        diff = diff | (F.col(pc).isNotNull() & ~F.col(pc).eqNullSafe(F.col(k)))
+    changed = changed & diff
+    ops = F.when(changed, F.array(F.lit("D"), F.lit("I"))).otherwise(F.array(F.col("op")))
+    out = df.withColumn("_kc", changed).withColumn("op", F.explode(ops))
+    for k, pc in zip(key, pre_cols):
+        out = out.withColumn(
+            k, F.when(F.col("_kc") & (F.col("op") == "D"), F.col(pc)).otherwise(F.col(k))
+        )
+    out = out.withColumn(
+        "payload",
+        F.when(F.col("_kc") & (F.col("op") == "D"), F.lit(None).cast("string"))
+        .otherwise(F.col("payload")),
+    )
+    return out.drop("_kc", *pre_cols)
+
+
 def assemble_txns(df: DataFrame, table_col: str | None = None) -> DataFrame:
     """Txn assembly (A1): group rows sharing (start_ts, commit_ts) into one
     transaction record (cdc/sink/dmlsink/event_appender.go:46-130).

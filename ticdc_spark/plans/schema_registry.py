@@ -38,6 +38,14 @@ BASE_PAYLOAD_FIELDS: tuple[tuple[str, str], ...] = (
     ("ts", "long"),
 )
 
+# engine-owned column names a DDL may never introduce into the payload:
+# mount materializes payload fields with withColumn, which would clobber them
+RESERVED_COLUMNS = frozenset(
+    {"op", "op_rank", "commit_ts", "start_ts", "partition_id", "schema_version",
+     "payload", "pre_payload", "conv_id", "turn_idx",
+     "_commit_ts", "_start_ts", "_op_rank", "_deleted", "_bucket", "_m", "_w"}
+)
+
 
 @dataclass(frozen=True)
 class SchemaSnapshot:
@@ -72,6 +80,10 @@ class SchemaRegistry:
                   old_column: str | None = None, col_type: str = "string") -> bool:
         """Apply one DDL; returns False if foregone (idempotent replay,
         schema_storage.go:204-219)."""
+        if column in RESERVED_COLUMNS:
+            # a payload column named like an engine column would silently
+            # clobber dedup/merge inputs when mount materializes it
+            raise ValueError(f"column name {column!r} is reserved by the engine")
         if commit_ts <= self._snapshots[-1].version_ts:
             return False
         cur = self._snapshots[-1]

@@ -10,8 +10,19 @@ aligned 1:1 with the oracle SQL.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+
+
+def _work_dir(prefix: str) -> str:
+    """Temp work dir for an engine-replay query, reaped at interpreter exit
+    (the returned DataFrame is lazy — the caller collects it after the query
+    function returns, so the lake files must outlive the call)."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 import pandas as pd  # noqa: F401  (pandas-UDF type hints resolve against module globals)
 from pyspark.sql import DataFrame, SparkSession
@@ -174,6 +185,53 @@ SELECT commit_ts, conv_id, turn_idx, 'I' AS op, payload FROM b2
 """
 
 
+def _kc_binlog(spark, sf_dir):
+    """Binlog with handle-key-changing updates: every 7th event that is an
+    update moved its row from (pre_conv_id, pre_turn_idx) to the new key."""
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "payload", F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))
+    ).withColumn("pre_payload", F.lit(None).cast("string"))
+    kc = (F.col("op") == "U") & ((F.col("commit_ts") - 1000) % 7 == 0)
+    # pre-image key: a DIFFERENT conversation (+13 mod 40 never collides)
+    pre_conv = F.concat(
+        F.lit("conv-"),
+        F.lpad(((F.col("conv_id").substr(6, 6).cast("int") + 13) % 40).cast("string"), 6, "0"),
+    )
+    pre_turn = ((F.col("commit_ts") - 1000 + 3) % 8).cast("int")
+    return b.withColumn(
+        "pre_conv_id", F.when(kc, pre_conv).otherwise(F.lit(None).cast("string"))
+    ).withColumn(
+        "pre_turn_idx", F.when(kc, pre_turn).otherwise(F.lit(None).cast("int"))
+    )
+
+
+def q_key_change_split(spark, sf_dir):
+    """S5b: handle-key-changing update split — U with a changed key becomes
+    D(old key) + I(new key) (trySplitAndSortUpdateEvent,
+    cdc/model/sink.go:1166-1238)."""
+    from ticdc_spark.operators.sortdedup import split_key_changing_updates
+
+    out = split_key_changing_updates(_kc_binlog(spark, sf_dir))
+    return out.select("commit_ts", "conv_id", "turn_idx", "op", "payload")
+
+
+SQL_KEY_CHANGE_SPLIT = f"""
+WITH {BINLOG_CTE},
+kc AS (
+  SELECT *, 'p-' || CAST(commit_ts AS VARCHAR) AS payload,
+         (op = 'U' AND (commit_ts - 1000) % 7 = 0) AS is_kc,
+         'conv-' || lpad(CAST((CAST(substr(conv_id, 6, 6) AS INT) + 13) % 40 AS VARCHAR), 6, '0') AS pre_conv_id,
+         CAST((commit_ts - 1000 + 3) % 8 AS INT) AS pre_turn_idx
+  FROM binlog)
+SELECT commit_ts, conv_id, turn_idx, op, payload FROM kc WHERE NOT is_kc
+UNION ALL
+SELECT commit_ts, pre_conv_id AS conv_id, pre_turn_idx AS turn_idx, 'D' AS op,
+       NULL AS payload FROM kc WHERE is_kc
+UNION ALL
+SELECT commit_ts, conv_id, turn_idx, 'I' AS op, payload FROM kc WHERE is_kc
+"""
+
+
 def q_txn_assembly(spark, sf_dir):
     """A1: group rows sharing (start_ts, commit_ts) into txns
     (cdc/sink/dmlsink/event_appender.go:46-130). Txn boundaries derived as
@@ -319,16 +377,22 @@ GROUP BY table_name, kafka_partition
 
 def q_mount_decode_props(spark, sf_dir):
     """P1: vectorized pandas-UDF JSON decode (the mounter's hot loop,
-    cdc/entry/mounter.go:402-451) applied to events.props."""
-    import json
+    cdc/entry/mounter.go:402-451) applied to events.props — the same
+    whole-Arrow-batch C ``read_json`` parse the engine mounter uses
+    (ticdc_spark/functions/mount.py), NOT per-row json.loads."""
+    import io
 
     from pyspark.sql import types as T
 
     @F.pandas_udf(T.LongType())
     def k_of(props: pd.Series) -> pd.Series:
-        return props.map(lambda s: json.loads(s).get("k") if isinstance(s, str) else None).astype(
-            "Int64"
-        )
+        if len(props) == 0:
+            return pd.Series([], dtype="Int64")
+        buf = "\n".join(p if isinstance(p, str) else "{}" for p in props.tolist())
+        pdf = pd.read_json(io.StringIO(buf), lines=True, convert_dates=False, dtype=False)
+        if "k" not in pdf.columns:
+            return pd.Series([None] * len(props), dtype="Int64")
+        return pdf["k"].astype("Float64").astype("Int64")
 
     e = _events(spark, sf_dir)
     return e.select("event_id", k_of(F.col("props")).alias("k_val"))
@@ -492,13 +556,16 @@ FROM banded GROUP BY doc_id, band
 """
 
 
+_LSH_MAX_BUCKET = 64
+
+
 def q_doc_neardup_pairs(spark, sf_dir):
     from ticdc_spark.functions.textops import neardup_pairs
 
-    return neardup_pairs(_docs(spark, sf_dir), min_bands=3)
+    return neardup_pairs(_docs(spark, sf_dir), min_bands=3, max_bucket=_LSH_MAX_BUCKET)
 
 
-SQL_DOC_NEARDUP_PAIRS = """
+SQL_DOC_NEARDUP_PAIRS = f"""
 WITH sh AS (
   SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h
   FROM (SELECT doc_id, text,
@@ -507,7 +574,9 @@ WITH sh AS (
 banded AS (
   SELECT doc_id, band, md5(CAST(band AS VARCHAR) || h) AS bh
   FROM sh, (SELECT unnest(range(0, 4)) AS band)),
-mh AS (SELECT doc_id, band, min(bh) AS minhash FROM banded GROUP BY doc_id, band)
+mh0 AS (SELECT doc_id, band, min(bh) AS minhash FROM banded GROUP BY doc_id, band),
+sz AS (SELECT band, minhash, count(*) AS c FROM mh0 GROUP BY band, minhash),
+mh AS (SELECT mh0.* FROM mh0 JOIN sz USING (band, minhash) WHERE sz.c <= {_LSH_MAX_BUCKET})
 SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_bands
 FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
@@ -604,24 +673,52 @@ FROM embeddings
 """
 
 
+def _rp_bucket_sql(n_bits: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of simsearch._rp_bucket_col: the SAME seeded plane
+    literals, the SAME left-associated e[i]*c_i summation order, so the
+    IEEE sign of every projection matches the Spark plan bitwise."""
+    from ticdc_spark.functions.simsearch import rp_planes
+
+    planes = rp_planes(n_bits, dim)
+    terms = []
+    for j, plane in enumerate(planes):
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * CAST({c!r} AS DOUBLE)"
+            for i, c in enumerate(plane)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {2 ** j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def q_emb_rp_lsh(spark, sf_dir):
+    """ANN scale path: random-hyperplane sign-LSH bucketing (Charikar 2002
+    SimHash over embeddings) with seeded Gaussian projections — near-uniform
+    buckets on normalized embeddings, unlike axis-aligned sign bits."""
+    from ticdc_spark.functions.simsearch import rp_lsh_bucket
+
+    return rp_lsh_bucket(_embs(spark, sf_dir))
+
+
+SQL_EMB_RP_LSH = f"""
+SELECT vec_id, CAST({_rp_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
+"""
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
-    from ticdc_spark.functions.simsearch import lsh_neardup_pairs
+    from ticdc_spark.functions.simsearch import lsh_neardup_pairs, rp_planes
 
-    return lsh_neardup_pairs(_embs(spark, sf_dir), min_cos=0.1)
+    return lsh_neardup_pairs(
+        _embs(spark, sf_dir), min_cos=0.1, planes=rp_planes(),
+        max_bucket=_LSH_MAX_BUCKET,
+    )
 
 
-SQL_EMB_NEARDUP_PAIRS = """
-WITH b AS (
-  SELECT vec_id, embedding,
-         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END) +
-         (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END) +
-         (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END) +
-         (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) +
-         (CASE WHEN embedding[5] >= 0 THEN 16 ELSE 0 END) +
-         (CASE WHEN embedding[6] >= 0 THEN 32 ELSE 0 END) +
-         (CASE WHEN embedding[7] >= 0 THEN 64 ELSE 0 END) +
-         (CASE WHEN embedding[8] >= 0 THEN 128 ELSE 0 END) AS bucket
-  FROM embeddings)
+SQL_EMB_NEARDUP_PAIRS = f"""
+WITH b0 AS (
+  SELECT vec_id, embedding, {_rp_bucket_sql()} AS bucket
+  FROM embeddings),
+sz AS (SELECT bucket, count(*) AS c FROM b0 GROUP BY bucket),
+b AS (SELECT b0.* FROM b0 JOIN sz USING (bucket) WHERE sz.c <= {_LSH_MAX_BUCKET})
 SELECT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b,
        round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 4) AS cos_sim
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
@@ -638,9 +735,11 @@ def _e2e_ddl_ts(n_events: int) -> int:
     return 1000 + 3 * (n_events // 5)
 
 
-def _transcript_binlog(spark, sf_dir, ddl_ts: int):
+def _transcript_binlog(spark, sf_dir, ddl_ts: int, key_change: bool = False):
     """Transcript-payload change stream for the engine e2e: JSON payloads,
-    an add_column DDL at ddl_ts, 4 source partitions."""
+    an add_column DDL at ddl_ts, 4 source partitions. ``key_change`` adds
+    pre-image key columns on every 7th update (the same rule as
+    :func:`_kc_binlog`) so the engine's update-split path is exercised."""
     b = binlog_from_events(spark, sf_dir)
     role = (
         F.when(F.col("turn_idx") % 4 == 0, "user")
@@ -661,23 +760,36 @@ def _transcript_binlog(spark, sf_dir, ddl_ts: int):
         )
     )
     payload = F.when(F.col("commit_ts") > ddl_ts, evolved).otherwise(base)
-    return b.select(
+    cols = [
         "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
         F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(payload).alias("payload"),
         F.lit(None).cast("string").alias("pre_payload"),
         F.when(F.col("commit_ts") > ddl_ts, F.lit(ddl_ts)).otherwise(F.lit(0))
         .cast("long").alias("schema_version"),
         "partition_id",
-    )
+    ]
+    if key_change:
+        kc = (F.col("op") == "U") & ((F.col("commit_ts") - 1000) % 7 == 0)
+        pre_conv = F.concat(
+            F.lit("conv-"),
+            F.lpad(((F.col("conv_id").substr(6, 6).cast("int") + 13) % 40).cast("string"), 6, "0"),
+        )
+        pre_turn = ((F.col("commit_ts") - 1000 + 3) % 8).cast("int")
+        cols += [
+            F.when(kc, pre_conv).otherwise(F.lit(None).cast("string")).alias("pre_conv_id"),
+            F.when(kc, pre_turn).otherwise(F.lit(None).cast("int")).alias("pre_turn_idx"),
+        ]
+    return b.select(*cols)
 
 
-def _run_engine(spark, sf_dir, work_dir, max_merges=None, sink_mode="cow"):
+def _run_engine(spark, sf_dir, work_dir, max_merges=None, sink_mode="cow",
+                key_change=False):
     from ticdc_spark.sinks.lake import LakeTable
     from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
 
     n = _events(spark, sf_dir).count()
     ddl_ts = _e2e_ddl_ts(n)
-    binlog = _transcript_binlog(spark, sf_dir, ddl_ts)
+    binlog = _transcript_binlog(spark, sf_dir, ddl_ts, key_change=key_change)
     max_ts = 1000 + n
     bounds = sorted({max_ts * i // 3 for i in range(1, 4)} | {max_ts})
     resolved = spark.createDataFrame(
@@ -703,7 +815,7 @@ def q_cdc_pipeline_e2e(spark, sf_dir):
     """The full engine: transcript binlog replay → resolved-ts micro-batches
     → pandas-UDF mount → LWW dedup → DDL barrier (add_column at ts 6000) →
     exactly-once MERGE into the lake table. Result = final table state."""
-    work = tempfile.mkdtemp(prefix="ticdc_e2e_")
+    work = _work_dir("ticdc_e2e_")
     cf = _run_engine(spark, sf_dir, os.path.join(work, "t"))
     return cf.target.read()
 
@@ -712,7 +824,7 @@ def q_cdc_pipeline_e2e_mor(spark, sf_dir):
     """Same replay through the merge-on-read sink (delta append + read-time
     LWW + compaction every 2 batches) — final visible state must be
     identical to the CoW path and the SQL oracle."""
-    work = tempfile.mkdtemp(prefix="ticdc_e2e_mor_")
+    work = _work_dir("ticdc_e2e_mor_")
     cf = _run_engine(spark, sf_dir, os.path.join(work, "t"), sink_mode="mor")
     return cf.target.read().drop("_commit_ts", "_start_ts", "_op_rank", "_deleted")
 
@@ -721,11 +833,56 @@ def q_cdc_restart_resume(spark, sf_dir):
     """Same replay, but killed after 1 merge and resumed from the manifest
     checkpoint by a fresh engine instance — final state must be identical
     (changefeed_pause_resume analog)."""
-    work = tempfile.mkdtemp(prefix="ticdc_resume_")
+    work = _work_dir("ticdc_resume_")
     path = os.path.join(work, "t")
     _run_engine(spark, sf_dir, path, max_merges=1)
     cf = _run_engine(spark, sf_dir, path)  # resume
     return cf.target.read()
+
+
+def q_cdc_keychange_e2e(spark, sf_dir):
+    """Full engine replay where every 7th update MOVED its row to a new
+    handle key — exercises the D(old)+I(new) update split inside the
+    pipeline (multi-batch, DDL barrier, MOR sink). Final state must match
+    the LWW oracle over the split-expanded stream."""
+    work = _work_dir("ticdc_kc_")
+    cf = _run_engine(spark, sf_dir, os.path.join(work, "t"), sink_mode="mor",
+                     key_change=True)
+    return cf.target.read()
+
+
+SQL_CDC_KEYCHANGE_E2E = f"""
+WITH {BINLOG_CTE},
+ddl AS (SELECT 1000 + 3 * (count(*) // 5) AS ddl_ts FROM events),
+kc AS (
+  SELECT *, (op = 'U' AND (commit_ts - 1000) % 7 = 0) AS is_kc,
+         'conv-' || lpad(CAST((CAST(substr(conv_id, 6, 6) AS INT) + 13) % 40 AS VARCHAR), 6, '0') AS pre_conv_id,
+         CAST((commit_ts - 1000 + 3) % 8 AS INT) AS pre_turn_idx
+  FROM binlog),
+expanded AS (
+  SELECT commit_ts, start_ts, op, conv_id, turn_idx FROM kc WHERE NOT is_kc
+  UNION ALL
+  SELECT commit_ts, start_ts, 'D' AS op, pre_conv_id AS conv_id,
+         pre_turn_idx AS turn_idx FROM kc WHERE is_kc
+  UNION ALL
+  SELECT commit_ts, start_ts, 'I' AS op, conv_id, turn_idx FROM kc WHERE is_kc),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM expanded)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+       CASE WHEN commit_ts > (SELECT ddl_ts FROM ddl)
+            THEN 'ta-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool_args
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
 
 
 SQL_CDC_E2E = f"""
@@ -772,6 +929,8 @@ QUERIES = {
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
     "cdc_pipeline_e2e_mor": q_cdc_pipeline_e2e_mor,
     "cdc_restart_resume": q_cdc_restart_resume,
+    "cdc_keychange_e2e": q_cdc_keychange_e2e,
+    "key_change_split": q_key_change_split,
     "lww_final_state": q_lww_final_state,
     "lww_dedup": q_lww_dedup,
     "total_order_rank": q_total_order_rank,
@@ -799,6 +958,7 @@ QUERIES = {
     "doc_simhash16": q_doc_simhash16,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_sign_lsh": q_emb_sign_lsh,
+    "emb_rp_lsh": q_emb_rp_lsh,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "media_features": q_media_features,
 }
@@ -807,6 +967,8 @@ ORACLES = {
     "cdc_pipeline_e2e": SQL_CDC_E2E,
     "cdc_pipeline_e2e_mor": SQL_CDC_E2E,
     "cdc_restart_resume": SQL_CDC_E2E,
+    "cdc_keychange_e2e": SQL_CDC_KEYCHANGE_E2E,
+    "key_change_split": SQL_KEY_CHANGE_SPLIT,
     "lww_final_state": SQL_LWW_FINAL,
     "lww_dedup": SQL_LWW_DEDUP,
     "total_order_rank": SQL_TOTAL_ORDER,
@@ -834,5 +996,6 @@ ORACLES = {
     "doc_simhash16": SQL_DOC_SIMHASH16,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_sign_lsh": SQL_EMB_SIGN_LSH,
+    "emb_rp_lsh": SQL_EMB_RP_LSH,
     "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
 }

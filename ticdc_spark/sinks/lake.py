@@ -52,9 +52,16 @@ _TYPE = {
 
 _MANIFEST_RE = re.compile(r"^v(\d{8})\.json$")
 
-# above this many distinct keys in a batch, skip the broadcast hint and let
-# AQE pick the join strategy (64 MiB autoBroadcast threshold still applies)
-BROADCAST_KEY_LIMIT = 2_000_000
+# above this many rows in a batch, skip the forced broadcast hint and let
+# AQE pick the join strategy at runtime (64 MiB autoBroadcast threshold still
+# applies). 500k keys ≈ 20-30 MiB serialized — comfortably inside executor
+# memory; forcing broadcasts far beyond the autoBroadcast threshold risks
+# driver OOM, so the hint is row-capped and AQE handles everything larger.
+BROADCAST_KEY_LIMIT = 500_000
+
+# forced-broadcast cap for the MOR read path's delta key set, gated on the
+# on-disk delta byte size (known from the manifest's filesets — no extra job)
+DELTA_BROADCAST_BYTES = 32 * 1024 * 1024
 
 
 def _struct(fields) -> T.StructType:
@@ -148,6 +155,10 @@ class LakeTable:
     def alter(self, ddl_type: str, column: str, old_column: str | None = None,
               col_type: str = "string", schema_version: int = 0) -> bool:
         """Metadata-only schema evolution; idempotent by schema_version."""
+        from ticdc_spark.plans.schema_registry import RESERVED_COLUMNS
+
+        if column in RESERVED_COLUMNS:
+            raise ValueError(f"column name {column!r} is reserved by the engine")
         m = self.manifest()
         if schema_version <= m["schema_version"]:
             return False  # foregone DDL (schema_storage.go:204-219)
@@ -175,30 +186,13 @@ class LakeTable:
     def _bucket_expr(self, n_buckets: int, key0: str = "conv_id"):
         return F.pmod(F.xxhash64(F.col(key0)), F.lit(n_buckets)).cast("int")
 
-    def read(self, buckets: list | None = None, version: int | None = None,
-             include_deleted: bool = False) -> DataFrame:
-        """Current (or time-travel) table state, optionally bucket-pruned.
-        Old files written under pre-DDL schemas are reconciled: renamed
-        columns aliased via name_history, added columns backfilled NULL
-        (the add-column default rule, cdc/entry/mounter.go:909-965)."""
-        m = self.manifest(version)
+    def _reconcile(self, by_version: dict, m: dict) -> DataFrame | None:
+        """Read filesets grouped by written schema version and project each
+        onto the CURRENT schema: renamed columns aliased via name_history,
+        added columns backfilled NULL (the add-column default rule,
+        cdc/entry/mounter.go:909-965). Returns None for an empty fileset."""
         cur_fields = [tuple(x) for x in m["schema"]]
-        cur_names = [n for n, _ in cur_fields]
         hist = m["name_history"]
-        want = set(map(int, buckets)) if buckets is not None else None
-
-        by_version: dict = {}
-        for b, info in m["buckets"].items():
-            if want is not None and int(b) not in want:
-                continue
-            if info["files"]:
-                by_version.setdefault(info["written_version"], []).extend(info["files"])
-        # table-level MOR deltas are not bucket-pruned (small by design;
-        # compaction folds them back into buckets)
-        has_deltas = bool(m.get("deltas"))
-        for d in m.get("deltas", []):
-            by_version.setdefault(d["written_version"], []).extend(d["files"])
-
         parts = []
         for wv, files in by_version.items():
             wfields = [tuple(x) for x in m["schemas"][str(wv)]]
@@ -212,29 +206,83 @@ class LakeTable:
                     cols.append(F.lit(None).cast(_TYPE[t]).alias(n))
             parts.append(df.select(*cols))
         if not parts:
-            out = self.spark.createDataFrame([], _struct(cur_fields))
-        else:
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-        out = out.select(*cur_names)
-        if has_deltas and want is not None:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.select(*[n for n, _ in cur_fields])
+
+    def _delta_bytes(self, m: dict) -> int:
+        total = 0
+        for d in m.get("deltas", []):
+            for f in d["files"]:
+                try:
+                    total += os.path.getsize(f)
+                except OSError:
+                    return DELTA_BROADCAST_BYTES + 1  # unknown → don't force
+        return total
+
+    def read(self, buckets: list | None = None, version: int | None = None,
+             include_deleted: bool = False, include_meta: bool = False) -> DataFrame:
+        """Current (or time-travel) table state, optionally bucket-pruned.
+
+        MOR read path is **delta-scoped**: only keys present in delta files
+        are re-resolved through the LWW aggregate; every untouched base row
+        passes through with NO shuffle (broadcast anti-join on the delta
+        key set). Read cost is O(base scan) + O(delta keys), not
+        O(base shuffle) — the property that keeps read-time merge viable
+        when a micro-batch touches 0.1% of a 100-TB table."""
+        m = self.manifest(version)
+        cur_fields = [tuple(x) for x in m["schema"]]
+        cur_names = [n for n, _ in cur_fields]
+        want = set(map(int, buckets)) if buckets is not None else None
+
+        base_fs: dict = {}
+        for b, info in m["buckets"].items():
+            if want is not None and int(b) not in want:
+                continue
+            if info["files"]:
+                base_fs.setdefault(info["written_version"], []).extend(info["files"])
+        delta_fs: dict = {}
+        for d in m.get("deltas", []):
+            delta_fs.setdefault(d["written_version"], []).extend(d["files"])
+
+        base = self._reconcile(base_fs, m)
+        delta = self._reconcile(delta_fs, m)
+        if delta is not None and want is not None:
             # delta files are unbucketed: re-derive the bucket and prune
-            out = out.filter(
+            delta = delta.filter(
                 self._bucket_expr(m["n_buckets"], m["key"][0]).isin(*[int(x) for x in want])
             )
-        if has_deltas and "_commit_ts" in cur_names:
-            # MOR read path: re-establish the LWW law across base ∪ deltas
+
+        if delta is None:
+            out = base if base is not None else self.spark.createDataFrame([], _struct(cur_fields))
+        elif "_commit_ts" not in cur_names:
+            out = delta if base is None else base.unionByName(delta)
+        else:
+            # re-establish the LWW law, but ONLY over contested keys
             key = m["key"]
             payload = [c for c in cur_names if c not in key]
             ordc = F.struct(F.col("_commit_ts"), F.col("_start_ts"), F.col("_op_rank"))
-            out = (
-                out.groupBy(*key)
+            contested = delta
+            if base is not None:
+                dk = delta.select(*key).distinct()
+                if self._delta_bytes(m) <= DELTA_BROADCAST_BYTES:
+                    dk = F.broadcast(dk)
+                untouched = base.join(dk, on=key, how="left_anti")
+                contested = base.join(dk, on=key, how="left_semi").unionByName(delta)
+            resolved = (
+                contested.groupBy(*key)
                 .agg(F.max_by(F.struct(*[F.col(c) for c in payload]), ordc).alias("_w"))
                 .select(*key, *[F.col(f"_w.{c}").alias(c) for c in payload])
             )
+            out = resolved if base is None else untouched.unionByName(resolved)
         if not include_deleted and "_deleted" in cur_names:
             out = out.filter((F.col("_deleted").isNull()) | (F.col("_deleted") != 1))
+        if not include_meta:
+            # the LWW order metadata is engine plumbing; readers see the
+            # logical table (internal merge/compact paths pass include_meta)
+            out = out.drop("_commit_ts", "_start_ts", "_op_rank", "_deleted")
         return out
 
     # ---------------- MERGE ----------------
@@ -277,7 +325,7 @@ class LakeTable:
             n_src = sum(int(r["count"]) for r in stats)
 
             if affected:
-                live = self.read(buckets=affected).withColumn(
+                live = self.read(buckets=affected, include_meta=True).withColumn(
                     "_bucket", self._bucket_expr(n_buckets, key[0])
                 )
                 keys_df = src.select(*key)
@@ -364,7 +412,7 @@ class LakeTable:
             affected = sorted(int(r["_bucket"]) for r in stats)
             n_src = sum(int(r["count"]) for r in stats)
             if affected:
-                live = self.read(buckets=affected, include_deleted=True).withColumn(
+                live = self.read(buckets=affected, include_deleted=True, include_meta=True).withColumn(
                     "_bucket", self._bucket_expr(n_buckets, key[0])
                 )
                 keys_df = src.select(*key)
@@ -485,8 +533,13 @@ class LakeTable:
         return len(self.manifest().get("deltas", []))
 
     def compact(self, drop_tombstones: bool = True) -> dict:
-        """Fold deltas into the base: LWW over base ∪ deltas, rewrite all
-        buckets (re-establishing bucket locality), clear deltas.
+        """Fold deltas into the base — **per-bucket**: only buckets that a
+        delta key hashes into are rewritten; every other bucket's fileset is
+        carried forward untouched. Compaction cost is O(affected buckets),
+        not O(table) — at 100 TB a micro-batch touching 1% of buckets
+        rewrites 1% of the table, the leveling trade TiCDC's LSM sorter
+        makes (docs/design/2022-03-16-ticdc-db-sorter.md:28-47).
+
         ``drop_tombstones`` is safe when no event older than the checkpoint
         can still arrive (the resolved-ts driver mode guarantees that; keep
         tombstones in arrival-ordered mode)."""
@@ -495,7 +548,21 @@ class LakeTable:
         n_buckets = m["n_buckets"]
         if not m.get("deltas"):
             return {"status": "noop"}
-        merged = self.read(include_deleted=True)
+        delta_fs: dict = {}
+        for d in m["deltas"]:
+            delta_fs.setdefault(d["written_version"], []).extend(d["files"])
+        delta = self._reconcile(delta_fs, m)
+        # affected-bucket list: metadata-cardinality collect (≤ n_buckets rows)
+        affected = sorted(
+            int(r[0])
+            for r in delta.select(
+                self._bucket_expr(n_buckets, key[0]).alias("_b")
+            ).distinct().collect()
+        )
+        # delta keys all hash into `affected`, so this bucket-pruned read
+        # sees every delta row; it is itself delta-scoped (untouched base
+        # rows of affected buckets flow through without the LWW shuffle)
+        merged = self.read(buckets=affected, include_deleted=True, include_meta=True)
         if drop_tombstones:
             merged = merged.filter(
                 (F.col("_deleted").isNull()) | (F.col("_deleted") != 1)
@@ -503,11 +570,11 @@ class LakeTable:
         merged = merged.withColumn("_bucket", self._bucket_expr(n_buckets, key[0]))
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
         (
-            merged.repartition(n_buckets, F.col("_bucket"))
+            merged.repartition(len(affected), F.col("_bucket"))
             .write.partitionBy("_bucket")
             .parquet(commit_dir)
         )
-        for b in range(n_buckets):
+        for b in affected:
             bdir = os.path.join(commit_dir, f"_bucket={b}")
             files = (
                 sorted(
@@ -523,7 +590,7 @@ class LakeTable:
         m["deltas"] = []
         m["version"] += 1
         self._commit(m)
-        return {"status": "compacted", "version": m["version"]}
+        return {"status": "compacted", "version": m["version"], "buckets": affected}
 
     # ---------------- introspection ----------------
 

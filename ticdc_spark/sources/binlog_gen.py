@@ -55,6 +55,10 @@ class BinlogSpec:
     block: int = 1_000  # resolved-ts emitted every `block` commit-ts units
     delete_pct: int = 5
     update_pct: int = 45
+    # percent of UPDATE events whose handle key changed (pre-image key rides
+    # in pre_conv_id/pre_turn_idx; the engine must split them into D+I —
+    # cdc/model/sink.go:1166-1238)
+    key_change_pct: int = 0
     hot_frac: float = 0.0  # fraction of events funneled onto n_hot convs
     n_hot: int = 3
     seed: int = 42
@@ -73,13 +77,23 @@ def _h(col, seed: int):
     return F.xxhash64(col, F.lit(seed))
 
 
-# coprime multiplier used to permute arrival order inside a block; any odd
-# constant coprime with typical block sizes works — determinism is what matters.
-_PERM = 40_503
+# multiplier used to permute arrival order inside a block. PRIME, so it is
+# coprime with (and the permutation a bijection for) every block size below
+# 40,507 — a composite here silently duplicates commit_ts for block sizes
+# sharing a factor, breaking the generator's unique-commit_ts contract.
+_PERM = 40_507
 
 
 def gen_binlog(spark: SparkSession, spec: BinlogSpec, parallelism: int | None = None) -> DataFrame:
     """Change-event stream. Row order of the DataFrame = arrival order."""
+    import math
+
+    if math.gcd(_PERM, spec.block) != 1:
+        raise ValueError(
+            f"block={spec.block} shares a factor with the permutation "
+            f"multiplier {_PERM}; the in-block permutation would not be a "
+            "bijection (duplicate commit_ts)"
+        )
     n_parts = parallelism or spark.sparkContext.defaultParallelism
     df = spark.range(0, spec.n_events, numPartitions=n_parts)
     i = F.col("id")
@@ -145,9 +159,26 @@ def gen_binlog(spark: SparkSession, spec: BinlogSpec, parallelism: int | None = 
             "partition_id",
             F.pmod(F.xxhash64(F.col("conv_id"), F.lit(spec.seed + 8)), F.lit(spec.n_partitions)).cast("int"),
         )
-        .drop("id")
     )
-    return df.select(
+    if spec.key_change_pct > 0:
+        kc = (F.col("op") == "U") & (
+            F.pmod(_h(i, spec.seed + 9), F.lit(100)) < spec.key_change_pct
+        )
+        pre_conv = F.format_string(
+            "conv-%06d", F.pmod(_h(i, spec.seed + 10), F.lit(spec.n_convs))
+        )
+        pre_turn = F.pmod(_h(i, spec.seed + 11), F.lit(spec.n_turns)).cast("int")
+        df = df.withColumn(
+            "pre_conv_id", F.when(kc, pre_conv).otherwise(F.lit(None).cast("string"))
+        ).withColumn(
+            "pre_turn_idx", F.when(kc, pre_turn).otherwise(F.lit(None).cast("int"))
+        )
+        return df.drop("id").select(
+            "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
+            "payload", "pre_payload", "pre_conv_id", "pre_turn_idx",
+            "schema_version", "partition_id",
+        )
+    return df.drop("id").select(
         "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
         "payload", "pre_payload", "schema_version", "partition_id",
     )

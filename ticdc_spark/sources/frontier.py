@@ -41,7 +41,8 @@ def global_frontier(resolved_log: DataFrame, expected_partitions: int | None = N
     return int(row["frontier"])
 
 
-def frontier_steps(resolved_log: DataFrame, low: int, high: int | None = None) -> list[int]:
+def frontier_steps(resolved_log: DataFrame, low: int, high: int | None = None,
+                   expected_partitions: int | None = None) -> list[int]:
     """Achievable global-frontier values in (low, high] in ascending order.
 
     A resolved value r is an achievable global frontier once every
@@ -50,7 +51,8 @@ def frontier_steps(resolved_log: DataFrame, low: int, high: int | None = None) -
     boundaries from this list. The list is tiny (one entry per resolved
     block), so collecting it is driver-safe.
     """
-    cap = global_frontier(resolved_log) if high is None else min(high, global_frontier(resolved_log))
+    gf = global_frontier(resolved_log, expected_partitions)
+    cap = gf if high is None else min(high, gf)
     rows = (
         resolved_log.select("resolved_ts")
         .filter((F.col("resolved_ts") > low) & (F.col("resolved_ts") <= cap))

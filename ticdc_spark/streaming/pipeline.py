@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ticdc_spark.functions.mount import mount, mounted_columns
-from ticdc_spark.operators.sortdedup import HANDLE_KEY, lww_dedup, split_updates, with_op_rank
+from ticdc_spark.operators.sortdedup import (
+    HANDLE_KEY,
+    lww_dedup,
+    split_key_changing_updates,
+    split_updates,
+    with_op_rank,
+)
 from ticdc_spark.plans.schema_registry import BASE_PAYLOAD_FIELDS, SchemaRegistry
 from ticdc_spark.sinks.lake import LakeTable
 from ticdc_spark.sources.frontier import frontier_steps
@@ -48,11 +54,16 @@ class ChangefeedConfig:
     safe_mode_ts: int = 0  # updates with commit_ts <= this split into D+I (S5)
     defaults: dict = field(default_factory=dict)
     start_ts: int = 0
-    # sink mode: "cow" rewrites affected buckets per batch (Iceberg
-    # copy-on-write MERGE); "mor" appends LWW deltas and compacts every
-    # `compact_every` batches (LSM trade — O(batch) ingest)
-    sink_mode: str = "cow"
+    # sink mode: "mor" appends LWW deltas and compacts every `compact_every`
+    # batches (LSM trade — O(batch) ingest; the production default), "cow"
+    # rewrites affected buckets per batch (Iceberg copy-on-write MERGE
+    # semantics — the reference path for consumers that need merge-free reads)
+    sink_mode: str = "mor"
     compact_every: int = 8
+    # source partitions the frontier must hear from before advancing; None
+    # derives the set from the resolved log itself (a partition that never
+    # reports would then NOT hold the frontier at 0 — set this in production)
+    expected_partitions: int | None = None
 
 
 def table_fields(registry: SchemaRegistry, as_of_ts: int, key=HANDLE_KEY) -> list:
@@ -115,6 +126,8 @@ class Changefeed:
             return {"status": "skipped", "batch_id": batch_id}
 
         df = self.binlog.filter((F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi))
+        # key-changing updates FIRST (they stop being 'U'), then safe mode
+        df = split_key_changing_updates(df, self.config.key)
         if self.config.safe_mode_ts:
             df = split_updates(df, self.config.safe_mode_ts)
         # pre_payload is consumed by the safe-mode split above; dropping it
@@ -228,7 +241,10 @@ class Changefeed:
             int(r[0]) for r in self.resolved_log.select("partition_id").distinct().collect()
         )
 
-        steps = frontier_steps(self.resolved_log, low=ckpt)
+        steps = frontier_steps(
+            self.resolved_log, low=ckpt,
+            expected_partitions=self.config.expected_partitions,
+        )
         # fold k resolved steps into one micro-batch
         k = max(1, self.config.frontiers_per_batch)
         uppers = steps[k - 1 :: k]
@@ -282,6 +298,7 @@ def expected_final_state(
     everything <= frontier (SURVEY §5 — final-state equivalence is the
     reference's own correctness oracle, tests/integration_tests/_utils/check_sync_diff)."""
     df = binlog.filter(F.col("commit_ts") <= frontier)
+    df = split_key_changing_updates(df, key)
     if safe_mode_ts:
         df = split_updates(df, safe_mode_ts)
     df = with_op_rank(df)

@@ -62,39 +62,74 @@ def run_streaming(
             schema_version=registry.resolved_ts,
             with_order_cols=True,
         )
+    elif checkpoint_dir is None and any(
+        b.startswith(f"{config.changefeed_id}:epoch-") for b in target.committed_batch_ids()
+    ):
+        # without a streaming checkpoint, a repeat call restarts epochs at 0
+        # and re-reads ALL files — epoch batch_ids already in the manifest
+        # would make merge_lww silently skip batches carrying NEW data
+        raise ValueError(
+            "target already holds committed epochs for this changefeed; pass "
+            "checkpoint_dir so re-runs resume offsets instead of reusing epoch ids"
+        )
     payload_cols = mounted_columns(registry, _FAR_FUTURE)
+    # source partition ids, ONCE per run (metadata-cardinality): enables the
+    # observe-based per-partition lineage with no per-batch aggregation job
+    partitions = sorted(
+        int(r[0])
+        for r in spark.read.schema(BINLOG_SCHEMA).parquet(binlog_dir)
+        .select("partition_id").distinct().collect()
+    )
     stats = {"batches": 0, "events": 0}
 
     def process(batch_df, epoch_id: int):
+        from pyspark.sql import Observation
+
         batch_id = f"{config.changefeed_id}:epoch-{epoch_id}"
         df = with_op_rank(batch_df)
-        deduped = lww_dedup(df, config.key, stats=True).persist()
-        try:
-            lineage = [
+        deduped = lww_dedup(df, config.key, stats=True)
+        # lineage rides on the sink's own write via the Observation API —
+        # zero extra Spark jobs per micro-batch (same pattern as the
+        # resolved-ts driver loop, streaming/pipeline.py)
+        obs = Observation(f"lineage-{batch_id}")
+        aggs = []
+        for p in partitions:
+            aggs.append(
+                F.sum(F.when(F.col("partition_id") == p, F.col("_n_events"))).alias(f"n_{p}")
+            )
+            aggs.append(
+                F.max(F.when(F.col("partition_id") == p, F.col("_max_commit_ts"))).alias(f"mx_{p}")
+            )
+        deduped = deduped.observe(obs, F.count(F.lit(1)).alias("n_keys"), *aggs)
+
+        def lineage_rows():
+            try:
+                vals = obs.get
+            except Exception:
+                return []  # empty batch: zero tasks, observation never fires
+            return [
                 {
                     "batch_id": batch_id,
-                    "partition_id": int(r["partition_id"]),
+                    "partition_id": int(p),
                     "resolved_ts": None,
-                    "event_count": int(r["n"]),
-                    "max_commit_ts": int(r["mx"]),
+                    "event_count": int(vals[f"n_{p}"]),
+                    "max_commit_ts": int(vals[f"mx_{p}"]),
                 }
-                for r in deduped.groupBy("partition_id")
-                .agg(F.sum("_n_events").alias("n"), F.max("_max_commit_ts").alias("mx"))
-                .collect()
+                for p in partitions
+                if vals.get(f"n_{p}") is not None
             ]
-            mounted = mount(deduped, registry, as_of_ts=_FAR_FUTURE, defaults=config.defaults)
-            src = mounted.select(
-                *config.key, "op", *payload_cols,
-                F.col("commit_ts").alias("_commit_ts"),
-                F.col("start_ts").alias("_start_ts"),
-                F.col("op_rank").alias("_op_rank"),
-                (F.col("op") == "D").cast("int").alias("_deleted"),
-            )
-            target.merge_lww(src, batch_id, lineage_rows=lineage)
-        finally:
-            deduped.unpersist()
+
+        mounted = mount(deduped, registry, as_of_ts=_FAR_FUTURE, defaults=config.defaults)
+        src = mounted.select(
+            *config.key, "op", *payload_cols,
+            F.col("commit_ts").alias("_commit_ts"),
+            F.col("start_ts").alias("_start_ts"),
+            F.col("op_rank").alias("_op_rank"),
+            (F.col("op") == "D").cast("int").alias("_deleted"),
+        )
+        res = target.merge_lww(src, batch_id, lineage_rows=lineage_rows)
         stats["batches"] += 1
-        stats["events"] += sum(r["event_count"] for r in lineage)
+        stats["events"] += sum(r["event_count"] for r in res.get("lineage", []))
 
     reader = spark.readStream.schema(BINLOG_SCHEMA)
     if max_files_per_trigger:
