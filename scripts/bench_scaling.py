@@ -30,7 +30,10 @@ from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
 cores = int(sys.argv[1])
 n_events = int(sys.argv[2])
 n_blocks = int(sys.argv[3])
-spark = get_spark(f"scale-{{cores}}", cores=cores, shuffle_partitions=max(cores, 4))
+# shuffle partitions at a small multiple of cores: more, smaller shuffle
+# blocks smooth skew/stragglers at the cost of task overhead (SCALE_SHUFFLE_MULT)
+mult = int(os.environ.get("SCALE_SHUFFLE_MULT", "1"))
+spark = get_spark(f"scale-{{cores}}", cores=cores, shuffle_partitions=max(cores * mult, 4))
 spec = BinlogSpec(n_events=n_events, n_convs=max(n_events // 50, 100), n_turns=16,
                   block=max(n_events // n_blocks, 10_000), n_partitions=8)
 work = tempfile.mkdtemp(prefix=f"ticdc_scale_{{cores}}_")

@@ -82,3 +82,67 @@ def test_ddl_with_mor_sink_and_compaction(spark, tmp_table_path):
     assert got.filter(
         "_commit_ts > 2200 AND tool_args IS NULL"
     ).count() == 0
+
+
+def test_drop_column_then_readd_same_name(spark, tmp_table_path):
+    """The column-ID rule (cdc/entry/schema/snapshot.go:412-551): after
+    drop tool + add tool, data written under the ORIGINAL tool column must
+    NOT leak into its re-added namesake — old writers map by id, and the
+    dropped id is retired."""
+    ddls = (
+        DDLSpec(commit_ts=1_500, ddl_type="drop_column", column="tool"),
+        DDLSpec(commit_ts=3_500, ddl_type="add_column", column="tool"),
+    )
+    spec = BinlogSpec(n_events=5_000, n_convs=120, ddls=ddls)
+    cf, _ = _run(spark, spec, tmp_table_path)
+    _check(spark, spec, cf)
+    got = cf.target.read()
+    assert "tool" in got.columns
+    # rows whose final image predates the re-add MUST be NULL even when the
+    # original writer had a tool value (the leak the name-map model allowed)
+    assert got.filter(
+        "ts <= timestamp_micros(CAST(1700000000 + 3500 AS BIGINT) * 1000000)"
+        " AND tool IS NOT NULL"
+    ).count() == 0
+    # re-added-column data from new writers does flow
+    assert got.filter("tool IS NOT NULL").count() > 0
+
+
+def test_truncate_table_mid_stream(spark, tmp_table_path):
+    """TRUNCATE barrier (ddl_manager scenario, snapshot.go:503-509): all
+    rows at/below the truncate ts vanish; only later DML survives. The
+    final state must equal the LWW oracle over the post-truncate stream."""
+    ddls = (DDLSpec(commit_ts=3_000, ddl_type="truncate_table"),)
+    spec = BinlogSpec(n_events=6_000, n_convs=150, ddls=ddls)
+    cf, _ = _run(spark, spec, tmp_table_path)
+    assert cf.registry.truncate_ts == 3_000
+    _check(spark, spec, cf)  # expected_final_state applies the truncate rule
+    got = cf.target.read()
+    # nothing older than the truncate survives (text encodes the commit_ts)
+    assert got.filter(
+        "CAST(regexp_extract(text, 'v(\\\\d+)$', 1) AS BIGINT) <= 3000"
+    ).count() == 0
+    assert got.count() > 0
+
+
+def test_truncate_drops_stale_late_dml_in_arrival_mode(spark, tmp_table_path):
+    """A pre-truncate event arriving AFTER the truncate (arrival-ordered
+    mode) is a stale DML of the dead incarnation — merge_lww must drop it,
+    not resurrect the row."""
+    t = LakeTable(spark, tmp_table_path)
+    t.create(key=KEY, fields=[("conv_id", "string"), ("turn_idx", "int"), ("text", "string")],
+             n_buckets=2, with_order_cols=True)
+    rows = lambda *rs: spark.createDataFrame(  # noqa: E731
+        list(rs),
+        "conv_id string, turn_idx int, text string, op string, _commit_ts long, "
+        "_start_ts long, _op_rank int, _deleted int",
+    )
+    t.merge_lww(rows(("c", 1, "v10", "I", 10, 9, 3, 0)), "b1")
+    t.alter("truncate_table", None, schema_version=20)
+    assert t.read().count() == 0
+    # late stale event (commit 15 < truncate 20) must be dropped
+    t.merge_lww(rows(("c", 2, "v15", "I", 15, 14, 3, 0)), "b2")
+    assert t.read().count() == 0
+    # post-truncate event applies normally
+    t.merge_lww(rows(("c", 3, "v25", "I", 25, 24, 3, 0)), "b3")
+    assert [r["turn_idx"] for r in t.read().collect()] == [3]

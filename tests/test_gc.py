@@ -1,0 +1,121 @@
+"""W8: GC safepoint / snapshot expiry + bounded manifest metadata
+(/root/reference/cdc/owner/changefeed.go:363-376)."""
+
+import os
+
+from ticdc_spark.sinks.lake import LakeTable
+from ticdc_spark.sources.binlog_gen import BinlogSpec, gen_binlog, gen_resolved_log
+from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
+
+KEY = ["conv_id", "turn_idx"]
+FIELDS = [("conv_id", "string"), ("turn_idx", "int"), ("text", "string")]
+
+
+def _mk(spark, path):
+    t = LakeTable(spark, path)
+    t.create(key=KEY, fields=FIELDS, n_buckets=2, with_order_cols=True)
+    return t
+
+
+def _batch(spark, i):
+    return spark.createDataFrame(
+        [("c", 1, f"v{i}", "I", i, i - 1, 3, 0)],
+        "conv_id string, turn_idx int, text string, op string, _commit_ts long, "
+        "_start_ts long, _op_rank int, _deleted int",
+    )
+
+
+def test_manifest_size_bounded_across_batches(spark, tmp_table_path):
+    """100 commits: the manifest must stay O(live state), not O(history) —
+    lineage rides in append-only sidecars, recognized batch_ids are pruned
+    by the monotone-window rule."""
+    t = _mk(spark, tmp_table_path)
+    sizes = []
+    for i in range(1, 101):
+        t.merge_lww(
+            _batch(spark, i), f"b{i}",
+            lineage_rows=[{"batch_id": f"b{i}", "partition_id": 0, "resolved_ts": i,
+                           "event_count": 1, "max_commit_ts": i}],
+            resolved_ts=i,
+        )
+        mf = os.path.join(t.meta_dir, f"v{t.manifest()['version']:08d}.json")
+        sizes.append(os.path.getsize(mf))
+        if i % 20 == 0:
+            t.expire_snapshots(keep_last=2)
+    # batch_ids pruned to the frontier batch only
+    assert len(t.manifest()["batch_ids"]) == 1
+    # manifest growth over 80 batches is bounded (syncpoints: 2 ints/commit);
+    # the unbounded version embedded every lineage row + every batch id
+    assert sizes[-1] - sizes[19] < 8_000
+    # lineage survives in sidecars — all 100 batches auditable
+    assert t.lineage_df().count() == 100
+
+
+def test_expire_honors_safepoint_and_gcs_files(spark, tmp_table_path):
+    t = _mk(spark, tmp_table_path)
+    for i in range(1, 9):
+        t.merge_lww(_batch(spark, i), f"b{i}", resolved_ts=i)
+    vs = t._versions()
+    assert len(vs) == 9  # create + 8 commits
+    # safepoint at resolved_ts 6: versions with checkpoint >= 6 are protected
+    res = t.expire_snapshots(keep_last=1, safepoint_ts=6)
+    kept = t._versions()
+    # versions 7..9 (checkpoints 6,7,8) + latest retained; older gone
+    assert all(t.manifest(v)["checkpoint"]["resolved_ts"] >= 6 or v == kept[-1]
+               for v in kept)
+    assert res["expired_versions"] and min(kept) > min(vs)
+    # expired versions are unreadable, retained ones still time-travel
+    try:
+        t.manifest(vs[0])
+        raised = False
+    except FileNotFoundError:
+        raised = True
+    assert raised
+    for v in kept:
+        assert t.read(version=v).count() >= 0  # files all present
+    # live read unaffected
+    assert t.read().count() == 1
+    # data files on disk are exactly the union of retained manifests' files
+    live = set()
+    for v in kept:
+        m = t.manifest(v)
+        for info in m["buckets"].values():
+            live.update(info["files"])
+        for d in m.get("deltas", []):
+            live.update(d["files"])
+    on_disk = set()
+    for root, _, files in os.walk(t.data_dir):
+        on_disk.update(os.path.join(root, f) for f in files if f.endswith(".parquet"))
+    assert on_disk == live
+
+
+def test_expire_never_removes_versions_at_or_after_safepoint(spark, tmp_table_path):
+    """The GC-safepoint law, stated directly: after expiry, every checkpoint
+    >= safepoint is still replayable (its manifest version exists)."""
+    t = _mk(spark, tmp_table_path)
+    for i in range(1, 6):
+        t.merge_lww(_batch(spark, i), f"b{i}", resolved_ts=i)
+    before = {v: t.manifest(v)["checkpoint"]["resolved_ts"] for v in t._versions()}
+    t.expire_snapshots(keep_last=1, safepoint_ts=3)
+    after = set(t._versions())
+    for v, ck in before.items():
+        if ck >= 3:
+            assert v in after, f"version {v} (checkpoint {ck}) wrongly expired"
+
+
+def test_engine_gc_tick(spark, tmp_table_path):
+    """The driver loop's expire_every hook keeps the version count bounded
+    across a replay while the final state stays correct."""
+    from tests.conftest import assert_df_equal
+    from ticdc_spark.streaming.pipeline import expected_final_state
+
+    spec = BinlogSpec(n_events=6_000, n_convs=150)
+    cfg = ChangefeedConfig(n_buckets=4, expire_every=2, expire_keep_last=2)
+    cf = Changefeed(
+        spark, gen_binlog(spark, spec), gen_resolved_log(spark, spec), None,
+        LakeTable(spark, tmp_table_path), cfg,
+    )
+    cf.run()
+    assert len(cf.target._versions()) <= 4
+    want = expected_final_state(gen_binlog(spark, spec), cf.registry, spec.max_commit_ts, KEY)
+    assert_df_equal(cf.target.read(), want, KEY)

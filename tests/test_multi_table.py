@@ -1,0 +1,110 @@
+"""Multi-table changefeed scenarios (multi_tables_ddl / batch_add_table
+analogs, /root/reference/tests/integration_tests/multi_tables_ddl/):
+N tables through one feed, per-table schema registries and DDL barriers
+(global vs table-scoped), per-table exactly-once resume, feed checkpoint =
+min over tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_equal
+from ticdc_spark.sinks.lake import LakeTable
+from ticdc_spark.sources.binlog_gen import BinlogSpec, DDLSpec, gen_binlog, gen_ddl_log, gen_resolved_log
+from ticdc_spark.streaming.multi import MultiTableChangefeed, route_tables
+from ticdc_spark.streaming.pipeline import ChangefeedConfig, expected_final_state
+
+KEY = ["conv_id", "turn_idx"]
+
+SCOPED = DDLSpec(commit_ts=2_000, ddl_type="add_column", column="tool_args", table_name="t1")
+GLOBAL = DDLSpec(commit_ts=3_000, ddl_type="add_column", column="qscore")
+
+
+def _specs():
+    """3 tables, same block structure (shared resolved log), distinct
+    streams; t1 additionally sees the table-scoped DDL."""
+    out = {}
+    for i, t in enumerate(["t0", "t1", "t2"]):
+        ddls = (GLOBAL,) if t != "t1" else (SCOPED, GLOBAL)
+        out[t] = BinlogSpec(n_events=4_000, n_convs=120, seed=100 + i, ddls=ddls)
+    return out
+
+
+def _build(spark, base_path, cfg=None):
+    specs = _specs()
+    parts = [
+        gen_binlog(spark, spec).withColumn("table_name", F.lit(t))
+        for t, spec in specs.items()
+    ]
+    binlog = parts[0]
+    for p in parts[1:]:
+        binlog = binlog.unionByName(p)
+    resolved = gen_resolved_log(spark, next(iter(specs.values())))
+    ddl_rows = [
+        {"commit_ts": SCOPED.commit_ts, "ddl_type": SCOPED.ddl_type, "query": SCOPED.query(),
+         "column": SCOPED.column, "old_column": None, "col_type": "string",
+         "schema_version": SCOPED.commit_ts, "table_name": "t1"},
+        {"commit_ts": GLOBAL.commit_ts, "ddl_type": GLOBAL.ddl_type, "query": GLOBAL.query(),
+         "column": GLOBAL.column, "old_column": None, "col_type": "string",
+         "schema_version": GLOBAL.commit_ts, "table_name": None},
+    ]
+    mt = MultiTableChangefeed(
+        spark, binlog, resolved, ddl_rows,
+        table_factory=lambda t: LakeTable(spark, f"{base_path}/{t}"),
+        config=cfg or ChangefeedConfig(changefeed_id="mt", n_buckets=4),
+        tables=list(specs),
+    )
+    return mt, specs
+
+
+def test_multi_table_final_state_and_scoped_ddl(spark, tmp_path):
+    mt, specs = _build(spark, str(tmp_path))
+    stats = mt.run()
+    assert stats["tables"] == 3
+    assert stats["events"] == sum(s.n_events for s in specs.values())
+    # per-table final state vs the per-table batch oracle
+    for t, spec in specs.items():
+        feed = mt.feeds[t]
+        want = expected_final_state(
+            gen_binlog(spark, spec), feed.registry, spec.max_commit_ts, KEY
+        )
+        assert_df_equal(feed.target.read(), want, KEY)
+    # table-scoped DDL evolved ONLY t1; the global one evolved everybody
+    assert "tool_args" in mt.read("t1").columns
+    assert "tool_args" not in mt.read("t0").columns
+    assert "tool_args" not in mt.read("t2").columns
+    for t in specs:
+        assert "qscore" in mt.read(t).columns
+    # feed checkpoint = min over tables = shared frontier
+    assert stats["checkpoint"] == specs["t0"].max_commit_ts
+    assert mt.is_synced()
+    # union read reconciles schemas (t0/t2 rows carry NULL tool_args)
+    u = mt.read_union()
+    assert "tool_args" in u.columns and "table_name" in u.columns
+    assert u.filter("table_name = 't0' AND tool_args IS NOT NULL").count() == 0
+
+
+def test_multi_table_restart_resume(spark, tmp_path):
+    mt1, specs = _build(spark, str(tmp_path))
+    s1 = mt1.run(max_merges_per_table=2)
+    assert 0 < mt1.checkpoint() < specs["t0"].max_commit_ts
+    # fresh engine instance over the same lake paths: resumes per table
+    mt2, _ = _build(spark, str(tmp_path))
+    s2 = mt2.run()
+    assert s2["merges"] > 0  # resumed work, not a full replay
+    assert mt2.checkpoint() == specs["t0"].max_commit_ts
+    for t, spec in specs.items():
+        feed = mt2.feeds[t]
+        want = expected_final_state(
+            gen_binlog(spark, spec), feed.registry, spec.max_commit_ts, KEY
+        )
+        assert_df_equal(feed.target.read(), want, KEY)
+
+
+def test_table_allow_block_routing(spark, tmp_path):
+    cfg = ChangefeedConfig(
+        changefeed_id="mt", n_buckets=4,
+        table_allow=("t[0-9]",), table_block=("t2",),
+    )
+    mt, _ = _build(spark, str(tmp_path), cfg=cfg)
+    assert mt.tables == ["t0", "t1"]
+    assert route_tables(["a", "t1", "t2", "t10"], allow=("t[0-9]",), block=("t2",)) == ["t1"]

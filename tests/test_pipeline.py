@@ -183,3 +183,23 @@ def test_bank_invariant(spark, tmp_table_path):
         snap = t.read(version=v)
         total = snap.agg(F.sum(F.col("text").cast("long")).alias("s")).collect()[0]["s"]
         assert total == n_accounts * init, f"snapshot v{v} violates conservation"
+
+
+def test_configured_event_filters(spark, tmp_table_path):
+    """F2/F3/F5 as changefeed config (pkg/filter/filter.go:95-235): dropped
+    events never reach the sink; final state = LWW over the filtered stream."""
+    cfg = ChangefeedConfig(
+        n_buckets=4,
+        ignore_event_expr="commit_ts % 7 = 0",
+        ignore_start_ts=(1999,),
+    )
+    spec = BinlogSpec(n_events=5_000, n_convs=150)
+    cf, _ = _run(spark, spec, tmp_table_path, cfg=cfg)
+    want = expected_final_state(
+        gen_binlog(spark, spec), cf.registry, spec.max_commit_ts, KEY, config=cfg
+    )
+    assert_df_equal(cf.target.read(), want, KEY)
+    # the filter really dropped rows: no surviving text from a %7 commit
+    assert cf.target.read().filter(
+        "CAST(regexp_extract(text, 'v(\\\\d+)$', 1) AS BIGINT) % 7 = 0"
+    ).count() == 0

@@ -89,3 +89,36 @@ def test_checksum(spark):
     spec = BinlogSpec(n_events=500)
     df = verify_checksum(gen_binlog(spark, spec))
     assert df.filter(F.col("_checksum").isNull()).count() == 0
+
+
+def test_checksum_quarantine_in_pipeline(spark, tmp_table_path):
+    """P3 wired into the driver loop: corrupt rows are quarantined (counted,
+    excluded from the merge); the final state equals the LWW oracle over the
+    intact stream."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import assert_df_equal
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.sources.binlog_gen import BinlogSpec, gen_binlog, gen_resolved_log
+    from ticdc_spark.streaming.pipeline import (
+        Changefeed, ChangefeedConfig, expected_final_state,
+    )
+
+    spec = BinlogSpec(n_events=3_000, n_convs=100)
+    good = F.md5(F.coalesce(F.col("payload"), F.lit("")))
+    bad = F.md5(F.concat(F.coalesce(F.col("payload"), F.lit("")), F.lit("X")))
+    corrupt = (F.col("commit_ts") % 11 == 0)
+    binlog = gen_binlog(spark, spec).withColumn(
+        "checksum", F.when(corrupt, bad).otherwise(good)
+    )
+    cfg = ChangefeedConfig(n_buckets=4, verify_checksums=True)
+    cf = Changefeed(spark, binlog, gen_resolved_log(spark, spec), None,
+                    LakeTable(spark, tmp_table_path), cfg)
+    stats = cf.run()
+    assert stats["quarantined"] == binlog.filter(corrupt).count()
+    # oracle: LWW over the intact (non-corrupt) stream only
+    want = expected_final_state(
+        gen_binlog(spark, spec).filter(~corrupt), cf.registry,
+        spec.max_commit_ts, ["conv_id", "turn_idx"],
+    )
+    assert_df_equal(cf.target.read(), want, ["conv_id", "turn_idx"])

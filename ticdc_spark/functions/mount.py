@@ -152,3 +152,23 @@ def verify_checksum(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     64-bit payload checksum; a sink can quarantine rows whose recomputed
     checksum mismatches a transported one. Native xxhash64 — no UDF."""
     return df.withColumn("_checksum", F.xxhash64(F.coalesce(F.col(payload_col), F.lit(""))))
+
+
+def checksum_split(df: DataFrame, payload_col: str = "payload",
+                   checksum_col: str = "checksum", algo: str = "md5"):
+    """P3 wired: recompute the payload checksum and split the batch into
+    (valid, quarantined) — the corrupted-row quarantine the reference's
+    integrity verifier performs before mounting
+    (cdc/entry/mounter.go:453-523). ``algo`` 'xxhash64' (fastest, JVM
+    native) or 'md5' (portable to external oracles). Rows with a NULL
+    transported checksum are trusted (deletes carry no payload)."""
+    if algo == "md5":
+        recomputed = F.md5(F.coalesce(F.col(payload_col), F.lit("")))
+    elif algo == "xxhash64":
+        recomputed = F.xxhash64(F.coalesce(F.col(payload_col), F.lit(""))).cast("string")
+    else:
+        raise ValueError(f"unknown checksum algo {algo!r}")
+    ok = F.col(checksum_col).isNull() | (F.col(checksum_col) == recomputed)
+    valid = df.filter(ok).drop(checksum_col)
+    quarantined = df.filter(~ok)
+    return valid, quarantined

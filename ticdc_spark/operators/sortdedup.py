@@ -79,8 +79,12 @@ def lww_dedup(df: DataFrame, key: Sequence[str] = HANDLE_KEY, stats: bool = Fals
     df = order_struct(df)
     key = list(key)
     payload_cols = [c for c in df.columns if c not in key]
-    ordc = F.struct(*[F.col(c) for c in ORDER_COLS])
-    aggs = [F.max_by(F.struct(*[F.col(c) for c in payload_cols]), ordc).alias("_w")]
+    # ONE struct, order keys first: max(struct) compares lexicographically,
+    # so this is max_by(payload, order) WITHOUT carrying the 20-byte order
+    # tuple twice through the partial-aggregate buffers and the exchange —
+    # and it is deterministic under order ties (payload breaks them)
+    ordered = list(ORDER_COLS) + [c for c in payload_cols if c not in ORDER_COLS]
+    aggs = [F.max(F.struct(*[F.col(c) for c in ordered])).alias("_w")]
     if stats:
         aggs += [
             F.count(F.lit(1)).alias("_n_events"),

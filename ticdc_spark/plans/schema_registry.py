@@ -51,22 +51,31 @@ RESERVED_COLUMNS = frozenset(
 class SchemaSnapshot:
     version_ts: int
     fields: tuple[tuple[str, str], ...]  # (name, type_str) in order
-    # historical writer-field-name -> name in THIS snapshot, for every name
-    # that ever existed (rename chains collapsed)
-    name_map: dict
+    # stable per-column identity, parallel to ``fields`` — TiCDC's column-ID
+    # model (cdc/entry/schema/snapshot.go): a rename keeps the id, a drop
+    # retires it, re-adding the same NAME mints a NEW id, so data written
+    # under a dropped column can never leak into its re-added namesake
+    col_ids: tuple[int, ...] = ()
 
     def struct_type(self) -> T.StructType:
         return T.StructType([T.StructField(n, _TYPE[t], True) for n, t in self.fields])
+
+    def id_of(self) -> dict:
+        return dict(zip(self.col_ids, (n for n, _ in self.fields)))
 
 
 class SchemaRegistry:
     """Event-sourced registry: replay DDL events into snapshots."""
 
     def __init__(self, base_fields=BASE_PAYLOAD_FIELDS, base_version: int = 0):
-        name_map = {n: n for n, _ in base_fields}
         self._snapshots: list[SchemaSnapshot] = [
-            SchemaSnapshot(base_version, tuple(base_fields), name_map)
+            SchemaSnapshot(base_version, tuple(base_fields),
+                           tuple(range(len(base_fields))))
         ]
+        self._next_id = len(base_fields)
+        # commit-ts of the newest truncate: DMLs written against an earlier
+        # table incarnation are stale after it (snapshot.go:503-509)
+        self.truncate_ts = 0
 
     @property
     def resolved_ts(self) -> int:
@@ -76,31 +85,42 @@ class SchemaRegistry:
         enforces that by replaying the ddl_log for the window first."""
         return self._snapshots[-1].version_ts
 
-    def apply_ddl(self, commit_ts: int, ddl_type: str, column: str,
+    def apply_ddl(self, commit_ts: int, ddl_type: str, column: str | None,
                   old_column: str | None = None, col_type: str = "string") -> bool:
         """Apply one DDL; returns False if foregone (idempotent replay,
         schema_storage.go:204-219)."""
-        if column in RESERVED_COLUMNS:
+        if column is not None and column in RESERVED_COLUMNS:
             # a payload column named like an engine column would silently
             # clobber dedup/merge inputs when mount materializes it
             raise ValueError(f"column name {column!r} is reserved by the engine")
         if commit_ts <= self._snapshots[-1].version_ts:
             return False
         cur = self._snapshots[-1]
+        ids = cur.col_ids
         if ddl_type == "add_column":
+            if any(n == column for n, _ in cur.fields):
+                raise ValueError(f"column {column!r} already exists")
             fields = cur.fields + ((column, col_type),)
-            name_map = dict(cur.name_map)
-            name_map[column] = column
+            ids = ids + (self._next_id,)
+            self._next_id += 1
         elif ddl_type == "rename_column":
             if old_column is None:
                 raise ValueError("rename_column requires old_column")
             fields = tuple((column if n == old_column else n, t) for n, t in cur.fields)
-            # every historical name that pointed at old_column now points at column
-            name_map = {h: (column if tgt == old_column else tgt) for h, tgt in cur.name_map.items()}
-            name_map[column] = column
+        elif ddl_type == "drop_column":
+            keep = [i for i, (n, _) in enumerate(cur.fields) if n != column]
+            if len(keep) == len(cur.fields):
+                raise ValueError(f"drop_column: no column named {column!r}")
+            fields = tuple(cur.fields[i] for i in keep)
+            ids = tuple(cur.col_ids[i] for i in keep)
+        elif ddl_type == "truncate_table":
+            # schema unchanged; the table incarnation changes — DMLs with
+            # commit_ts <= truncate are stale from here on
+            fields = cur.fields
+            self.truncate_ts = max(self.truncate_ts, commit_ts)
         else:
             raise ValueError(f"unsupported ddl_type: {ddl_type}")
-        self._snapshots.append(SchemaSnapshot(commit_ts, fields, name_map))
+        self._snapshots.append(SchemaSnapshot(commit_ts, fields, ids))
         return True
 
     def replay(self, ddl_rows) -> int:
@@ -136,19 +156,19 @@ class SchemaRegistry:
         """{writer_version_ts: {current_field_name: writer_field_name}}
         for every snapshot <= current — what the mount UDF needs to pull
         each current column out of a payload written under any older
-        schema version. Missing entries mean the column did not exist for
-        that writer → default/NULL backfill
-        (getDefaultOrZeroValue analog, cdc/entry/mounter.go:909-965)."""
+        schema version. Matching is by COLUMN ID, so renames chain
+        correctly and a re-added name never reads a dropped column's data.
+        Missing entries mean the column did not exist for that writer →
+        default/NULL backfill (getDefaultOrZeroValue analog,
+        cdc/entry/mounter.go:909-965)."""
+        cur_by_id = current.id_of()
         out = {}
         for snap in self._snapshots:
             if snap.version_ts > current.version_ts:
                 break
             m = {}
-            for wname, _ in snap.fields:
-                # every name ever live is a key of current.name_map; a later
-                # add_column reusing a dropped historical name would clobber
-                # it (TiCDC disambiguates via column IDs; out of scope here)
-                cur_name = current.name_map.get(wname)
+            for (wname, _), wid in zip(snap.fields, snap.col_ids):
+                cur_name = cur_by_id.get(wid)
                 if cur_name is not None:
                     m[cur_name] = wname
             out[snap.version_ts] = m

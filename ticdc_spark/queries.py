@@ -783,7 +783,7 @@ def _transcript_binlog(spark, sf_dir, ddl_ts: int, key_change: bool = False):
 
 
 def _run_engine(spark, sf_dir, work_dir, max_merges=None, sink_mode="cow",
-                key_change=False):
+                key_change=False, cfg_extra=None):
     from ticdc_spark.sinks.lake import LakeTable
     from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
 
@@ -805,7 +805,7 @@ def _run_engine(spark, sf_dir, work_dir, max_merges=None, sink_mode="cow",
     cf = Changefeed(
         spark, binlog, resolved, ddl, LakeTable(spark, work_dir),
         ChangefeedConfig(changefeed_id="e2e", n_buckets=8, sink_mode=sink_mode,
-                         compact_every=2),
+                         compact_every=2, **(cfg_extra or {})),
     )
     cf.run(max_merges=max_merges)
     return cf
@@ -838,6 +838,46 @@ def q_cdc_restart_resume(spark, sf_dir):
     _run_engine(spark, sf_dir, path, max_merges=1)
     cf = _run_engine(spark, sf_dir, path)  # resume
     return cf.target.read()
+
+
+_FILTER_EXPR = "op = 'U' AND commit_ts % 5 = 0"
+
+
+def q_cdc_filtered_e2e(spark, sf_dir):
+    """Full engine replay with a CONFIGURED event filter (F2 as a
+    changefeed-config surface, pkg/filter/expr_filter.go:249 +
+    replica_config.go:132-167): updates with commit_ts % 5 = 0 are dropped
+    at the puller, so they never reach dedup/merge — the final state must
+    equal the LWW oracle over the filtered stream."""
+    work = _work_dir("ticdc_filt_")
+    cf = _run_engine(
+        spark, sf_dir, os.path.join(work, "t"), sink_mode="mor",
+        cfg_extra={"ignore_event_expr": _FILTER_EXPR},
+    )
+    return cf.target.read()
+
+
+SQL_CDC_FILTERED_E2E = f"""
+WITH {BINLOG_CTE},
+filtered AS (SELECT * FROM binlog WHERE NOT ({_FILTER_EXPR})),
+ddl AS (SELECT 1000 + 3 * (count(*) // 5) AS ddl_ts FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM filtered)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+       CASE WHEN commit_ts > (SELECT ddl_ts FROM ddl)
+            THEN 'ta-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool_args
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
 
 
 def q_cdc_keychange_e2e(spark, sf_dir):
@@ -908,6 +948,369 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 
 
 
+def _run_engine_ddl(spark, sf_dir, work_dir, binlog, ddl_rows, max_ts):
+    """Engine replay of a custom transcript binlog + DDL list (shared by
+    the drop/re-add and truncate e2e queries)."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
+
+    bounds = sorted({max_ts * i // 3 for i in range(1, 4)} | {max_ts})
+    resolved = spark.createDataFrame(
+        [(p, r, i) for p in range(4) for i, r in enumerate(bounds)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    cf = Changefeed(
+        spark, binlog, resolved, ddl_rows, LakeTable(spark, work_dir),
+        ChangefeedConfig(changefeed_id="ddl-e2e", n_buckets=8, sink_mode="mor",
+                         compact_every=2),
+    )
+    cf.run()
+    return cf
+
+
+def _ddl_row(ts, ddl_type, column=None, old_column=None):
+    return {"commit_ts": ts, "ddl_type": ddl_type, "query": "", "column": column,
+            "old_column": old_column, "col_type": "string", "schema_version": ts,
+            "table_name": None}
+
+
+def q_cdc_drop_readd_e2e(spark, sf_dir):
+    """Engine replay across DROP COLUMN tool then ADD COLUMN tool (same
+    name!) — the column-ID rule (cdc/entry/schema/snapshot.go:412-551):
+    values written under the ORIGINAL tool column must NOT leak into the
+    re-added namesake; only post-re-add writers populate it."""
+    n = _events(spark, sf_dir).count()
+    a, b2 = _mt_ddl_ts(n)  # drop at a, re-add at b2
+    bl = binlog_from_events(spark, sf_dir)
+    role = (
+        F.when(F.col("turn_idx") % 4 == 0, "user")
+        .when(F.col("turn_idx") % 4 == 1, "assistant")
+        .when(F.col("turn_idx") % 4 == 2, "system")
+        .otherwise("tool")
+    )
+    ct = F.col("commit_ts").cast("string")
+    text = F.concat(F.lit("txt-"), ct)
+    ts_us = (F.lit(1_700_000_000) + F.col("commit_ts")) * F.lit(1_000_000)
+    tool_v0 = F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string"))
+    p0 = F.to_json(F.struct(role.alias("role"), text.alias("text"),
+                            tool_v0.alias("tool"), ts_us.alias("ts")))
+    p1 = F.to_json(F.struct(role.alias("role"), text.alias("text"), ts_us.alias("ts")))
+    p2 = F.to_json(F.struct(role.alias("role"), text.alias("text"), ts_us.alias("ts"),
+                            F.concat(F.lit("T2-"), ct).alias("tool")))
+    payload = F.when(F.col("commit_ts") > b2, p2).when(F.col("commit_ts") > a, p1).otherwise(p0)
+    sv = (F.when(F.col("commit_ts") > b2, F.lit(b2))
+          .when(F.col("commit_ts") > a, F.lit(a)).otherwise(F.lit(0))).cast("long")
+    binlog = bl.select(
+        "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(payload).alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        sv.alias("schema_version"), "partition_id",
+    )
+    work = _work_dir("ticdc_dropre_")
+    cf = _run_engine_ddl(
+        spark, sf_dir, os.path.join(work, "t"), binlog,
+        [_ddl_row(a, "drop_column", "tool"), _ddl_row(b2, "add_column", "tool")],
+        max_ts=1000 + n,
+    )
+    return cf.target.read()
+
+
+SQL_CDC_DROP_READD_E2E = f"""
+WITH {BINLOG_CTE},
+ddl AS (SELECT 1000 + 2 * (count(*) // 5) AS a, 1000 + 3 * (count(*) // 5) AS b2 FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM binlog)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+       CASE WHEN commit_ts > (SELECT b2 FROM ddl)
+            THEN 'T2-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_truncate_e2e(spark, sf_dir):
+    """Engine replay across a TRUNCATE TABLE barrier mid-stream
+    (snapshot.go:503-509): every row at/below the truncate vanishes in one
+    atomic metadata commit; only later DML survives."""
+    n = _events(spark, sf_dir).count()
+    t_ts = 1000 + n // 2
+    binlog = _transcript_binlog(spark, sf_dir, ddl_ts=1 << 62)  # no add_column
+    binlog = binlog.withColumn(
+        "schema_version",
+        F.when(F.col("commit_ts") > t_ts, F.lit(t_ts)).otherwise(F.lit(0)).cast("long"),
+    )
+    work = _work_dir("ticdc_trunc_")
+    cf = _run_engine_ddl(
+        spark, sf_dir, os.path.join(work, "t"), binlog,
+        [_ddl_row(t_ts, "truncate_table")], max_ts=1000 + n,
+    )
+    return cf.target.read()
+
+
+SQL_CDC_TRUNCATE_E2E = f"""
+WITH {BINLOG_CTE},
+tr AS (SELECT 1000 + (count(*) // 2) AS t_ts FROM events),
+live AS (SELECT * FROM binlog WHERE commit_ts > (SELECT t_ts FROM tr)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM live)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_checksum_quarantine(spark, sf_dir):
+    """P3 integrity verification (cdc/entry/mounter.go:453-523): recompute
+    the transported md5 payload checksum; rows that mismatch (here every
+    13th event, corrupted in transit) are QUARANTINED — returned for audit
+    instead of reaching the sink."""
+    from ticdc_spark.functions.mount import checksum_split
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "payload", F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))
+    )
+    good = F.md5(F.coalesce(F.col("payload"), F.lit("")))
+    bad = F.md5(F.concat(F.coalesce(F.col("payload"), F.lit("")), F.lit("CORRUPT")))
+    b = b.withColumn(
+        "checksum", F.when((F.col("commit_ts") - 1000) % 13 == 0, bad).otherwise(good)
+    )
+    _, quarantined = checksum_split(b)
+    return quarantined.select("commit_ts", "conv_id", "turn_idx", "op")
+
+
+SQL_CHECKSUM_QUARANTINE = f"""
+WITH {BINLOG_CTE}
+SELECT commit_ts, conv_id, turn_idx, op FROM binlog WHERE (commit_ts - 1000) % 13 = 0
+"""
+
+
+def q_bank_conservation(spark, sf_dir):
+    """The bank invariant (tests/integration_tests/bank/case.go:60-86):
+    a transfer stream of PAIRED balance updates (two legs, one commit-ts)
+    replayed through the full engine must conserve SUM(balance). Returns
+    per-account final balances plus the conserved total — the hardest
+    ordering scenario (out-of-order dedup + batching must not tear a txn's
+    final visibility)."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir).select("event_id")
+    amt = (F.col("event_id") % 19 + 1).cast("long")
+    tr = e.select(
+        (F.lit(2000) + F.col("event_id")).alias("commit_ts"),
+        F.explode(
+            F.array(
+                F.struct((F.col("event_id") % 8).alias("acct"), (-amt).alias("delta")),
+                F.struct(((F.col("event_id") + 3) % 8).alias("acct"), amt.alias("delta")),
+            )
+        ).alias("leg"),
+    ).select("commit_ts", F.col("leg.acct").alias("acct"), F.col("leg.delta").alias("delta"))
+    w = W.partitionBy("acct").orderBy("commit_ts")
+    bal = tr.withColumn("balance", F.lit(100) + F.sum("delta").over(w))
+    mk_payload = F.to_json(
+        F.struct(
+            F.lit("user").alias("role"),
+            F.col("balance").cast("string").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            ((F.lit(1_700_000_000) + F.col("commit_ts")) * F.lit(1_000_000)).alias("ts"),
+        )
+    )
+    updates = bal.select(
+        "commit_ts", (F.col("commit_ts") - 1).alias("start_ts"), F.lit("U").alias("op"),
+        F.concat(F.lit("bank-"), F.col("acct").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"), mk_payload.alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        F.lit(0).cast("long").alias("schema_version"),
+        (F.col("acct") % 4).cast("int").alias("partition_id"),
+    )
+    inits = spark.range(8).select(
+        (F.lit(1001) + F.col("id")).alias("commit_ts"),
+        (F.lit(1000) + F.col("id")).alias("start_ts"), F.lit("I").alias("op"),
+        F.concat(F.lit("bank-"), F.col("id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.to_json(F.struct(
+            F.lit("user").alias("role"), F.lit("100").alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            ((F.lit(1_700_000_000) + F.lit(1001) + F.col("id")) * F.lit(1_000_000)).alias("ts"),
+        )).alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        F.lit(0).cast("long").alias("schema_version"),
+        (F.col("id") % 4).cast("int").alias("partition_id"),
+    )
+    n = e.count()
+    work = _work_dir("ticdc_bank_")
+    cf = _run_engine_ddl(spark, sf_dir, os.path.join(work, "t"),
+                         inits.unionByName(updates), [], max_ts=2000 + n)
+    final = cf.target.read()
+    return final.select(
+        "conv_id", F.col("text").cast("long").alias("balance")
+    ).withColumn("total", F.sum("balance").over(W.partitionBy(F.lit(1))).cast("long"))
+
+
+SQL_BANK_CONSERVATION = """
+WITH tr AS (
+  SELECT 2000 + event_id AS commit_ts, (event_id % 19) + 1 AS amt,
+         event_id % 8 AS src, (event_id + 3) % 8 AS dst
+  FROM events),
+legs AS (
+  SELECT commit_ts, src AS acct, -amt AS delta FROM tr
+  UNION ALL
+  SELECT commit_ts, dst AS acct, amt AS delta FROM tr),
+bal AS (
+  SELECT acct, commit_ts,
+         100 + sum(delta) OVER (PARTITION BY acct ORDER BY commit_ts) AS balance
+  FROM legs),
+fin AS (
+  SELECT acct, balance,
+         row_number() OVER (PARTITION BY acct ORDER BY commit_ts DESC) AS rn
+  FROM bal)
+SELECT 'bank-' || CAST(acct AS VARCHAR) AS conv_id,
+       CAST(balance AS BIGINT) AS balance,
+       CAST(sum(balance) OVER () AS BIGINT) AS total
+FROM fin WHERE rn = 1
+"""
+
+
+def _mt_ddl_ts(n_events: int) -> tuple:
+    return 1000 + 2 * (n_events // 5), 1000 + 3 * (n_events // 5)
+
+
+def q_cdc_multi_table_e2e(spark, sf_dir):
+    """Multi-table changefeed e2e (multi_tables_ddl analog): 3 tables routed
+    from one WAL through one feed, a TABLE-SCOPED add_column on tbl_1 and a
+    GLOBAL add_column on all tables, per-table barriers/registries/targets,
+    per-table exactly-once checkpoints. Result = union of final states."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig
+
+    n = _events(spark, sf_dir).count()
+    ddl1, ddl2 = _mt_ddl_ts(n)
+    e = _events(spark, sf_dir)
+    tbl = F.concat(F.lit("tbl_"), (F.col("user_id") % 3).cast("string"))
+    b = e.select(
+        (F.lit(1000) + F.col("event_id")).alias("commit_ts"),
+        (F.lit(1000) + F.col("event_id") - 1 - (F.col("event_id") % 3)).alias("start_ts"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("click", "view"), "U")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("conv-"), F.lpad((F.col("user_id") % 40).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("event_id") % 8).cast("int").alias("turn_idx"),
+        (F.col("user_id") % 4).cast("int").alias("partition_id"),
+        tbl.alias("table_name"),
+    )
+    role = (
+        F.when(F.col("turn_idx") % 4 == 0, "user")
+        .when(F.col("turn_idx") % 4 == 1, "assistant")
+        .when(F.col("turn_idx") % 4 == 2, "system")
+        .otherwise("tool")
+    )
+    ct = F.col("commit_ts").cast("string")
+    base = [role.alias("role"), F.concat(F.lit("txt-"), ct).alias("text"),
+            F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string")).alias("tool"),
+            ((F.lit(1_700_000_000) + F.col("commit_ts")) * F.lit(1_000_000)).alias("ts")]
+    ta = F.concat(F.lit("ta-"), ct).alias("tool_args")
+    qs = F.concat(F.lit("q-"), ct).alias("qscore")
+    is_t1 = F.col("table_name") == "tbl_1"
+    after1 = F.col("commit_ts") > ddl1
+    after2 = F.col("commit_ts") > ddl2
+    payload = (
+        F.when(is_t1 & after2, F.to_json(F.struct(*base, ta, qs)))
+        .when(is_t1 & after1, F.to_json(F.struct(*base, ta)))
+        .when(after2, F.to_json(F.struct(*base, qs)))
+        .otherwise(F.to_json(F.struct(*base)))
+    )
+    sv = (
+        F.when(after2, F.lit(ddl2))
+        .when(is_t1 & after1, F.lit(ddl1))
+        .otherwise(F.lit(0))
+    ).cast("long")
+    binlog = b.select(
+        "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(payload).alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        sv.alias("schema_version"), "partition_id", "table_name",
+    )
+    max_ts = 1000 + n
+    bounds = sorted({max_ts * i // 3 for i in range(1, 4)} | {max_ts})
+    resolved = spark.createDataFrame(
+        [(p, r, i) for p in range(4) for i, r in enumerate(bounds)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    ddl_rows = [
+        {"commit_ts": ddl1, "ddl_type": "add_column", "query": "ALTER TABLE tbl_1 ADD COLUMN tool_args STRING",
+         "column": "tool_args", "old_column": None, "col_type": "string",
+         "schema_version": ddl1, "table_name": "tbl_1"},
+        {"commit_ts": ddl2, "ddl_type": "add_column", "query": "ALTER TABLE * ADD COLUMN qscore STRING",
+         "column": "qscore", "old_column": None, "col_type": "string",
+         "schema_version": ddl2, "table_name": None},
+    ]
+    work = _work_dir("ticdc_mt_")
+    mt = MultiTableChangefeed(
+        spark, binlog, resolved, ddl_rows,
+        table_factory=lambda t: LakeTable(spark, os.path.join(work, t)),
+        config=ChangefeedConfig(changefeed_id="mt-e2e", n_buckets=4, sink_mode="mor",
+                                compact_every=2),
+        tables=["tbl_0", "tbl_1", "tbl_2"],
+    )
+    mt.run()
+    return mt.read_union().select(
+        "table_name", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "tool_args", "qscore",
+    )
+
+
+SQL_CDC_MULTI_TABLE_E2E = """
+WITH mtbin AS (
+  SELECT 1000 + event_id AS commit_ts,
+         1000 + event_id - 1 - (event_id % 3) AS start_ts,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type IN ('click','view') THEN 'U'
+              ELSE 'I' END AS op,
+         'conv-' || lpad(CAST(user_id % 40 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 8 AS INT) AS turn_idx,
+         'tbl_' || CAST(user_id % 3 AS VARCHAR) AS table_name
+  FROM events),
+ddl AS (SELECT 1000 + 2 * (count(*) // 5) AS ddl1, 1000 + 3 * (count(*) // 5) AS ddl2 FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_name, conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC) AS rn
+  FROM mtbin)
+SELECT table_name, conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+       CASE WHEN table_name = 'tbl_1' AND commit_ts > (SELECT ddl1 FROM ddl)
+            THEN 'ta-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool_args,
+       CASE WHEN commit_ts > (SELECT ddl2 FROM ddl)
+            THEN 'q-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS qscore
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (binary media columns → mapInPandas feature
     extraction; decode kernel stubbed with a deterministic fake — the
@@ -930,6 +1333,12 @@ QUERIES = {
     "cdc_pipeline_e2e_mor": q_cdc_pipeline_e2e_mor,
     "cdc_restart_resume": q_cdc_restart_resume,
     "cdc_keychange_e2e": q_cdc_keychange_e2e,
+    "cdc_filtered_e2e": q_cdc_filtered_e2e,
+    "cdc_multi_table_e2e": q_cdc_multi_table_e2e,
+    "cdc_drop_readd_e2e": q_cdc_drop_readd_e2e,
+    "cdc_truncate_e2e": q_cdc_truncate_e2e,
+    "bank_conservation": q_bank_conservation,
+    "checksum_quarantine": q_checksum_quarantine,
     "key_change_split": q_key_change_split,
     "lww_final_state": q_lww_final_state,
     "lww_dedup": q_lww_dedup,
@@ -968,6 +1377,12 @@ ORACLES = {
     "cdc_pipeline_e2e_mor": SQL_CDC_E2E,
     "cdc_restart_resume": SQL_CDC_E2E,
     "cdc_keychange_e2e": SQL_CDC_KEYCHANGE_E2E,
+    "cdc_filtered_e2e": SQL_CDC_FILTERED_E2E,
+    "cdc_multi_table_e2e": SQL_CDC_MULTI_TABLE_E2E,
+    "cdc_drop_readd_e2e": SQL_CDC_DROP_READD_E2E,
+    "cdc_truncate_e2e": SQL_CDC_TRUNCATE_E2E,
+    "bank_conservation": SQL_BANK_CONSERVATION,
+    "checksum_quarantine": SQL_CHECKSUM_QUARANTINE,
     "key_change_split": SQL_KEY_CHANGE_SPLIT,
     "lww_final_state": SQL_LWW_FINAL,
     "lww_dedup": SQL_LWW_DEDUP,

@@ -18,9 +18,13 @@ Maps TiCDC's sink stack onto lake primitives:
 - Lineage rows (per source partition: resolved_ts, event_count,
   max_commit_ts) ride in the manifest — the checkpoint aggregation input
   (/root/reference/cdc/scheduler/internal/v3/replication/replication_manager.go:556-731).
-- ALTER TABLE add/rename column = metadata-only commit; old files are
-  reconciled at read time via per-version schemas + a name-history map
-  (the DDL sink, /root/reference/cdc/owner/ddl_sink.go:237-330).
+- ALTER TABLE add/rename/drop column = metadata-only commit; old files are
+  reconciled at read time via per-version schemas matched on stable COLUMN
+  IDS (TiCDC's column-ID model — a re-added name never reads a dropped
+  column's bytes); TRUNCATE clears all filesets in one atomic commit and
+  records truncate_ts for stale-DML dropping
+  (the DDL sink, /root/reference/cdc/owner/ddl_sink.go:237-330;
+  truncate semantics /root/reference/cdc/entry/schema/snapshot.go:503-509).
 
 Scale notes: data is hash-bucketed by conv_id so (a) MERGE prunes to
 affected buckets, (b) the target side is NEVER shuffled — matched keys are
@@ -65,7 +69,12 @@ DELTA_BROADCAST_BYTES = 32 * 1024 * 1024
 
 
 def _struct(fields) -> T.StructType:
-    return T.StructType([T.StructField(n, _TYPE[t], True) for n, t in fields])
+    return T.StructType([T.StructField(x[0], _TYPE[x[1]], True) for x in fields])
+
+
+def _nt(schema_rows) -> list:
+    """[(name, type)] from manifest schema rows ([name, type, col_id])."""
+    return [(x[0], x[1]) for x in schema_rows]
 
 
 class LakeTable:
@@ -135,47 +144,110 @@ class LakeTable:
                 raise ValueError(f"merge key column {k} missing from schema")
         if self.exists():
             raise RuntimeError(f"table already exists at {self.path}")
+        # stable column ids (TiCDC's column-ID model): renames keep the id,
+        # drops retire it, re-adding a name mints a fresh id — so old files
+        # can never leak data into a re-added namesake at read time
+        triples = [[n, t, i] for i, (n, t) in enumerate(fields)]
         manifest = {
             "version": 1,
             "key": list(key),
             "n_buckets": n_buckets,
             "schema_version": schema_version,
-            "schema": [list(x) for x in fields],
-            "schemas": {str(schema_version): [list(x) for x in fields]},
-            "name_history": {n: n for n in names},
+            "next_col_id": len(triples),
+            "schema": triples,
+            "schemas": {str(schema_version): triples},
+            "truncate_ts": 0,
             "buckets": {str(b): {"files": [], "written_version": schema_version}
                         for b in range(n_buckets)},
             "batch_ids": {},
             "deltas": [],
             "checkpoint": {"resolved_ts": 0, "batch_seq": 0},
-            "lineage": [],
+            "syncpoints": [],
         }
         self._commit(manifest)
 
-    def alter(self, ddl_type: str, column: str, old_column: str | None = None,
+    # ---------------- bounded batch metadata ----------------
+
+    @property
+    def lineage_dir(self) -> str:
+        return os.path.join(self.meta_dir, "lineage")
+
+    def _commit_batch(self, m: dict, batch_id: str, resolved_ts: int | None,
+                      n_src: int, rows: list, mode: str | None = None) -> None:
+        """Shared commit tail for merge/merge_lww/append_delta: record the
+        batch, advance the checkpoint, PRUNE recognized-forever batch ids
+        (a window at/below the checkpoint is already a no-op by the
+        monotone-window rule, so its id carries no information), append the
+        syncpoint, and write lineage to an APPEND-ONLY sidecar — the
+        manifest JSON stays O(live batches), not O(history), which at 10^10
+        events is the difference between a bounded commit and an
+        ever-growing rewrite."""
+        entry: dict = {"resolved_ts": resolved_ts, "rows": n_src}
+        if mode:
+            entry["mode"] = mode
+        m["batch_ids"][batch_id] = entry
+        ck = m["checkpoint"]
+        if resolved_ts is not None:
+            ck["resolved_ts"] = max(ck["resolved_ts"], resolved_ts)
+        ck["batch_seq"] = ck.get("batch_seq", 0) + 1
+        m["batch_ids"] = {
+            k: v for k, v in m["batch_ids"].items()
+            if v.get("resolved_ts") is None or v["resolved_ts"] >= ck["resolved_ts"]
+        }
+        m["version"] += 1
+        if resolved_ts is not None:
+            # (source resolved-ts -> lake snapshot version): the syncpoint
+            # store (K8, mysql_syncpoint_store.go:133-180)
+            m.setdefault("syncpoints", []).append([resolved_ts, m["version"]])
+        if rows:
+            os.makedirs(self.lineage_dir, exist_ok=True)
+            with open(os.path.join(self.lineage_dir, f"v{m['version']:08d}.jsonl"), "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+        self._commit(m)
+
+    def alter(self, ddl_type: str, column: str | None, old_column: str | None = None,
               col_type: str = "string", schema_version: int = 0) -> bool:
-        """Metadata-only schema evolution; idempotent by schema_version."""
+        """Schema evolution; idempotent by schema_version. add/rename/drop
+        column are metadata-only commits; truncate_table clears every bucket
+        and delta fileset in one atomic commit (the data files linger until
+        snapshot expiry — time-travel reads before the truncate still work)
+        and records ``truncate_ts`` so late stale DMLs of the old table
+        incarnation are dropped at the sink
+        (/root/reference/cdc/entry/schema/snapshot.go:503-509)."""
         from ticdc_spark.plans.schema_registry import RESERVED_COLUMNS
 
-        if column in RESERVED_COLUMNS:
+        if column is not None and column in RESERVED_COLUMNS:
             raise ValueError(f"column name {column!r} is reserved by the engine")
         m = self.manifest()
         if schema_version <= m["schema_version"]:
             return False  # foregone DDL (schema_storage.go:204-219)
-        schema = [tuple(x) for x in m["schema"]]
-        hist = dict(m["name_history"])
+        schema = [list(x) for x in m["schema"]]
         if ddl_type == "add_column":
-            schema = schema + [(column, col_type)]
-            hist[column] = column
+            if any(x[0] == column for x in schema):
+                raise ValueError(f"column {column!r} already exists")
+            nid = m.get("next_col_id", len(schema))
+            schema = schema + [[column, col_type, nid]]
+            m["next_col_id"] = nid + 1
         elif ddl_type == "rename_column":
-            schema = [(column if n == old_column else n, t) for n, t in schema]
-            hist = {h: (column if cur == old_column else cur) for h, cur in hist.items()}
-            hist[column] = column
+            schema = [[column, t, i] if n == old_column else [n, t, i]
+                      for n, t, i in schema]
+        elif ddl_type == "drop_column":
+            if column in m["key"]:
+                raise ValueError(f"cannot drop merge-key column {column!r}")
+            kept = [x for x in schema if x[0] != column]
+            if len(kept) == len(schema):
+                raise ValueError(f"drop_column: no column named {column!r}")
+            schema = kept
+        elif ddl_type == "truncate_table":
+            for b in m["buckets"]:
+                m["buckets"][b] = {"files": [], "written_version": schema_version}
+            m["deltas"] = []
+            m["truncate_ts"] = max(m.get("truncate_ts", 0), schema_version)
         else:
             raise ValueError(f"unsupported ddl_type {ddl_type}")
-        m["schema"] = [list(x) for x in schema]
-        m["schemas"][str(schema_version)] = [list(x) for x in schema]
-        m["name_history"] = hist
+        m["schema"] = schema
+        m["schemas"][str(schema_version)] = schema
         m["schema_version"] = schema_version
         m["version"] += 1
         self._commit(m)
@@ -188,20 +260,21 @@ class LakeTable:
 
     def _reconcile(self, by_version: dict, m: dict) -> DataFrame | None:
         """Read filesets grouped by written schema version and project each
-        onto the CURRENT schema: renamed columns aliased via name_history,
-        added columns backfilled NULL (the add-column default rule,
-        cdc/entry/mounter.go:909-965). Returns None for an empty fileset."""
-        cur_fields = [tuple(x) for x in m["schema"]]
-        hist = m["name_history"]
+        onto the CURRENT schema, matching columns by COLUMN ID: renamed
+        columns alias through (same id, new name), dropped/added columns
+        backfill NULL (the add-column default rule,
+        cdc/entry/mounter.go:909-965) — and a re-added name (new id) never
+        reads a dropped column's bytes. Returns None for an empty fileset."""
+        cur = [tuple(x) for x in m["schema"]]  # (name, type, id)
         parts = []
         for wv, files in by_version.items():
-            wfields = [tuple(x) for x in m["schemas"][str(wv)]]
-            df = self.spark.read.schema(_struct(wfields)).parquet(*files)
+            wrows = [tuple(x) for x in m["schemas"][str(wv)]]
+            df = self.spark.read.schema(_struct(wrows)).parquet(*files)
+            wname_by_id = {i: n for n, _, i in wrows}
             cols = []
-            mapped = {hist.get(n): n for n, _ in wfields if hist.get(n)}
-            for n, t in cur_fields:
-                if n in mapped:
-                    cols.append(F.col(mapped[n]).alias(n))
+            for n, t, i in cur:
+                if i in wname_by_id:
+                    cols.append(F.col(wname_by_id[i]).alias(n))
                 else:
                     cols.append(F.lit(None).cast(_TYPE[t]).alias(n))
             parts.append(df.select(*cols))
@@ -210,7 +283,7 @@ class LakeTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return out.select(*[n for n, _ in cur_fields])
+        return out.select(*[x[0] for x in cur])
 
     def _delta_bytes(self, m: dict) -> int:
         total = 0
@@ -233,7 +306,7 @@ class LakeTable:
         O(base shuffle) — the property that keeps read-time merge viable
         when a micro-batch touches 0.1% of a 100-TB table."""
         m = self.manifest(version)
-        cur_fields = [tuple(x) for x in m["schema"]]
+        cur_fields = _nt(m["schema"])
         cur_names = [n for n, _ in cur_fields]
         want = set(map(int, buckets)) if buckets is not None else None
 
@@ -314,7 +387,7 @@ class LakeTable:
             raise RuntimeError("table has uncompacted MOR deltas; run compact() before CoW merge")
         key = m["key"]
         n_buckets = m["n_buckets"]
-        cur_fields = [tuple(x) for x in m["schema"]]
+        cur_fields = _nt(m["schema"])
         cur_names = [n for n, _ in cur_fields]
 
         src = src.withColumn("_bucket", self._bucket_expr(n_buckets, key[0]))
@@ -359,14 +432,7 @@ class LakeTable:
             src.unpersist()
 
         rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
-        m["batch_ids"][batch_id] = {"resolved_ts": resolved_ts, "rows": n_src}
-        if resolved_ts is not None:
-            m["checkpoint"]["resolved_ts"] = max(m["checkpoint"]["resolved_ts"], resolved_ts)
-        m["checkpoint"]["batch_seq"] = m["checkpoint"].get("batch_seq", 0) + 1
-        if rows:
-            m["lineage"].extend(rows)
-        m["version"] += 1
-        self._commit(m)
+        self._commit_batch(m, batch_id, resolved_ts, n_src, rows)
         return {"status": "committed", "batch_id": batch_id, "rows": n_src,
                 "buckets": affected, "version": m["version"], "lineage": rows}
 
@@ -400,10 +466,15 @@ class LakeTable:
             raise RuntimeError("table has uncompacted MOR deltas; run compact() before CoW merge")
         key = m["key"]
         n_buckets = m["n_buckets"]
-        cur_names = [n for n, _ in m["schema"]]
+        cur_names = [x[0] for x in m["schema"]]
         for c in ("_commit_ts", "_start_ts", "_op_rank"):
             if c not in cur_names:
                 raise ValueError("merge_lww needs a table created with_order_cols=True")
+        if m.get("truncate_ts", 0):
+            # stale-DML drop: an event of the pre-truncate table incarnation
+            # arriving late must not resurrect truncated rows
+            # (cdc/entry/schema/snapshot.go:503-509)
+            src = src.filter(F.col("_commit_ts") > int(m["truncate_ts"]))
 
         src = src.withColumn("_bucket", self._bucket_expr(n_buckets, key[0]))
         src = src.persist()
@@ -465,14 +536,7 @@ class LakeTable:
             src.unpersist()
 
         rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
-        m["batch_ids"][batch_id] = {"resolved_ts": resolved_ts, "rows": n_src}
-        if resolved_ts is not None:
-            m["checkpoint"]["resolved_ts"] = max(m["checkpoint"]["resolved_ts"], resolved_ts)
-        m["checkpoint"]["batch_seq"] = m["checkpoint"].get("batch_seq", 0) + 1
-        if rows:
-            m["lineage"].extend(rows)
-        m["version"] += 1
-        self._commit(m)
+        self._commit_batch(m, batch_id, resolved_ts, n_src, rows)
         return {"status": "committed", "batch_id": batch_id, "rows": n_src,
                 "buckets": affected, "version": m["version"], "lineage": rows}
 
@@ -498,9 +562,12 @@ class LakeTable:
         m = self.manifest()
         if batch_id in m["batch_ids"]:
             return {"status": "skipped", "batch_id": batch_id}
-        cur_names = [n for n, _ in m["schema"]]
+        cur_names = [x[0] for x in m["schema"]]
         if "_commit_ts" not in cur_names:
             raise ValueError("append_delta needs a table created with_order_cols=True")
+        if m.get("truncate_ts", 0):
+            # stale-DML drop (see merge_lww): pre-truncate events are dead
+            src = src.filter(F.col("_commit_ts") > int(m["truncate_ts"]))
 
         # deltas are table-level filesets written straight from the dedup
         # output partitioning — NO extra shuffle on the ingest path; the
@@ -518,14 +585,7 @@ class LakeTable:
         )
         rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
         n_src = sum(r.get("event_count", 0) for r in rows)
-        m["batch_ids"][batch_id] = {"resolved_ts": resolved_ts, "rows": n_src, "mode": "mor"}
-        if resolved_ts is not None:
-            m["checkpoint"]["resolved_ts"] = max(m["checkpoint"]["resolved_ts"], resolved_ts)
-        m["checkpoint"]["batch_seq"] = m["checkpoint"].get("batch_seq", 0) + 1
-        if rows:
-            m["lineage"].extend(rows)
-        m["version"] += 1
-        self._commit(m)
+        self._commit_batch(m, batch_id, resolved_ts, n_src, rows, mode="mor")
         return {"status": "committed", "batch_id": batch_id, "version": m["version"],
                 "lineage": rows}
 
@@ -592,6 +652,50 @@ class LakeTable:
         self._commit(m)
         return {"status": "compacted", "version": m["version"], "buckets": affected}
 
+    # ---------------- snapshot expiry (GC safepoint, W8) ----------------
+
+    def expire_snapshots(self, keep_last: int = 2, safepoint_ts: int | None = None) -> dict:
+        """Expire old snapshot versions and delete data files no retained
+        manifest references (single-writer: call between batches, like the
+        owner's GC tick). Two retention rules compose:
+
+        - the newest ``keep_last`` versions are always retained;
+        - the GC-SAFEPOINT rule (/root/reference/cdc/owner/changefeed.go:363-376):
+          any version whose committed checkpoint resolved_ts >= ``safepoint_ts``
+          is NEVER expired — replay/time-travel from every checkpoint at or
+          after the safepoint must stay possible.
+
+        Lineage sidecars are append-only audit records and are kept.
+        Returns counts for observability."""
+        vs = self._versions()
+        retained = set(vs[-max(keep_last, 1):])
+        if safepoint_ts is not None:
+            for v in vs:
+                if self.manifest(v)["checkpoint"]["resolved_ts"] >= safepoint_ts:
+                    retained.add(v)
+        expired = [v for v in vs if v not in retained]
+        live: set = set()
+        for v in retained:
+            m = self.manifest(v)
+            for info in m["buckets"].values():
+                live.update(info["files"])
+            for d in m.get("deltas", []):
+                live.update(d["files"])
+        removed_files = 0
+        if os.path.isdir(self.data_dir):
+            for root, dirs, files in os.walk(self.data_dir, topdown=False):
+                for f in files:
+                    p = os.path.join(root, f)
+                    if f.endswith(".parquet") and p not in live:
+                        os.remove(p)
+                        removed_files += 1
+                if root != self.data_dir and not os.listdir(root):
+                    os.rmdir(root)
+        for v in expired:
+            os.remove(os.path.join(self.meta_dir, f"v{v:08d}.json"))
+        return {"expired_versions": expired, "retained": sorted(retained),
+                "removed_files": removed_files}
+
     # ---------------- introspection ----------------
 
     @property
@@ -602,11 +706,18 @@ class LakeTable:
         return set(self.manifest()["batch_ids"].keys())
 
     def lineage_df(self) -> DataFrame:
-        rows = self.manifest()["lineage"]
+        """Per-partition lineage, read from the append-only sidecar files
+        (one jsonl per commit — the checkpoint table a replay audits)."""
         schema = (
             "batch_id string, partition_id int, resolved_ts long, "
             "event_count long, max_commit_ts long"
         )
+        rows = []
+        if os.path.isdir(self.lineage_dir):
+            for fn in sorted(os.listdir(self.lineage_dir)):
+                if fn.endswith(".jsonl"):
+                    with open(os.path.join(self.lineage_dir, fn)) as f:
+                        rows.extend(json.loads(line) for line in f if line.strip())
         if not rows:
             return self.spark.createDataFrame([], schema)
         return self.spark.createDataFrame(

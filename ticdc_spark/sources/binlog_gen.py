@@ -32,15 +32,23 @@ class DDLSpec:
     """One schema-change event (scope per BASELINE.json: add/rename column)."""
 
     commit_ts: int
-    ddl_type: str  # 'add_column' | 'rename_column'
-    column: str  # column added, or new name for rename
+    ddl_type: str  # 'add_column' | 'rename_column' | 'drop_column' | 'truncate_table'
+    column: str | None = None  # column added/dropped, or new name for rename
     old_column: str | None = None  # rename source
     col_type: str = "string"
+    table_name: str | None = None  # None = global (applies to every table)
 
     def query(self) -> str:
+        tbl = self.table_name or "transcripts"
         if self.ddl_type == "add_column":
-            return f"ALTER TABLE transcripts ADD COLUMN {self.column} {self.col_type.upper()}"
-        return f"ALTER TABLE transcripts RENAME COLUMN {self.old_column} TO {self.column}"
+            return f"ALTER TABLE {tbl} ADD COLUMN {self.column} {self.col_type.upper()}"
+        if self.ddl_type == "rename_column":
+            return f"ALTER TABLE {tbl} RENAME COLUMN {self.old_column} TO {self.column}"
+        if self.ddl_type == "drop_column":
+            return f"ALTER TABLE {tbl} DROP COLUMN {self.column}"
+        if self.ddl_type == "truncate_table":
+            return f"TRUNCATE TABLE {tbl}"
+        raise ValueError(f"unknown ddl_type {self.ddl_type}")
 
 
 @dataclass(frozen=True)
@@ -146,6 +154,10 @@ def gen_binlog(spark: SparkSession, spec: BinlogSpec, parallelism: int | None = 
             fields = fields + [(d.column, F.format_string(f"{d.column}-%d", F.col("commit_ts")))]
         elif d.ddl_type == "rename_column":
             fields = [(d.column if n == d.old_column else n, c) for n, c in fields]
+        elif d.ddl_type == "drop_column":
+            fields = [(n, c) for n, c in fields if n != d.column]
+        elif d.ddl_type == "truncate_table":
+            continue  # data unchanged; the incarnation change is sink-side
         payload = F.when(
             F.col("schema_version") >= d.commit_ts,
             F.to_json(F.struct(*[c.alias(n) for n, c in fields])),
@@ -201,11 +213,12 @@ def gen_resolved_log(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
 def gen_ddl_log(spark: SparkSession, spec: BinlogSpec) -> DataFrame:
     """DDL event stream (cdc/puller/ddl_puller.go analog, tiny by nature)."""
     rows = [
-        (d.commit_ts, d.ddl_type, d.query(), d.column, d.old_column, d.col_type, d.commit_ts)
+        (d.commit_ts, d.ddl_type, d.query(), d.column, d.old_column, d.col_type,
+         d.commit_ts, d.table_name)
         for d in sorted(spec.ddls, key=lambda d: d.commit_ts)
     ]
     schema = (
         "commit_ts long, ddl_type string, query string, column string, "
-        "old_column string, col_type string, schema_version long"
+        "old_column string, col_type string, schema_version long, table_name string"
     )
     return spark.createDataFrame(rows, schema=schema)

@@ -60,10 +60,60 @@ class ChangefeedConfig:
     # semantics — the reference path for consumers that need merge-free reads)
     sink_mode: str = "mor"
     compact_every: int = 8
+    # snapshot expiry (W8): every N committed merges, expire snapshots older
+    # than the newest `expire_keep_last`, except versions protected by the
+    # GC safepoint (checkpoint >= gc_safepoint_ts is never expired). 0 = off.
+    expire_every: int = 0
+    expire_keep_last: int = 2
+    gc_safepoint_ts: int | None = None
     # source partitions the frontier must hear from before advancing; None
     # derives the set from the resolved log itself (a partition that never
     # reports would then NOT hold the frontier at 0 — set this in production)
     expected_partitions: int | None = None
+    # ---- event/table filters (pkg/filter/filter.go:95-235 +
+    # replica_config.go:132-167 analog) ----
+    # regex allow/block lists over table names (multi-table feeds): a table
+    # replicates iff it matches an allow pattern (or allow is None) and no
+    # block pattern. Single-table feeds ignore these.
+    table_allow: tuple = ()
+    table_block: tuple = ()
+    # event ops to drop outright (sql_event_filter 'ignore-event' analog)
+    ignore_ops: tuple = ()
+    # SQL boolean expression over event columns; matching events are DROPPED
+    # (expr_filter.go:249 'ignore-*-value-expr' analog)
+    ignore_event_expr: str | None = None
+    # transactions to skip by start_ts (filter.go:159-184 ignore-txn-start-ts)
+    ignore_start_ts: tuple = ()
+    # P3 integrity verification: when the binlog carries a `checksum`
+    # column, recompute it over the payload and QUARANTINE mismatches
+    # (dropped from the merge; surfaced via quarantine_count in run stats —
+    # cdc/entry/mounter.go:453-523)
+    verify_checksums: bool = False
+    checksum_algo: str = "md5"
+
+
+def apply_event_filters(df: DataFrame, config: "ChangefeedConfig") -> DataFrame:
+    """Configured event filters, applied BEFORE the update splits and dedup
+    (the reference filters at the puller, pkg/filter/filter.go:95-235).
+    All are native Column predicates — they push down into the WAL scan."""
+    if config.ignore_ops:
+        df = df.filter(~F.col("op").isin(*config.ignore_ops))
+    if config.ignore_start_ts:
+        df = df.filter(~F.col("start_ts").isin(*[int(t) for t in config.ignore_start_ts]))
+    if config.ignore_event_expr:
+        df = df.filter(~F.expr(config.ignore_event_expr))
+    return df
+
+
+def table_matches(name: str, config: "ChangefeedConfig") -> bool:
+    """Allow/block-list table routing (filter.go:95-235): replicate iff the
+    name matches an allow pattern (or the allow list is empty) and no block
+    pattern. Full-match regex, like the reference's table matchers."""
+    import re as _re
+
+    if config.table_allow and not any(_re.fullmatch(p, name) for p in config.table_allow):
+        return False
+    return not any(_re.fullmatch(p, name) for p in config.table_block)
 
 
 def table_fields(registry: SchemaRegistry, as_of_ts: int, key=HANDLE_KEY) -> list:
@@ -91,9 +141,14 @@ class Changefeed:
         self.config = config or ChangefeedConfig()
         self.target = target
         self.registry = SchemaRegistry(BASE_PAYLOAD_FIELDS, base_version=0)
-        self.ddl_rows = (
-            sorted(ddl_log.collect(), key=lambda r: r["commit_ts"]) if ddl_log is not None else []
-        )
+        # ddl_log: a DataFrame (collected — the DDL stream is tiny by
+        # nature), or an already-collected list of rows/dicts
+        if ddl_log is None:
+            self.ddl_rows = []
+        elif isinstance(ddl_log, list):
+            self.ddl_rows = sorted(ddl_log, key=lambda r: r["commit_ts"])
+        else:
+            self.ddl_rows = sorted(ddl_log.collect(), key=lambda r: r["commit_ts"])
         self.registry.replay(self.ddl_rows)  # snapshot chain; lookups are ts-bounded
 
     # -------------- lifecycle --------------
@@ -122,22 +177,49 @@ class Changefeed:
 
     def _apply_window(self, lo: int, hi: int) -> dict:
         batch_id = f"{self.config.changefeed_id}:{lo}:{hi}"
-        if batch_id in self.target.committed_batch_ids():
+        # recognition is two-tier: the monotone-window rule (a window whose
+        # upper bound is at/below the checkpoint was already applied — lets
+        # the manifest PRUNE old batch ids instead of growing forever) plus
+        # the live batch-id set for in-flight windows
+        if hi <= self.target.checkpoint["resolved_ts"] or (
+            batch_id in self.target.committed_batch_ids()
+        ):
             return {"status": "skipped", "batch_id": batch_id}
 
         df = self.binlog.filter((F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi))
+        df = apply_event_filters(df, self.config)
+        qobs = None
+        if self.config.verify_checksums and "checksum" in df.columns:
+            # P3: recompute + quarantine corrupt rows; the count rides the
+            # same scan via an Observation (no extra job)
+            from pyspark.sql import Observation
+
+            if self.config.checksum_algo == "md5":
+                recomputed = F.md5(F.coalesce(F.col("payload"), F.lit("")))
+            else:
+                recomputed = F.xxhash64(F.coalesce(F.col("payload"), F.lit(""))).cast("string")
+            ok = F.col("checksum").isNull() | (F.col("checksum") == recomputed)
+            qobs = Observation(f"quarantine-{batch_id}")
+            df = df.withColumn("_ck_ok", ok).observe(
+                qobs, F.sum(F.when(~F.col("_ck_ok"), 1).otherwise(0)).alias("quarantined")
+            ).filter(F.col("_ck_ok")).drop("_ck_ok", "checksum")
         # key-changing updates FIRST (they stop being 'U'), then safe mode
         df = split_key_changing_updates(df, self.config.key)
         if self.config.safe_mode_ts:
             df = split_updates(df, self.config.safe_mode_ts)
-        # pre_payload is consumed by the safe-mode split above; dropping it
-        # here keeps the dead column out of the dedup shuffle
-        df = with_op_rank(df).drop("pre_payload")
+        # pre_payload is consumed by the splits above and op is an exact
+        # function of op_rank — dropping both keeps dead bytes out of the
+        # dedup shuffle (the one exchange per batch)
+        df = with_op_rank(df).drop("pre_payload", "op")
 
         # dedup BEFORE mount, with per-key stats folded into the SAME
         # aggregate: one scan + one shuffle per batch total. The decode
         # then touches only surviving rows.
         deduped = lww_dedup(df, self.config.key, stats=True)
+        deduped = deduped.withColumn(
+            "op",
+            F.when(F.col("op_rank") == 1, "D").when(F.col("op_rank") == 2, "U").otherwise("I"),
+        )
 
         # per-source-partition lineage (A2/A5) via the Observation API:
         # the metrics ride on the sink's own action — NO extra Spark job
@@ -199,6 +281,11 @@ class Changefeed:
             src = mounted.select(*self.config.key, "op", *payload_cols)
             res = self.target.merge(src, batch_id, lineage_rows=lineage_rows, resolved_ts=hi)
         res["events"] = sum(r["event_count"] for r in res.get("lineage", []))
+        if qobs is not None:
+            try:
+                res["quarantined"] = int(qobs.get.get("quarantined") or 0)
+            except Exception:
+                res["quarantined"] = 0
         return res
 
     def is_synced(self) -> bool:
@@ -215,11 +302,10 @@ class Changefeed:
         (source resolved-ts → lake snapshot version) pairs, one per commit —
         the mapping a consistent cross-system snapshot read needs."""
         m = self.target.manifest()
-        out = []
-        for bid, info in m["batch_ids"].items():
-            if info.get("resolved_ts") is not None:
-                out.append({"batch_id": bid, "primary_ts": info["resolved_ts"]})
-        return sorted(out, key=lambda r: r["primary_ts"])
+        return [
+            {"primary_ts": rts, "version": v}
+            for rts, v in sorted(m.get("syncpoints", []))
+        ]
 
     def _ddl_at(self, ts: int) -> dict | None:
         for d in self.ddl_rows:
@@ -253,6 +339,7 @@ class Changefeed:
 
         merges = 0
         events = 0
+        quarantined = 0
         for r in uppers:
             # barrier boundaries inside (ckpt, r]
             bounds = [d for d in self.ddl_rows if ckpt < int(d["commit_ts"]) <= r]
@@ -261,6 +348,7 @@ class Changefeed:
                 hi = int(d["commit_ts"])
                 res = self._apply_window(lo, hi)
                 events += res.get("events", 0)
+                quarantined += res.get("quarantined", 0)
                 merges += res["status"] == "committed"
                 # the barrier: quiesce done (merge committed), apply ALTER
                 self.target.alter(
@@ -269,10 +357,12 @@ class Changefeed:
                 )
                 lo = hi
                 if max_merges and merges >= max_merges:
-                    return {"merges": merges, "events": events, "checkpoint": lo}
+                    return {"merges": merges, "events": events, "checkpoint": lo,
+                            "quarantined": quarantined}
             if lo < r:
                 res = self._apply_window(lo, r)
                 events += res.get("events", 0)
+                quarantined += res.get("quarantined", 0)
                 merges += res["status"] == "committed"
             ckpt = r
             if (
@@ -282,9 +372,15 @@ class Changefeed:
                 # resolved-ts mode: nothing older than the checkpoint can
                 # arrive → tombstones are droppable at compaction
                 self.target.compact(drop_tombstones=True)
+            if self.config.expire_every and merges and merges % self.config.expire_every == 0:
+                self.target.expire_snapshots(
+                    keep_last=self.config.expire_keep_last,
+                    safepoint_ts=self.config.gc_safepoint_ts,
+                )
             if max_merges and merges >= max_merges:
                 break
-        return {"merges": merges, "events": events, "checkpoint": ckpt}
+        return {"merges": merges, "events": events, "checkpoint": ckpt,
+                "quarantined": quarantined}
 
 
 def expected_final_state(
@@ -293,11 +389,17 @@ def expected_final_state(
     frontier: int,
     key=HANDLE_KEY,
     safe_mode_ts: int = 0,
+    config: ChangefeedConfig | None = None,
 ) -> DataFrame:
     """The batch LWW oracle: what the lake table must equal after replaying
     everything <= frontier (SURVEY §5 — final-state equivalence is the
     reference's own correctness oracle, tests/integration_tests/_utils/check_sync_diff)."""
     df = binlog.filter(F.col("commit_ts") <= frontier)
+    if 0 < registry.truncate_ts <= frontier:
+        # a truncate wipes everything at/below it; only later DML survives
+        df = df.filter(F.col("commit_ts") > registry.truncate_ts)
+    if config is not None:
+        df = apply_event_filters(df, config)
     df = split_key_changing_updates(df, key)
     if safe_mode_ts:
         df = split_updates(df, safe_mode_ts)
