@@ -35,7 +35,12 @@ BENCH_QUERIES = [
     "doc_neardup_pairs",
     "doc_simhash16",
     "emb_cosine_topk",
+    "emb_rp_lsh",
+    "emb_ivf_topk",
     "emb_neardup_pairs",
+    "user_sessions",
+    "mq_csv_encode",
+    "key_change_split",
 ]
 
 

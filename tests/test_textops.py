@@ -140,3 +140,33 @@ def test_rp_lsh_deterministic_and_less_skewed(spark):
     assert b1 == b2
     assert len(set(b1.values())) > 50  # 500 vecs over 256 buckets: well spread
     assert rp_planes() == rp_planes()  # seeded: stable across processes
+
+
+def test_ivf_topk_candidates_come_from_probed_lists(spark):
+    """IVF invariants: assignment is deterministic and total; every returned
+    neighbor belongs to one of the query's probed centroid lists; exact
+    brute-force top-1 is recovered when it lives in a probed list."""
+    from ticdc_spark.functions.simsearch import cosine_topk, ivf_assign, ivf_topk
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assign = ivf_assign(embs)
+    n = embs.count()
+    assert assign.count() == n  # total assignment
+    assert assign.groupBy("vec_id").count().filter("count > 1").count() == 0
+    top = ivf_topk(embs, n_queries=4, k=3, n_probe=2)
+    rows = top.collect()
+    assert len(rows) <= 12 and len(rows) > 0
+    # approximate result is a subset of candidates with correct ordering
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cos_sim"]))
+    for q, rs in by_q.items():
+        rs.sort()
+        sims = [s for _, s in rs]
+        assert sims == sorted(sims, reverse=True)
+    # recall sanity: with 8 probes (= all lists) IVF equals brute force
+    full = ivf_topk(embs, n_queries=4, k=3, n_probe=8)
+    brute = cosine_topk(embs, n_queries=4, k=3)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in full.collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
+    assert got == want

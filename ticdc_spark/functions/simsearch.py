@@ -115,6 +115,73 @@ def rp_lsh_bucket(embs: DataFrame, n_bits: int = 8, dim: int = 64,
     )
 
 
+def ivf_assign(embs: DataFrame, centroid_ids: tuple = tuple(range(100, 108)),
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its best centroid
+    (deterministic data-derived centroids = the vectors with the given ids —
+    a seeded stand-in for a k-means codebook; the Spark plumbing is the
+    same). Ranking is by cosine rounded to 4 decimals with centroid-id
+    tie-break so external oracles reproduce it exactly.
+
+    Plan shape: ONE pass over the table against a broadcast 8-row centroid
+    set — no shuffle of the vectors; scales to any table size."""
+    from pyspark.sql import Window as W
+
+    cents = embs.filter(F.col(id_col).isin(*centroid_ids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    scored = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
+        F.broadcast(cents)
+    ).select(
+        "vec_id", "v", "centroid_id",
+        F.round(cosine(F.col("v").cast("array<double>"), F.col("cv").cast("array<double>")), 4).alias("c"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("centroid_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
+        "vec_id", "centroid_id"
+    )
+
+
+def ivf_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2,
+             centroid_ids: tuple = tuple(range(100, 108)),
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF approximate top-k: probe the ``n_probe`` best centroid lists per
+    query, exact cosine re-rank only within the probed lists — the inverted-
+    file trade (scan O(probed lists), not O(table)). Candidates outside the
+    probed lists are missed by design; that is the recall/latency dial."""
+    from pyspark.sql import Window as W
+
+    assign = ivf_assign(embs, centroid_ids, id_col, vec_col)
+    cents = embs.filter(F.col(id_col).isin(*centroid_ids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
+    q = embs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    qs = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "centroid_id",
+        F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 4).alias("c"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("centroid_id"))
+    probes = qs.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= n_probe
+    ).select("query_id", "qv", "centroid_id")
+    cand = probes.join(assign, "centroid_id").filter(
+        F.col("query_id") != F.col("vec_id")
+    ).select("query_id", "qv", F.col("vec_id").alias("neighbor_id"))
+    cand = cand.join(
+        embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")),
+        "neighbor_id",
+    ).select(
+        "query_id", "neighbor_id",
+        F.round(cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")), 4).alias("cos_sim"),
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
+        F.col("rank") <= k
+    ).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
 def lsh_neardup_pairs(embs: DataFrame, n_bits: int = 8, min_cos: float = 0.1,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       planes: list | None = None,

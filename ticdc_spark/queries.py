@@ -704,6 +704,52 @@ SELECT vec_id, CAST({_rp_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
 """
 
 
+def q_emb_ivf_topk(spark, sf_dir):
+    """ANN scale path #2: IVF — coarse-quantize to 8 data-derived centroid
+    lists (one broadcast pass, no table shuffle), probe the 2 best lists
+    per query, exact cosine re-rank only inside the probed lists."""
+    from ticdc_spark.functions.simsearch import ivf_topk
+
+    return ivf_topk(_embs(spark, sf_dir), n_queries=8, k=3, n_probe=2)
+
+
+SQL_EMB_IVF_TOPK = """
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+  WHERE vec_id BETWEEN 100 AND 107),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 4) DESC,
+                    c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (SELECT vec_id, centroid_id FROM assign0 WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+probes0 AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 4) DESC,
+                    c.centroid_id) AS rn
+  FROM q CROSS JOIN cents c),
+probes AS (SELECT query_id, qv, centroid_id FROM probes0 WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_cosine_similarity(CAST(c.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, cos_sim FROM ranked WHERE rank <= 3
+"""
+
+
 def q_emb_neardup_pairs(spark, sf_dir):
     from ticdc_spark.functions.simsearch import lsh_neardup_pairs, rp_planes
 
@@ -1076,6 +1122,106 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) of the event stream — the
+    custom stateful-window operator over transcript/event streams; batch
+    twin is pure window functions (lag + running sum), one hash exchange
+    on the key. The streaming twin (applyInPandasWithState, state carried
+    across micro-batches) is pytest-checked for equality with this plan."""
+    from ticdc_spark.streaming.sessionize import sessionize_batch
+
+    e = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    s = sessionize_batch(e, key_col="user_id", ts_col="ts", gap_seconds=1800)
+    return s.select(
+        "user_id", "session_idx",
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start", "session_end",
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+def q_mq_csv_encode(spark, sf_dir):
+    """K5 (csv codec) + X4 (ts dispatcher): serialize each change event into
+    the CSV message protocol (op,table,commit_ts,cols...;
+    pkg/sink/codec/csv/csv_message.go:43-55) and route it to an MQ
+    partition — the (topic, partition, value) frame a Kafka writer sends."""
+    from ticdc_spark.sinks.mq import dispatch_by_ts, encode_csv
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))),
+    )
+    enc = encode_csv(b, "transcripts", ["conv_id", "turn_idx", "text"])
+    return dispatch_by_ts(enc, 3).select("topic", "partition", "value", "commit_ts")
+
+
+SQL_MQ_CSV_ENCODE = f"""
+WITH {BINLOG_CTE}
+SELECT 'transcripts' AS topic,
+       CAST(commit_ts % 3 AS INT) AS partition,
+       op || ',transcripts,' || CAST(commit_ts AS VARCHAR) || ',' || conv_id || ','
+          || CAST(turn_idx AS VARCHAR) || ','
+          || CASE WHEN op = 'D' THEN '\\N'
+                  ELSE 'p-' || CAST(commit_ts AS VARCHAR) END AS value,
+       commit_ts
+FROM binlog
+"""
+
+
+def q_mq_canal_roundtrip(spark, sf_dir):
+    """K5 (canal-json codec): encode each event into a canal-JSON message,
+    then re-extract the routed fields FROM THE ENCODED STRING
+    (get_json_object) — the encode→decode identity a downstream consumer
+    depends on (pkg/sink/codec/canal/canal_json_message.go)."""
+    from ticdc_spark.sinks.mq import encode_canal_json
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))
+    )
+    enc = encode_canal_json(b, "transcripts", ["conv_id", "turn_idx", "text"])
+    return enc.select(
+        F.get_json_object("value", "$.table").alias("table_name"),
+        F.get_json_object("value", "$.type").alias("msg_type"),
+        F.get_json_object("value", "$.ts").cast("long").alias("ts"),
+        F.get_json_object("key", "$.conv_id").alias("conv_id"),
+        F.get_json_object("key", "$.turn_idx").cast("int").alias("turn_idx"),
+        F.get_json_object(
+            F.get_json_object("value", "$.data"), "$[0].text"
+        ).alias("text"),
+    )
+
+
+SQL_MQ_CANAL_ROUNDTRIP = f"""
+WITH {BINLOG_CTE}
+SELECT 'transcripts' AS table_name,
+       CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END AS msg_type,
+       commit_ts AS ts,
+       conv_id,
+       turn_idx,
+       'p-' || CAST(commit_ts AS VARCHAR) AS text
+FROM binlog
+"""
+
+
 def q_checksum_quarantine(spark, sf_dir):
     """P3 integrity verification (cdc/entry/mounter.go:453-523): recompute
     the transported md5 payload checksum; rows that mismatch (here every
@@ -1339,6 +1485,9 @@ QUERIES = {
     "cdc_truncate_e2e": q_cdc_truncate_e2e,
     "bank_conservation": q_bank_conservation,
     "checksum_quarantine": q_checksum_quarantine,
+    "mq_csv_encode": q_mq_csv_encode,
+    "mq_canal_roundtrip": q_mq_canal_roundtrip,
+    "user_sessions": q_user_sessions,
     "key_change_split": q_key_change_split,
     "lww_final_state": q_lww_final_state,
     "lww_dedup": q_lww_dedup,
@@ -1368,6 +1517,7 @@ QUERIES = {
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_sign_lsh": q_emb_sign_lsh,
     "emb_rp_lsh": q_emb_rp_lsh,
+    "emb_ivf_topk": q_emb_ivf_topk,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "media_features": q_media_features,
 }
@@ -1383,6 +1533,9 @@ ORACLES = {
     "cdc_truncate_e2e": SQL_CDC_TRUNCATE_E2E,
     "bank_conservation": SQL_BANK_CONSERVATION,
     "checksum_quarantine": SQL_CHECKSUM_QUARANTINE,
+    "mq_csv_encode": SQL_MQ_CSV_ENCODE,
+    "mq_canal_roundtrip": SQL_MQ_CANAL_ROUNDTRIP,
+    "user_sessions": SQL_USER_SESSIONS,
     "key_change_split": SQL_KEY_CHANGE_SPLIT,
     "lww_final_state": SQL_LWW_FINAL,
     "lww_dedup": SQL_LWW_DEDUP,
@@ -1412,5 +1565,6 @@ ORACLES = {
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_sign_lsh": SQL_EMB_SIGN_LSH,
     "emb_rp_lsh": SQL_EMB_RP_LSH,
+    "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
 }
