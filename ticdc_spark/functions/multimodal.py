@@ -89,6 +89,60 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize plumbing: the TARGET geometry is computed natively (JVM-side
+    integer math — aspect-preserving clamp of the longest side), so the
+    only per-pixel work left for the (stubbed) kernel is the resample
+    itself. Output carries (media_id, width, height, new_width, new_height,
+    payload) — feed to :func:`resize_images`."""
+    scale_needed = F.greatest(F.col("width"), F.col("height")) > max_side
+    ratio = F.lit(max_side) / F.greatest(F.col("width"), F.col("height")).cast("double")
+    return media.filter(F.col("kind") == "image").select(
+        "media_id", "width", "height",
+        F.when(scale_needed, F.ceil(F.col("width") * ratio)).otherwise(F.col("width"))
+        .cast("int").alias("new_width"),
+        F.when(scale_needed, F.ceil(F.col("height") * ratio)).otherwise(F.col("height"))
+        .cast("int").alias("new_height"),
+        "payload",
+    )
+
+
+def resize_images(media: DataFrame, max_side: int = 256, fake: bool = True) -> DataFrame:
+    """mapInPandas resample: Arrow batches in/out, no shuffle (images are
+    processed where they live). The pixel kernel is stubbed like
+    decode_image — real deployment swaps in PIL/opencv resample; the fake
+    emits a deterministic payload of the right byte budget so downstream
+    sizing/partitioning logic is exercised for real."""
+    planned = resize_plan(media, max_side)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "image resampling requires PIL/opencv — not in this container; "
+                    "pass fake=True to exercise the plumbing"
+                )
+            out_payload = [
+                (p[: max(1, int(len(p) * (nw * nh) / max(w * h, 1)))] if p else b"")
+                for p, w, h, nw, nh in zip(
+                    pdf["payload"], pdf["width"], pdf["height"],
+                    pdf["new_width"], pdf["new_height"],
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": pdf["new_width"],
+                    "height": pdf["new_height"],
+                    "payload": out_payload,
+                }
+            )
+
+    return planned.mapInPandas(
+        op, schema="media_id long, width int, height int, payload binary"
+    )
+
+
 def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode sample timestamps natively
     (JVM-side), leaving only the per-frame decode to the (stubbed) UDF."""

@@ -46,6 +46,26 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer: alphanumeric runs OR single non-space symbols —
+# the split GPT-2-style byte-pair encoders apply before merges; token COUNT
+# under this split upper-bounds the BPE token count.
+BPE_SPLIT_RE = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+
+def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pre-tokenizer token count (regexp_extract_all, JVM regex — one pass,
+    no Python) plus the alpha-run count, the two sizing signals a training
+    pipeline budgets with."""
+    # NB: F.expr would re-parse the pattern as a SQL string literal and eat
+    # the \s escape; the lit() form passes the regex through verbatim
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[A-Za-z0-9]+$"))).cast("long").alias("n_word_tokens"),
+    )
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: length, mean token length, stopword
     density proxy; label = short/low_stop/ok."""
@@ -68,18 +88,51 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# per-language stopword markers for the scored language-ID heuristic; the
+# production swap-in is a full stopword table or a fastText model — the
+# PLAN (per-language hit counts -> argmax, all JVM-side) stays identical
+LANG_MARKERS: dict = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "nicht", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "la", "los", "que", "es"),
+}
+
+
+def _marker_score(t, words):
+    """Count of marker-word occurrences (word-bounded): for each marker,
+    (len(t) - len(remove(t, ' w '))) / len(' w ')."""
+    s = F.lit(0).cast("long")
+    for w in words:
+        pat = f" {w} "
+        s = s + ((F.length(t) - F.length(F.replace(t, F.lit(pat), F.lit("")))) / len(pat)).cast("long")
+    return s
+
+
 def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Marker-word language guess (n-gram heuristic pattern; the markers
-    are placeholders — swap for real per-language stopword lists)."""
+    """Scored language ID: per-language stopword-marker hit counts, argmax
+    with a fixed priority tie-break (en>de>fr>es); zero hits -> 'unk'.
+    Pure Column math over one pass of the text — no shuffle, no Python."""
     t = F.concat(F.lit(" "), F.col(text_col), F.lit(" "))
+    scores = {lang: _marker_score(t, words) for lang, words in LANG_MARKERS.items()}
+    order = list(LANG_MARKERS)
+    guess = F.lit("unk")
+    # build the argmax CASE from lowest to highest priority so earlier
+    # languages win ties
+    for lang in reversed(order):
+        cond = scores[lang] > 0
+        for other in order:
+            if other == lang:
+                continue
+            prior = order.index(other) < order.index(lang)
+            cond = cond & (
+                (scores[lang] > scores[other]) if prior
+                else (scores[lang] >= scores[other])
+            )
+        guess = F.when(cond, lang).otherwise(guess)
     return docs.select(
         "doc_id",
-        F.when(t.contains(" the "), "en")
-        .when(t.contains(" der "), "de")
-        .when(t.contains(" le "), "fr")
-        .when(t.contains(" el "), "es")
-        .otherwise("unk")
-        .alias("lang_guess"),
+        guess.alias("lang_guess"),
         F.col("lang").alias("lang_label"),
     )
 

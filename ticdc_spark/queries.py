@@ -479,6 +479,22 @@ FROM documents
 """
 
 
+def q_doc_token_count_bpe(spark, sf_dir):
+    """BPE-style pre-tokenizer counts (alphanumeric runs + single symbols —
+    the GPT-2 pre-split); upper-bounds the true BPE token count."""
+    from ticdc_spark.functions.textops import token_count_bpe
+
+    return token_count_bpe(_docs(spark, sf_dir))
+
+
+SQL_DOC_TOKEN_COUNT_BPE = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_tokens
+FROM documents
+"""
+
+
 def q_doc_quality(spark, sf_dir):
     from ticdc_spark.functions.textops import quality_score
 
@@ -508,16 +524,44 @@ def q_doc_lang_id(spark, sf_dir):
     return lang_id(_docs(spark, sf_dir))
 
 
-SQL_DOC_LANG_ID = """
-SELECT doc_id,
-       CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 'en'
-            WHEN ' ' || text || ' ' LIKE '% der %' THEN 'de'
-            WHEN ' ' || text || ' ' LIKE '% le %' THEN 'fr'
-            WHEN ' ' || text || ' ' LIKE '% el %' THEN 'es'
-            ELSE 'unk' END AS lang_guess,
-       lang AS lang_label
-FROM documents
+def _lang_id_sql() -> str:
+    """DuckDB twin of textops.lang_id: same marker lists, same hit-count
+    scoring, same en>de>fr>es priority tie-break (generated from
+    LANG_MARKERS so the two sides cannot drift)."""
+    from ticdc_spark.functions.textops import LANG_MARKERS
+
+    def score(words):
+        terms = [
+            f"CAST((length(t) - length(replace(t, ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+            for w in words
+        ]
+        return " + ".join(terms)
+
+    order = list(LANG_MARKERS)
+    score_cols = ",\n         ".join(
+        f"{score(ws)} AS s_{lang}" for lang, ws in LANG_MARKERS.items()
+    )
+    cases = []
+    for lang in order:
+        conds = [f"s_{lang} > 0"]
+        for other in order:
+            if other == lang:
+                continue
+            op = ">" if order.index(other) < order.index(lang) else ">="
+            conds.append(f"s_{lang} {op} s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'unk' END"
+    return f"""
+WITH t0 AS (SELECT doc_id, ' ' || text || ' ' AS t, lang FROM documents),
+scored AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM t0)
+SELECT doc_id, {case_sql} AS lang_guess, lang AS lang_label FROM scored
 """
+
+
+SQL_DOC_LANG_ID = _lang_id_sql()
 
 
 def q_doc_fingerprint(spark, sf_dir):
@@ -1507,6 +1551,7 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
+    "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1555,6 +1600,7 @@ ORACLES = {
     "stream_window_counts": SQL_STREAM_WINDOW,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
+    "doc_token_count_bpe": SQL_DOC_TOKEN_COUNT_BPE,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
