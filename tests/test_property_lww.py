@@ -81,3 +81,68 @@ def test_windowed_lww_equals_global(spark, raw, n_windows):
         if k not in refold or o > refold[k][0]:
             refold[k] = (o, (c, s, op, payload))
     assert {k: v[1] for k, v in refold.items()} == _py_lww(rows)
+
+
+KC_COLS = ("commit_ts long, start_ts long, op string, conv_id string, turn_idx int, "
+           "payload string, pre_conv_id string, pre_turn_idx int")
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=40),            # commit_ts
+            st.sampled_from(["I", "U", "D"]),
+            st.sampled_from(["a", "b", "c"]),                  # conv_id
+            st.integers(min_value=0, max_value=1),             # turn_idx
+            st.one_of(st.none(), st.sampled_from(["a", "b", "c"])),  # pre conv (None = no change)
+            st.integers(min_value=0, max_value=1),             # pre turn
+        ),
+        min_size=1, max_size=30,
+    )
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_key_change_split_laws(spark, raw):
+    """For ANY update stream with arbitrary key mutations
+    (sink.go:1166-1238): (1) the split is count-exact — every key-changing
+    U becomes exactly D+I, everything else passes through; (2) the split
+    emits no 'U' with a stale pre-key; (3) after LWW, a key whose LAST
+    touch was a move-away is dead, and the moved-to key is live."""
+    from ticdc_spark.operators.sortdedup import split_key_changing_updates
+
+    seen, rows = set(), []
+    for i, (c, op, conv, turn, pc, pt) in enumerate(raw):
+        if c in seen:
+            continue  # unique commit_ts (the generator contract)
+        seen.add(c)
+        is_u = op == "U"
+        pre_c = pc if (is_u and pc is not None) else None
+        pre_t = pt if (is_u and pc is not None) else None
+        rows.append((c, c - 1, op, conv, turn, f"p{i}", pre_c, pre_t))
+    df = spark.createDataFrame(rows, KC_COLS)
+    out = split_key_changing_updates(df)
+    got = [tuple(r) for r in out.collect()]
+
+    n_changed = sum(
+        1 for r in rows
+        if r[2] == "U" and r[6] is not None and (r[6], r[7]) != (r[3], r[4])
+    )
+    assert len(got) == len(rows) + n_changed
+    # the oracle expansion in plain python
+    expanded = []
+    for c, s, op, conv, turn, p, pc, pt in rows:
+        if op == "U" and pc is not None and (pc, pt) != (conv, turn):
+            expanded.append((c, s, "D", pc, pt, None))
+            expanded.append((c, s, "I", conv, turn, p))
+        else:
+            expanded.append((c, s, op, conv, turn, p))
+    assert sorted(got, key=str) == sorted(expanded, key=str)
+    # LWW law on the expanded stream: the last writer decides liveness
+    final = lww_dedup(with_op_rank(out), ["conv_id", "turn_idx"])
+    live = {(r["conv_id"], r["turn_idx"]) for r in final.collect() if r["op"] != "D"}
+    last = {}
+    for c, s, op, conv, turn, p in expanded:
+        key = (conv, turn)
+        prev = last.get(key)
+        if prev is None or (c, s, OP_RANK[op]) > prev[0]:
+            last[key] = ((c, s, OP_RANK[op]), op)
+    assert live == {k for k, (_, op) in last.items() if op != "D"}
