@@ -119,3 +119,17 @@ def test_engine_gc_tick(spark, tmp_table_path):
     assert len(cf.target._versions()) <= 4
     want = expected_final_state(gen_binlog(spark, spec), cf.registry, spec.max_commit_ts, KEY)
     assert_df_equal(cf.target.read(), want, KEY)
+
+
+def test_pruned_batch_replay_still_skipped(spark, tmp_table_path):
+    """After batch-id pruning, replaying an OLD batch directly against the
+    LakeTable API (resolved_ts below the checkpoint) must still be a no-op
+    — the monotone-checkpoint rule, not just the id set, guards it."""
+    t = _mk(spark, tmp_table_path)
+    for i in range(1, 6):
+        t.merge_lww(_batch(spark, i), f"b{i}", resolved_ts=i)
+    assert "b1" not in t.committed_batch_ids()  # pruned
+    res = t.merge_lww(_batch(spark, 1), "b1", resolved_ts=1)  # replay attempt
+    assert res["status"] == "skipped"
+    final = {r["_commit_ts"] for r in t.read(include_meta=True).collect()}
+    assert final == {5}  # newest image intact, stale replay ignored

@@ -381,7 +381,13 @@ class LakeTable:
         WHEN MATCHED THEN UPDATE; WHEN NOT MATCHED AND op!='D' THEN INSERT.
         """
         m = self.manifest()
-        if batch_id in m["batch_ids"]:
+        if batch_id in m["batch_ids"] or (
+            resolved_ts is not None and resolved_ts <= m["checkpoint"]["resolved_ts"]
+        ):
+            # recognized either by id (in-flight window) or by the monotone
+            # checkpoint rule (pruned history): a batch at/below the
+            # checkpoint was already applied — re-applying it would write
+            # stale images over newer state
             return {"status": "skipped", "batch_id": batch_id}
         if m.get("deltas"):
             raise RuntimeError("table has uncompacted MOR deltas; run compact() before CoW merge")
@@ -460,7 +466,13 @@ class LakeTable:
         from ticdc_spark.operators.sortdedup import lww_dedup
 
         m = self.manifest()
-        if batch_id in m["batch_ids"]:
+        if batch_id in m["batch_ids"] or (
+            resolved_ts is not None and resolved_ts <= m["checkpoint"]["resolved_ts"]
+        ):
+            # recognized either by id (in-flight window) or by the monotone
+            # checkpoint rule (pruned history): a batch at/below the
+            # checkpoint was already applied — re-applying it would write
+            # stale images over newer state
             return {"status": "skipped", "batch_id": batch_id}
         if m.get("deltas"):
             raise RuntimeError("table has uncompacted MOR deltas; run compact() before CoW merge")
@@ -560,7 +572,13 @@ class LakeTable:
         ``_deleted``), at most one row per key per batch.
         """
         m = self.manifest()
-        if batch_id in m["batch_ids"]:
+        if batch_id in m["batch_ids"] or (
+            resolved_ts is not None and resolved_ts <= m["checkpoint"]["resolved_ts"]
+        ):
+            # recognized either by id (in-flight window) or by the monotone
+            # checkpoint rule (pruned history): a batch at/below the
+            # checkpoint was already applied — re-applying it would write
+            # stale images over newer state
             return {"status": "skipped", "batch_id": batch_id}
         cur_names = [x[0] for x in m["schema"]]
         if "_commit_ts" not in cur_names:
