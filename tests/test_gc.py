@@ -51,6 +51,52 @@ def test_manifest_size_bounded_across_batches(spark, tmp_table_path):
     assert t.lineage_df().count() == 100
 
 
+def test_manifest_flat_in_streaming_epoch_mode(spark, tmp_table_path):
+    """200 arrival-ordered (resolved_ts=None) commits with monotone epochs:
+    the manifest byte-size must be FLAT — epoch batch_ids prune by the
+    epoch high-water mark, syncpoints live in a sidecar."""
+    t = _mk(spark, tmp_table_path)
+    sizes = []
+    for e in range(200):
+        t.merge_lww(_batch(spark, e + 1), f"cf:epoch-{e}", epoch=e)
+        mf = os.path.join(t.meta_dir, f"v{t.manifest()['version']:08d}.json")
+        sizes.append(os.path.getsize(mf))
+    m = t.manifest()
+    assert len(m["batch_ids"]) == 1  # only the newest epoch retained
+    assert m["checkpoint"]["epoch_hwm"] == 199
+    # byte-flat up to integer digit-width (epoch/seq counters), not O(history)
+    assert sizes[-1] - sizes[10] < 50
+    # replaying an old PRUNED epoch is still a no-op (monotone epoch rule)
+    res = t.merge_lww(_batch(spark, 3), "cf:epoch-3", epoch=3)
+    assert res["status"] == "skipped"
+    # re-delivery of the NEWEST epoch (the only one Spark can re-deliver)
+    res = t.merge_lww(_batch(spark, 777), "cf:epoch-199", epoch=199)
+    assert res["status"] == "skipped"
+    final = {r["_commit_ts"] for r in t.read(include_meta=True).collect()}
+    assert final == {200}
+
+
+def test_manifest_flat_in_resolved_ts_mode(spark, tmp_table_path):
+    """200 resolved-ts commits: manifest byte-size flat (syncpoints rotated
+    to the sidecar; batch_ids pruned by the monotone-window rule) while the
+    full syncpoint history stays readable."""
+    t = _mk(spark, tmp_table_path)
+    sizes = []
+    for i in range(1, 201):
+        t.merge_lww(_batch(spark, i), f"b{i}", resolved_ts=i)
+        mf = os.path.join(t.meta_dir, f"v{t.manifest()['version']:08d}.json")
+        sizes.append(os.path.getsize(mf))
+    assert sizes[-1] - sizes[10] < 50  # flat up to counter digit-width
+    sp = t.syncpoints()
+    assert len(sp) == 200 and sp[0][0] == 1 and sp[-1][0] == 200
+    # new batch SHARING the checkpoint ts is NOT silently dropped (strict <)
+    res = t.merge_lww(_batch(spark, 999), "b-extra", resolved_ts=200)
+    assert res["status"] == "committed"
+    # but replaying an already-committed batch at the checkpoint is
+    res = t.merge_lww(_batch(spark, 200), "b200", resolved_ts=200)
+    assert res["status"] == "skipped"
+
+
 def test_expire_honors_safepoint_and_gcs_files(spark, tmp_table_path):
     t = _mk(spark, tmp_table_path)
     for i in range(1, 9):

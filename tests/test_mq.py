@@ -4,11 +4,18 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ticdc_spark.sinks.mq import (
+    RouteRule,
+    decode_open_protocol,
+    dispatch_by_columns,
     dispatch_by_index_value,
+    dispatch_by_key,
     dispatch_by_table,
     dispatch_by_ts,
+    dispatch_default,
     encode_canal_json,
     encode_csv,
+    encode_open_protocol,
+    route_events,
 )
 
 ROWS = [
@@ -64,3 +71,67 @@ def test_dispatchers(spark):
     assert {r["partition"] for r in by_ts.collect()} == {1001 % 3, 1002 % 3, 1003 % 3}
     for df in (by_key, by_tbl, by_ts):
         assert df.filter("partition < 0 OR partition >= 16").count() == 0
+
+
+def test_open_protocol_roundtrip(spark):
+    """Encode→decode identity for TiCDC's default protocol: key carries
+    (ts, scm, tbl, t=1), value carries u/d column maps with sorted names
+    (open_protocol_message.go:30-57)."""
+    enc = encode_open_protocol(
+        _df(spark), "db", "transcripts", ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+    )
+    r = {x["commit_ts"]: x for x in enc.collect()}
+    assert all(x["topic"] == "db_transcripts" for x in r.values())
+    import json
+
+    k = json.loads(r[1001]["key"])
+    assert k == {"ts": 1001, "scm": "db", "tbl": "transcripts", "t": 1}
+    v = json.loads(r[1001]["value"])
+    assert list(v) == ["u"] and sorted(v["u"]) == list(v["u"])  # sorted names
+    assert v["u"]["text"] == {"t": 253, "h": False, "v": "hello"}
+    assert v["u"]["turn_idx"] == {"t": 3, "h": True, "v": "1"}
+    vd = json.loads(r[1003]["value"])
+    assert list(vd) == ["d"] and sorted(vd["d"]) == ["conv_id", "turn_idx"]
+    dec = decode_open_protocol(enc, ["conv_id", "turn_idx", "text"])
+    got = {x["ts"]: x for x in dec.collect()}
+    assert got[1002]["text"] == "hi, there" and got[1002]["op_class"] == "UI"
+    assert got[1003]["op_class"] == "D" and got[1003]["conv_id"] == "conv-b"
+    assert got[1003]["text"] is None
+
+
+def test_key_columns_default_dispatchers(spark):
+    enc = encode_csv(_df(spark), "transcripts", ["conv_id", "turn_idx", "text"])
+    # key dispatcher: everything to partition 0 with the fixed message key
+    by_k = dispatch_by_key(enc, "pk-1")
+    assert {(r["partition"], r["partition_key"]) for r in by_k.collect()} == {(0, "pk-1")}
+    # columns dispatcher: rows agreeing on the configured columns co-locate
+    by_c = dispatch_by_columns(enc, 16, ["conv_id"])
+    per = by_c.groupBy("conv_id").agg(F.count_distinct("partition").alias("n"))
+    assert per.filter("n > 1").count() == 0
+    # default == table (default.go delegates)
+    a = dispatch_default(enc, 16).select("commit_ts", "partition")
+    b = dispatch_by_table(enc, 16).select("commit_ts", "partition")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_event_router_first_match_and_topic_expr(spark):
+    df = _df(spark).withColumn(
+        "table_name",
+        F.when(F.col("turn_idx") == 1, "orders").otherwise("audit_log"),
+    )
+    rules = [
+        RouteRule(matcher=("orders",), partition_rule="ts", topic_rule="{schema}_hot"),
+        RouteRule(matcher=("audit*",), partition_rule="index-value",
+                  topic_rule="{schema}_{table}_v2"),
+    ]
+    out = route_events(df, rules, 4, "db")
+    got = {r["commit_ts"]: (r["topic"], r["partition"]) for r in out.collect()}
+    assert got[1001] == ("db_hot", 1001 % 4)  # first rule, ts dispatcher
+    assert got[1002] == ("db_hot", 1002 % 4)
+    assert got[1003][0] == "db_audit_log_v2"  # wildcard matcher + {table} subst
+    assert 0 <= got[1003][1] < 4
+    # unmatched table falls back to default (schema_table topic, table hash)
+    df2 = _df(spark).withColumn("table_name", F.lit("misc"))
+    out2 = route_events(df2, rules, 4, "db")
+    assert {r["topic"] for r in out2.collect()} == {"db_misc"}

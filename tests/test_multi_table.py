@@ -100,6 +100,105 @@ def test_multi_table_restart_resume(spark, tmp_path):
         assert_df_equal(feed.target.read(), want, KEY)
 
 
+def _lifecycle_build(spark, base_path):
+    """ta renamed→tz at 3000; tb CREATED at 2000 (events only after);
+    tc DROPPED at 3000 (events continue but stop replicating)."""
+    sa = BinlogSpec(n_events=4_000, n_convs=100, seed=7)
+    sb = BinlogSpec(n_events=4_000, n_convs=100, seed=8)
+    sc = BinlogSpec(n_events=4_000, n_convs=100, seed=9)
+    wa = gen_binlog(spark, sa).withColumn(
+        "table_name",
+        F.when(F.col("commit_ts") <= 3_000, F.lit("ta")).otherwise(F.lit("tz")),
+    )
+    wb = gen_binlog(spark, sb).filter(F.col("commit_ts") > 2_000).withColumn(
+        "table_name", F.lit("tb")
+    )
+    wc = gen_binlog(spark, sc).withColumn("table_name", F.lit("tc"))
+    binlog = wa.unionByName(wb).unionByName(wc)
+    ddl_rows = [
+        {"commit_ts": 2_000, "ddl_type": "create_table", "query": "CREATE TABLE tb",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": 2_000, "table_name": "tb"},
+        {"commit_ts": 3_000, "ddl_type": "rename_table", "query": "RENAME TABLE ta TO tz",
+         "column": None, "old_column": "ta", "col_type": None,
+         "schema_version": 3_000, "table_name": "tz"},
+        {"commit_ts": 3_000, "ddl_type": "drop_table", "query": "DROP TABLE tc",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": 3_000, "table_name": "tc"},
+    ]
+    mt = MultiTableChangefeed(
+        spark, binlog, gen_resolved_log(spark, sa), ddl_rows,
+        table_factory=lambda t: LakeTable(spark, f"{base_path}/{t}"),
+        config=ChangefeedConfig(changefeed_id="lc", n_buckets=4),
+        tables=["ta", "tc"],
+    )
+    return mt, (sa, sb, sc)
+
+
+def test_table_lifecycle_create_drop_rename(spark, tmp_path):
+    mt, (sa, sb, sc) = _lifecycle_build(spark, str(tmp_path))
+    mt.run()
+    # rename: same target, full stream, now keyed tz
+    assert set(mt.feeds) == {"tz", "tb"}
+    want_a = expected_final_state(gen_binlog(spark, sa), mt.feeds["tz"].registry,
+                                  sa.max_commit_ts, KEY)
+    assert_df_equal(mt.read("tz"), want_a, KEY)
+    # created table consumed exactly its post-create events
+    want_b = expected_final_state(
+        gen_binlog(spark, sb).filter(F.col("commit_ts") > 2_000),
+        mt.feeds["tb"].registry, sb.max_commit_ts, KEY,
+    )
+    assert_df_equal(mt.read("tb"), want_b, KEY)
+    assert mt.feeds["tb"].target.checkpoint["resolved_ts"] == sb.max_commit_ts
+    # dropped table froze at the drop barrier; its data is retained
+    tc = LakeTable(spark, f"{tmp_path}/tc")
+    assert tc.checkpoint["resolved_ts"] == 3_000
+    reg = mt.feeds["tz"].registry  # same (empty) column-DDL set
+    want_c = expected_final_state(
+        gen_binlog(spark, sc).filter(F.col("commit_ts") <= 3_000), reg, 3_000, KEY
+    )
+    from ticdc_spark.streaming.pipeline import Changefeed  # read via fresh handle
+    assert_df_equal(tc.read(), want_c, KEY)
+
+
+def test_table_lifecycle_resume(spark, tmp_path):
+    """Crash after the first window; a fresh instance must replay lifecycle
+    barriers below the checkpoint and land on the same final state."""
+    mt1, (sa, sb, sc) = _lifecycle_build(spark, str(tmp_path))
+    mt1.run(max_merges_per_table=2)  # past the create barrier at 2000
+    mt2, _ = _lifecycle_build(spark, str(tmp_path))
+    mt2.run()
+    assert set(mt2.feeds) == {"tz", "tb"}
+    want_a = expected_final_state(gen_binlog(spark, sa), mt2.feeds["tz"].registry,
+                                  sa.max_commit_ts, KEY)
+    assert_df_equal(mt2.read("tz"), want_a, KEY)
+    want_b = expected_final_state(
+        gen_binlog(spark, sb).filter(F.col("commit_ts") > 2_000),
+        mt2.feeds["tb"].registry, sb.max_commit_ts, KEY,
+    )
+    assert_df_equal(mt2.read("tb"), want_b, KEY)
+
+
+def test_wal_partitioned_by_table_prunes(spark, tmp_path):
+    """The storage layout contract: a WAL written with
+    write_wal_partitioned serves per-table reads via PARTITION PRUNING —
+    the table predicate appears in the scan's PartitionFilters, not as a
+    post-scan filter over all tables' bytes."""
+    from ticdc_spark.streaming.multi import write_wal_partitioned
+
+    spec = BinlogSpec(n_events=2_000, n_convs=50)
+    wal = gen_binlog(spark, spec).withColumn(
+        "table_name", F.concat(F.lit("t"), (F.col("turn_idx") % 4).cast("string"))
+    )
+    path = str(tmp_path / "wal")
+    write_wal_partitioned(wal, path)
+    got = spark.read.parquet(path).filter(F.col("table_name") == "t1")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "table_name" in plan.split("PartitionFilters")[1][:200]
+    n_t1 = wal.filter("table_name = 't1'").count()
+    assert got.count() == n_t1
+
+
 def test_table_allow_block_routing(spark, tmp_path):
     cfg = ChangefeedConfig(
         changefeed_id="mt", n_buckets=4,

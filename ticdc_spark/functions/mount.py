@@ -26,10 +26,14 @@ from pyspark.sql import types as T
 from ticdc_spark.plans.schema_registry import SchemaRegistry, SchemaSnapshot
 
 
-def _decode_udf(current: SchemaSnapshot, writer_maps: dict):
+def _decode_udf(current: SchemaSnapshot, writer_maps: dict, writer_types: dict | None = None):
     """Build the pandas UDF for one micro-batch. ``writer_maps`` is
-    {writer_version: {current_field: writer_field}} (small dict captured in
-    the closure — the broadcast-dict pattern).
+    {writer_version: {current_field: writer_field}} and ``writer_types``
+    {writer_version: {current_field: writer_type}} (small dicts captured in
+    the closure — the broadcast-dict pattern). Writer types drive the
+    decode-side CAST when a ``modify_column`` changed a column's type:
+    values written under the old type are coerced to the current type with
+    vectorized pandas casts, matching the sink's cast-on-read.
 
     The hot loop is pandas' C JSON parser over the whole Arrow batch
     (``read_json(lines=True)``) — no per-row Python. Safe because the
@@ -42,13 +46,42 @@ def _decode_udf(current: SchemaSnapshot, writer_maps: dict):
     # would make cloudpickle import ticdc_spark on executor python workers
     fields = [tuple(x) for x in current.fields]
     names = [n for n, _ in fields]
-    # UDF-internal transport types: strings for everything except longs
+    # UDF-internal transport types: longs/doubles ride natively (exact over
+    # Arrow), everything else as strings
+    def _transport(t):
+        if t in ("long", "bigint", "int"):
+            return T.LongType()
+        if t == "double":
+            return T.DoubleType()
+        return T.StringType()
+
     udf_schema = T.StructType(
-        [
-            T.StructField(n, T.LongType() if t in ("long", "bigint") else T.StringType(), True)
-            for n, t in current.fields
-        ]
+        [T.StructField(n, _transport(t), True) for n, t in current.fields]
     )
+
+    wtypes = writer_types or {}
+    cur_type = dict(fields)
+
+    def _coerce(col: pd.Series, wt: str | None, ct: str) -> pd.Series:
+        """Align a writer-typed column to the current type — the decode-side
+        cast for modify_column. Vectorized pandas casts only."""
+        if wt is None or wt == ct:
+            return col
+        num_w = wt in ("int", "long", "bigint")
+        num_c = ct in ("int", "long", "bigint")
+        if (num_w and num_c) or (wt == "double" and ct == "double"):
+            return col
+        if ct == "string" and num_w:
+            c = pd.Series(col).astype("Float64").astype("Int64").astype("string").astype(object)
+            return c.where(pd.notna(c), None)
+        if ct == "string" and wt == "double":
+            c = pd.Series(col).astype("Float64").astype("string").astype(object)
+            return c.where(pd.notna(c), None)
+        if (num_c or ct == "double") and wt == "string":
+            return pd.to_numeric(pd.Series(col), errors="coerce")
+        if ct == "double" and num_w:
+            return pd.Series(col).astype("Float64")
+        return col
 
     def _pick(pdf: pd.DataFrame, w: str | None, n_rows: int) -> pd.Series:
         if w is not None and w in pdf.columns:
@@ -69,27 +102,45 @@ def _decode_udf(current: SchemaSnapshot, writer_maps: dict):
         version = version.reset_index(drop=True)
         uniq = version.unique()
         if len(uniq) == 1:
-            wm = writer_maps.get(int(uniq[0]), {})
-            out = {n: _pick(pdf, wm.get(n), n_rows) for n in names}
+            v0 = int(uniq[0])
+            wm = writer_maps.get(v0, {})
+            wt = wtypes.get(v0, {})
+            out = {
+                n: _coerce(_pick(pdf, wm.get(n), n_rows), wt.get(n), cur_type[n])
+                for n in names
+            }
         else:
             out = {n: pd.Series([None] * n_rows, dtype=object) for n in names}
             for v in uniq:
                 mask = (version == v).to_numpy()
                 wm = writer_maps.get(int(v), {})
+                wt = wtypes.get(int(v), {})
                 for n in names:
-                    col = _pick(pdf, wm.get(n), n_rows)
+                    col = _coerce(_pick(pdf, wm.get(n), n_rows), wt.get(n), cur_type[n])
                     out[n] = out[n].mask(mask, col)
         # long transport fields: a column with missing rows parses as
         # float64 (NaN) — convert to nullable Int64 so Arrow gets exact
         # integers (float64 is integer-exact below 2^53; payload encoders
         # must keep long fields below that, which epoch-micros are)
+        from pandas.api.types import infer_dtype
+
         for n, t in fields:
-            if t in ("long", "bigint") and out[n].dtype != "Int64":
-                out[n] = pd.Series(out[n]).astype("Float64").astype("Int64")
-            elif t not in ("long", "bigint") and out[n].dtype != object:
-                # belt-and-braces: Arrow needs object/str for string fields
-                col = out[n]
-                out[n] = col.astype(object).where(pd.notna(col), None)
+            if t in ("long", "bigint", "int"):
+                if out[n].dtype != "Int64":
+                    out[n] = pd.Series(out[n]).astype("Float64").astype("Int64")
+            elif t == "double":
+                out[n] = pd.Series(out[n]).astype("Float64")
+            else:
+                # string transport. Fast path: already all-string objects.
+                # After a modify_column to string, old writers' values are
+                # NUMBERS in the same batch — stringify them (the pandas
+                # twin of the sink's cast-on-read), detected with a single
+                # C pass (infer_dtype), no per-row Python on the fast path.
+                col = pd.Series(out[n])
+                kind = infer_dtype(col, skipna=True)
+                if col.dtype != object or kind not in ("string", "empty"):
+                    col = col.astype("string").astype(object)
+                out[n] = col.where(pd.notna(col), None)
         return pd.DataFrame(out)
 
     # asNondeterministic stops Catalyst's projection collapse from inlining

@@ -106,6 +106,10 @@ class SchemaRegistry:
         elif ddl_type == "rename_column":
             if old_column is None:
                 raise ValueError("rename_column requires old_column")
+            if not any(n == old_column for n, _ in cur.fields):
+                raise ValueError(f"rename_column: no column named {old_column!r}")
+            if any(n == column for n, _ in cur.fields):
+                raise ValueError(f"rename_column: column {column!r} already exists")
             fields = tuple((column if n == old_column else n, t) for n, t in cur.fields)
         elif ddl_type == "drop_column":
             keep = [i for i, (n, _) in enumerate(cur.fields) if n != column]
@@ -113,6 +117,13 @@ class SchemaRegistry:
                 raise ValueError(f"drop_column: no column named {column!r}")
             fields = tuple(cur.fields[i] for i in keep)
             ids = tuple(cur.col_ids[i] for i in keep)
+        elif ddl_type == "modify_column":
+            # type change, SAME column id (ModifyColumn handling,
+            # cdc/entry/schema/snapshot.go:412-551): old files reconcile via
+            # cast-on-read, writer maps carry the per-version type
+            if not any(n == column for n, _ in cur.fields):
+                raise ValueError(f"modify_column: no column named {column!r}")
+            fields = tuple((n, col_type if n == column else t) for n, t in cur.fields)
         elif ddl_type == "truncate_table":
             # schema unchanged; the table incarnation changes — DMLs with
             # commit_ts <= truncate are stale from here on

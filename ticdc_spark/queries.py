@@ -1266,6 +1266,72 @@ FROM binlog
 """
 
 
+def q_mq_open_roundtrip(spark, sf_dir):
+    """K5 (open protocol — TiCDC's DEFAULT MQ codec,
+    pkg/sink/codec/open/open_protocol_encoder.go): encode each event into
+    the open-protocol (key, value) JSON pair, then re-extract every routed
+    field FROM THE ENCODED STRINGS — the encode→decode identity a consumer
+    depends on. Deletes carry only handle-key columns."""
+    from ticdc_spark.sinks.mq import decode_open_protocol, encode_open_protocol
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))),
+    )
+    enc = encode_open_protocol(
+        b, "transcripts_db", "transcripts", ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+    )
+    dec = decode_open_protocol(enc, ["conv_id", "turn_idx", "text"])
+    return dec.select(
+        "ts", "schema_name", "table_name", "op_class",
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "text",
+    )
+
+
+SQL_MQ_OPEN_ROUNDTRIP = f"""
+WITH {BINLOG_CTE}
+SELECT commit_ts AS ts,
+       'transcripts_db' AS schema_name,
+       'transcripts' AS table_name,
+       CASE WHEN op = 'D' THEN 'D' ELSE 'UI' END AS op_class,
+       conv_id, turn_idx,
+       CASE WHEN op = 'D' THEN NULL
+            ELSE 'p-' || CAST(commit_ts AS VARCHAR) END AS text
+FROM binlog
+"""
+
+
+def q_mq_event_router(spark, sf_dir):
+    """X4 event router (cdc/sink/dmlsink/mq/dispatcher/event_router.go):
+    first-matching-rule topic + partition routing with {schema}/{table}
+    topic expressions, over a 3-table stream. Rules use the ts dispatcher
+    (SQL-computable) so the oracle checks the full routing decision."""
+    from ticdc_spark.sinks.mq import RouteRule, route_events
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "table_name", F.concat(F.lit("tbl_"), (F.col("turn_idx") % 3).cast("string"))
+    )
+    rules = [
+        RouteRule(matcher=("tbl_1",), partition_rule="ts", topic_rule="{schema}_hot"),
+        RouteRule(matcher=("tbl_*",), partition_rule="ts", topic_rule="{schema}_{table}_cold"),
+    ]
+    out = route_events(b, rules, 5, "db")
+    return out.select("commit_ts", "table_name", "topic", "partition")
+
+
+SQL_MQ_EVENT_ROUTER = f"""
+WITH {BINLOG_CTE},
+t AS (SELECT *, 'tbl_' || CAST(turn_idx % 3 AS VARCHAR) AS table_name FROM binlog)
+SELECT commit_ts, table_name,
+       CASE WHEN table_name = 'tbl_1' THEN 'db_hot'
+            ELSE 'db_' || table_name || '_cold' END AS topic,
+       CAST(commit_ts % 5 AS INT) AS partition
+FROM t
+"""
+
+
 def q_checksum_quarantine(spark, sf_dir):
     """P3 integrity verification (cdc/entry/mounter.go:453-523): recompute
     the transported md5 payload checksum; rows that mismatch (here every
@@ -1501,6 +1567,124 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_batch_add_table_e2e(spark, sf_dir):
+    """Mid-stream table lifecycle (batch_add_table analog,
+    /root/reference/tests/integration_tests/batch_add_table/): a feed over
+    tbl_0/tbl_1 picks up tbl_new CREATED at a mid-stream barrier — its
+    events start strictly after the create-ts — and a later GLOBAL
+    add_column evolves all three, including the newborn. Single-pass
+    execution: every window is ONE WAL scan + ONE dedup shuffle for all
+    live tables. Result = union of final states."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig
+
+    n = _events(spark, sf_dir).count()
+    create_ts = 1000 + n // 2
+    ddl2 = 1000 + 4 * (n // 5)
+    e = _events(spark, sf_dir)
+    base = e.select(
+        (F.lit(1000) + F.col("event_id")).alias("commit_ts"),
+        (F.lit(1000) + F.col("event_id") - 1 - (F.col("event_id") % 3)).alias("start_ts"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("click", "view"), "U")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("conv-"), F.lpad((F.col("user_id") % 40).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("event_id") % 8).cast("int").alias("turn_idx"),
+        (F.col("user_id") % 4).cast("int").alias("partition_id"),
+        F.concat(F.lit("tbl_"), (F.col("user_id") % 2).cast("string")).alias("table_name"),
+    )
+    newt = base.filter(
+        (F.col("commit_ts") > create_ts) & ((F.col("commit_ts") - 1000) % 3 == 0)
+    ).withColumn("table_name", F.lit("tbl_new"))
+    b = base.unionByName(newt)
+    role = (
+        F.when(F.col("turn_idx") % 4 == 0, "user")
+        .when(F.col("turn_idx") % 4 == 1, "assistant")
+        .when(F.col("turn_idx") % 4 == 2, "system")
+        .otherwise("tool")
+    )
+    ct = F.col("commit_ts").cast("string")
+    basef = [role.alias("role"), F.concat(F.lit("txt-"), ct).alias("text"),
+             F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string")).alias("tool"),
+             ((F.lit(1_700_000_000) + F.col("commit_ts")) * F.lit(1_000_000)).alias("ts")]
+    qs = F.concat(F.lit("q-"), ct).alias("qscore")
+    after2 = F.col("commit_ts") > ddl2
+    payload = F.when(after2, F.to_json(F.struct(*basef, qs))).otherwise(
+        F.to_json(F.struct(*basef)))
+    binlog = b.select(
+        "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(payload).alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        F.when(after2, F.lit(ddl2)).otherwise(F.lit(0)).cast("long").alias("schema_version"),
+        "partition_id", "table_name",
+    )
+    max_ts = 1000 + n
+    bounds = sorted({max_ts * i // 3 for i in range(1, 4)} | {max_ts})
+    resolved = spark.createDataFrame(
+        [(p, r, i) for p in range(4) for i, r in enumerate(bounds)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    ddl_rows = [
+        {"commit_ts": create_ts, "ddl_type": "create_table", "query": "CREATE TABLE tbl_new",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": create_ts, "table_name": "tbl_new"},
+        {"commit_ts": ddl2, "ddl_type": "add_column", "query": "ALTER TABLE * ADD COLUMN qscore STRING",
+         "column": "qscore", "old_column": None, "col_type": "string",
+         "schema_version": ddl2, "table_name": None},
+    ]
+    work = _work_dir("ticdc_addtbl_")
+    mt = MultiTableChangefeed(
+        spark, binlog, resolved, ddl_rows,
+        table_factory=lambda t: LakeTable(spark, os.path.join(work, t)),
+        config=ChangefeedConfig(changefeed_id="addtbl-e2e", n_buckets=4, sink_mode="mor",
+                                compact_every=2),
+        tables=["tbl_0", "tbl_1"],
+    )
+    mt.run()
+    return mt.read_union().select(
+        "table_name", "conv_id", "turn_idx", "role", "text", "tool", "ts", "qscore"
+    )
+
+
+SQL_CDC_BATCH_ADD_TABLE_E2E = """
+WITH base AS (
+  SELECT 1000 + event_id AS commit_ts,
+         1000 + event_id - 1 - (event_id % 3) AS start_ts,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type IN ('click','view') THEN 'U'
+              ELSE 'I' END AS op,
+         'conv-' || lpad(CAST(user_id % 40 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 8 AS INT) AS turn_idx,
+         'tbl_' || CAST(user_id % 2 AS VARCHAR) AS table_name
+  FROM events),
+par AS (SELECT 1000 + (count(*) // 2) AS create_ts, 1000 + 4 * (count(*) // 5) AS ddl2 FROM events),
+allb AS (
+  SELECT commit_ts, start_ts, op, conv_id, turn_idx, table_name FROM base
+  UNION ALL
+  SELECT commit_ts, start_ts, op, conv_id, turn_idx, 'tbl_new' AS table_name
+  FROM base, par WHERE commit_ts > create_ts AND (commit_ts - 1000) % 3 = 0),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY table_name, conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC) AS rn
+  FROM allb)
+SELECT table_name, conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+       CASE WHEN commit_ts > (SELECT ddl2 FROM par)
+            THEN 'q-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS qscore
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (binary media columns → mapInPandas feature
     extraction; decode kernel stubbed with a deterministic fake — the
@@ -1525,12 +1709,15 @@ QUERIES = {
     "cdc_keychange_e2e": q_cdc_keychange_e2e,
     "cdc_filtered_e2e": q_cdc_filtered_e2e,
     "cdc_multi_table_e2e": q_cdc_multi_table_e2e,
+    "cdc_batch_add_table_e2e": q_cdc_batch_add_table_e2e,
     "cdc_drop_readd_e2e": q_cdc_drop_readd_e2e,
     "cdc_truncate_e2e": q_cdc_truncate_e2e,
     "bank_conservation": q_bank_conservation,
     "checksum_quarantine": q_checksum_quarantine,
     "mq_csv_encode": q_mq_csv_encode,
     "mq_canal_roundtrip": q_mq_canal_roundtrip,
+    "mq_open_roundtrip": q_mq_open_roundtrip,
+    "mq_event_router": q_mq_event_router,
     "user_sessions": q_user_sessions,
     "key_change_split": q_key_change_split,
     "lww_final_state": q_lww_final_state,
@@ -1574,12 +1761,15 @@ ORACLES = {
     "cdc_keychange_e2e": SQL_CDC_KEYCHANGE_E2E,
     "cdc_filtered_e2e": SQL_CDC_FILTERED_E2E,
     "cdc_multi_table_e2e": SQL_CDC_MULTI_TABLE_E2E,
+    "cdc_batch_add_table_e2e": SQL_CDC_BATCH_ADD_TABLE_E2E,
     "cdc_drop_readd_e2e": SQL_CDC_DROP_READD_E2E,
     "cdc_truncate_e2e": SQL_CDC_TRUNCATE_E2E,
     "bank_conservation": SQL_BANK_CONSERVATION,
     "checksum_quarantine": SQL_CHECKSUM_QUARANTINE,
     "mq_csv_encode": SQL_MQ_CSV_ENCODE,
     "mq_canal_roundtrip": SQL_MQ_CANAL_ROUNDTRIP,
+    "mq_open_roundtrip": SQL_MQ_OPEN_ROUNDTRIP,
+    "mq_event_router": SQL_MQ_EVENT_ROUTER,
     "user_sessions": SQL_USER_SESSIONS,
     "key_change_split": SQL_KEY_CHANGE_SPLIT,
     "lww_final_state": SQL_LWW_FINAL,

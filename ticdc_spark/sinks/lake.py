@@ -161,8 +161,7 @@ class LakeTable:
                         for b in range(n_buckets)},
             "batch_ids": {},
             "deltas": [],
-            "checkpoint": {"resolved_ts": 0, "batch_seq": 0},
-            "syncpoints": [],
+            "checkpoint": {"resolved_ts": 0, "batch_seq": 0, "epoch_hwm": -1},
         }
         self._commit(manifest)
 
@@ -173,38 +172,89 @@ class LakeTable:
         return os.path.join(self.meta_dir, "lineage")
 
     def _commit_batch(self, m: dict, batch_id: str, resolved_ts: int | None,
-                      n_src: int, rows: list, mode: str | None = None) -> None:
+                      n_src: int, rows: list, mode: str | None = None,
+                      epoch: int | None = None) -> None:
         """Shared commit tail for merge/merge_lww/append_delta: record the
-        batch, advance the checkpoint, PRUNE recognized-forever batch ids
-        (a window at/below the checkpoint is already a no-op by the
-        monotone-window rule, so its id carries no information), append the
-        syncpoint, and write lineage to an APPEND-ONLY sidecar — the
-        manifest JSON stays O(live batches), not O(history), which at 10^10
-        events is the difference between a bounded commit and an
-        ever-growing rewrite."""
+        batch, advance the checkpoint, PRUNE recognized-forever batch ids,
+        append the syncpoint to an APPEND-ONLY sidecar, and write lineage to
+        another — the manifest JSON stays O(live batches), not O(history),
+        which at 10^10 events is the difference between a bounded commit and
+        an ever-growing rewrite. Two pruning rules compose:
+
+        - monotone-window rule: an entry with resolved_ts strictly below the
+          checkpoint is already a guaranteed no-op, drop its id;
+        - monotone-EPOCH rule (arrival-ordered/streaming mode, where
+          resolved_ts is None): foreachBatch epochs are monotone per
+          changefeed and only the newest epoch can ever be re-delivered, so
+          ids of epochs below the high-water mark carry no information.
+
+        Entries with neither a resolved_ts nor an epoch (bare direct-API
+        calls) cannot be pruned safely — pass one of them for bounded
+        manifests."""
         entry: dict = {"resolved_ts": resolved_ts, "rows": n_src}
         if mode:
             entry["mode"] = mode
+        if epoch is not None:
+            entry["epoch"] = epoch
         m["batch_ids"][batch_id] = entry
         ck = m["checkpoint"]
         if resolved_ts is not None:
             ck["resolved_ts"] = max(ck["resolved_ts"], resolved_ts)
+        if epoch is not None:
+            ck["epoch_hwm"] = max(ck.get("epoch_hwm", -1), epoch)
         ck["batch_seq"] = ck.get("batch_seq", 0) + 1
-        m["batch_ids"] = {
-            k: v for k, v in m["batch_ids"].items()
-            if v.get("resolved_ts") is None or v["resolved_ts"] >= ck["resolved_ts"]
-        }
+        hwm = ck.get("epoch_hwm", -1)
+
+        def _retain(v: dict) -> bool:
+            if v.get("resolved_ts") is not None:
+                return v["resolved_ts"] >= ck["resolved_ts"]
+            if v.get("epoch") is not None:
+                return v["epoch"] >= hwm
+            return True
+        m["batch_ids"] = {k: v for k, v in m["batch_ids"].items() if _retain(v)}
         m["version"] += 1
         if resolved_ts is not None:
             # (source resolved-ts -> lake snapshot version): the syncpoint
-            # store (K8, mysql_syncpoint_store.go:133-180)
-            m.setdefault("syncpoints", []).append([resolved_ts, m["version"]])
+            # store (K8, mysql_syncpoint_store.go:133-180). Append-only
+            # sidecar, NOT the manifest — a million-batch history must not
+            # ride along in every manifest rewrite.
+            os.makedirs(self.meta_dir, exist_ok=True)
+            with open(os.path.join(self.meta_dir, "syncpoints.jsonl"), "a") as f:
+                f.write(json.dumps([resolved_ts, m["version"]]) + "\n")
         if rows:
             os.makedirs(self.lineage_dir, exist_ok=True)
             with open(os.path.join(self.lineage_dir, f"v{m['version']:08d}.jsonl"), "w") as f:
                 for r in rows:
                     f.write(json.dumps(r) + "\n")
         self._commit(m)
+
+    @staticmethod
+    def _recognized(m: dict, batch_id: str, resolved_ts: int | None,
+                    epoch: int | None) -> bool:
+        """Replay recognition, three-tier: the live batch-id set (replays AT
+        the checkpoint/high-water stay in it — pruning retains those), the
+        monotone checkpoint rule (strictly below: pruned history), and the
+        monotone epoch rule for arrival-ordered mode. Strict < avoids
+        silently dropping a DISTINCT new batch sharing the checkpoint ts;
+        idempotent replay at == is still caught by batch_ids."""
+        ck = m["checkpoint"]
+        if batch_id in m["batch_ids"]:
+            return True
+        if resolved_ts is not None and resolved_ts < ck["resolved_ts"]:
+            return True
+        return epoch is not None and epoch < ck.get("epoch_hwm", -1)
+
+    def syncpoints(self) -> list:
+        """(source resolved-ts, lake snapshot version) pairs, sorted. Reads
+        the append-only sidecar (plus any legacy in-manifest list) and drops
+        orphans from a crash between sidecar append and manifest commit."""
+        cur = self.manifest()
+        out = [tuple(x) for x in cur.get("syncpoints", [])]
+        p = os.path.join(self.meta_dir, "syncpoints.jsonl")
+        if os.path.exists(p):
+            with open(p) as f:
+                out.extend(tuple(json.loads(line)) for line in f if line.strip())
+        return sorted((rts, v) for rts, v in out if v <= cur["version"])
 
     def alter(self, ddl_type: str, column: str | None, old_column: str | None = None,
               col_type: str = "string", schema_version: int = 0) -> bool:
@@ -230,6 +280,10 @@ class LakeTable:
             schema = schema + [[column, col_type, nid]]
             m["next_col_id"] = nid + 1
         elif ddl_type == "rename_column":
+            if not any(x[0] == old_column for x in schema):
+                raise ValueError(f"rename_column: no column named {old_column!r}")
+            if any(x[0] == column for x in schema):
+                raise ValueError(f"rename_column: column {column!r} already exists")
             schema = [[column, t, i] if n == old_column else [n, t, i]
                       for n, t, i in schema]
         elif ddl_type == "drop_column":
@@ -239,6 +293,14 @@ class LakeTable:
             if len(kept) == len(schema):
                 raise ValueError(f"drop_column: no column named {column!r}")
             schema = kept
+        elif ddl_type == "modify_column":
+            # type change keeps the column ID; files written under the old
+            # type reconcile via cast-on-read in _reconcile
+            if not any(x[0] == column for x in schema):
+                raise ValueError(f"modify_column: no column named {column!r}")
+            if column in m["key"]:
+                raise ValueError(f"cannot modify merge-key column {column!r}")
+            schema = [[n, col_type if n == column else t, i] for n, t, i in schema]
         elif ddl_type == "truncate_table":
             for b in m["buckets"]:
                 m["buckets"][b] = {"files": [], "written_version": schema_version}
@@ -367,6 +429,7 @@ class LakeTable:
         lineage_rows: list | None = None,
         resolved_ts: int | None = None,
         op_col: str = "op",
+        epoch: int | None = None,
     ) -> dict:
         """Exactly-once upsert of one deduplicated micro-batch.
 
@@ -381,13 +444,7 @@ class LakeTable:
         WHEN MATCHED THEN UPDATE; WHEN NOT MATCHED AND op!='D' THEN INSERT.
         """
         m = self.manifest()
-        if batch_id in m["batch_ids"] or (
-            resolved_ts is not None and resolved_ts <= m["checkpoint"]["resolved_ts"]
-        ):
-            # recognized either by id (in-flight window) or by the monotone
-            # checkpoint rule (pruned history): a batch at/below the
-            # checkpoint was already applied — re-applying it would write
-            # stale images over newer state
+        if self._recognized(m, batch_id, resolved_ts, epoch):
             return {"status": "skipped", "batch_id": batch_id}
         if m.get("deltas"):
             raise RuntimeError("table has uncompacted MOR deltas; run compact() before CoW merge")
@@ -395,6 +452,10 @@ class LakeTable:
         n_buckets = m["n_buckets"]
         cur_fields = _nt(m["schema"])
         cur_names = [n for n, _ in cur_fields]
+        if m.get("truncate_ts", 0) and "_commit_ts" in cur_names:
+            # stale-DML drop (see merge_lww): a direct-API caller applying a
+            # late pre-truncate batch must not resurrect truncated rows
+            src = src.filter(F.col("_commit_ts") > int(m["truncate_ts"]))
 
         src = src.withColumn("_bucket", self._bucket_expr(n_buckets, key[0]))
         src = src.persist()
@@ -438,7 +499,7 @@ class LakeTable:
             src.unpersist()
 
         rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
-        self._commit_batch(m, batch_id, resolved_ts, n_src, rows)
+        self._commit_batch(m, batch_id, resolved_ts, n_src, rows, epoch=epoch)
         return {"status": "committed", "batch_id": batch_id, "rows": n_src,
                 "buckets": affected, "version": m["version"], "lineage": rows}
 
@@ -449,6 +510,7 @@ class LakeTable:
         lineage_rows: list | None = None,
         resolved_ts: int | None = None,
         op_col: str = "op",
+        epoch: int | None = None,
     ) -> dict:
         """Order-aware MERGE for arrival-ordered (Structured Streaming)
         batches: a matched target row only loses to a strictly NEWER event.
@@ -466,13 +528,7 @@ class LakeTable:
         from ticdc_spark.operators.sortdedup import lww_dedup
 
         m = self.manifest()
-        if batch_id in m["batch_ids"] or (
-            resolved_ts is not None and resolved_ts <= m["checkpoint"]["resolved_ts"]
-        ):
-            # recognized either by id (in-flight window) or by the monotone
-            # checkpoint rule (pruned history): a batch at/below the
-            # checkpoint was already applied — re-applying it would write
-            # stale images over newer state
+        if self._recognized(m, batch_id, resolved_ts, epoch):
             return {"status": "skipped", "batch_id": batch_id}
         if m.get("deltas"):
             raise RuntimeError("table has uncompacted MOR deltas; run compact() before CoW merge")
@@ -548,7 +604,7 @@ class LakeTable:
             src.unpersist()
 
         rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
-        self._commit_batch(m, batch_id, resolved_ts, n_src, rows)
+        self._commit_batch(m, batch_id, resolved_ts, n_src, rows, epoch=epoch)
         return {"status": "committed", "batch_id": batch_id, "rows": n_src,
                 "buckets": affected, "version": m["version"], "lineage": rows}
 
@@ -560,6 +616,7 @@ class LakeTable:
         batch_id: str,
         lineage_rows: list | None = None,
         resolved_ts: int | None = None,
+        epoch: int | None = None,
     ) -> dict:
         """MOR ingest: append the deduplicated batch as delta files without
         touching the base — O(batch) per commit. Readers re-establish LWW
@@ -572,13 +629,7 @@ class LakeTable:
         ``_deleted``), at most one row per key per batch.
         """
         m = self.manifest()
-        if batch_id in m["batch_ids"] or (
-            resolved_ts is not None and resolved_ts <= m["checkpoint"]["resolved_ts"]
-        ):
-            # recognized either by id (in-flight window) or by the monotone
-            # checkpoint rule (pruned history): a batch at/below the
-            # checkpoint was already applied — re-applying it would write
-            # stale images over newer state
+        if self._recognized(m, batch_id, resolved_ts, epoch):
             return {"status": "skipped", "batch_id": batch_id}
         cur_names = [x[0] for x in m["schema"]]
         if "_commit_ts" not in cur_names:
@@ -603,7 +654,7 @@ class LakeTable:
         )
         rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
         n_src = sum(r.get("event_count", 0) for r in rows)
-        self._commit_batch(m, batch_id, resolved_ts, n_src, rows, mode="mor")
+        self._commit_batch(m, batch_id, resolved_ts, n_src, rows, mode="mor", epoch=epoch)
         return {"status": "committed", "batch_id": batch_id, "version": m["version"],
                 "lineage": rows}
 
@@ -692,18 +743,22 @@ class LakeTable:
                 if self.manifest(v)["checkpoint"]["resolved_ts"] >= safepoint_ts:
                     retained.add(v)
         expired = [v for v in vs if v not in retained]
+        # realpath-normalize both sides: a LakeTable opened through a
+        # differently-spelled but equivalent path (relative vs absolute,
+        # symlink) must still match the writer's manifest paths — an exact
+        # string compare here would see zero live files and delete the table
         live: set = set()
         for v in retained:
             m = self.manifest(v)
             for info in m["buckets"].values():
-                live.update(info["files"])
+                live.update(os.path.realpath(f) for f in info["files"])
             for d in m.get("deltas", []):
-                live.update(d["files"])
+                live.update(os.path.realpath(f) for f in d["files"])
         removed_files = 0
         if os.path.isdir(self.data_dir):
             for root, dirs, files in os.walk(self.data_dir, topdown=False):
                 for f in files:
-                    p = os.path.join(root, f)
+                    p = os.path.realpath(os.path.join(root, f))
                     if f.endswith(".parquet") and p not in live:
                         os.remove(p)
                         removed_files += 1

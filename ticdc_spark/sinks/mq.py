@@ -1,10 +1,11 @@
-"""MQ sink codecs + partition dispatchers (K5/X4), Spark-first.
+"""MQ sink codecs + partition dispatchers + event router (K5/X4), Spark-first.
 
 TiCDC serializes row-change events into message-queue payloads through
-pluggable codecs (/root/reference/pkg/sink/codec/: canal-json, csv, open
-protocol, ...) and routes each message to a Kafka partition through a
-dispatcher (/root/reference/cdc/sink/dmlsink/mq/dispatcher/partition/:
-default/ts/index-value/table/rowid).
+pluggable codecs (/root/reference/pkg/sink/codec/: open protocol,
+canal-json, csv, ...) and routes each message to a topic + Kafka partition
+through an event router (/root/reference/cdc/sink/dmlsink/mq/dispatcher/
+event_router.go) holding per-matcher partition dispatchers
+(dispatcher/partition/{default,table,index_value,key,columns,ts}.go).
 
 Spark re-expression: a codec is a pure Column expression producing the
 message (key, value) strings — JVM-side `to_json`/`concat_ws` inside
@@ -14,23 +15,34 @@ Column over the configured dispatch key. The output DataFrame
 (`df.write.format("kafka")` in an environment with the connector; here the
 encoded frame itself is the oracle-checked product).
 
-Encoders implemented (the text-protocol family; avro/craft are
-binary-schema-registry protocols that need external registries):
+Encoders implemented (the text-protocol family; avro/craft/debezium/
+maxwell need external schema registries and stay out of scope):
 
+- open-protocol (TiCDC's default MQ protocol,
+  pkg/sink/codec/open/open_protocol_encoder.go + internal/message_key.go):
+  JSON key {"ts","scm","tbl","t":1} and JSON value {"u":{col:{...}}} for
+  insert/update (+"p" pre-image when provided), {"d":{...}} for delete;
+  column entries carry {"t": mysql type byte, "h": handle-key flag,
+  "v": value}, sorted by column name (sortColumnArrays,
+  open_protocol_message.go:30-51).
 - canal-json (pkg/sink/codec/canal/canal_json_message.go): one JSON object
   per event with type INSERT/UPDATE/DELETE, ts, and the column data.
 - csv (pkg/sink/codec/csv/csv_message.go:43-55): operation code
   I/U/D, table name, commit-ts, then the column values.
-- open-protocol-like key (pkg/sink/codec/open/): separate JSON key
-  carrying (ts, schema, table) + JSON value of columns.
 """
 
 from __future__ import annotations
+
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _OP_WORD = {"I": "INSERT", "U": "UPDATE", "D": "DELETE"}
+
+# mysql type bytes for the open-protocol column entries (the subset the
+# transcript payload uses; pkg/sink/codec/internal/column.go:48-70)
+_MYSQL_TYPE = {"string": 253, "int": 3, "long": 8, "double": 5, "timestamp": 7}
 
 
 def _op_word():
@@ -72,6 +84,101 @@ def encode_csv(df: DataFrame, table: str, data_cols: list) -> DataFrame:
     )
 
 
+def _op_columns_entry(cols: list, types: dict, handle_cols: tuple) -> object:
+    """{col: {"t": type byte, "h": handle flag, "v": string value}}, column
+    names in SORTED order (to_json preserves struct field order; sorting
+    here mirrors sortColumnArrays, open_protocol_message.go:30-51)."""
+    entries = []
+    for c in sorted(cols):
+        entries.append(
+            F.struct(
+                F.lit(_MYSQL_TYPE.get(types.get(c, "string"), 253)).alias("t"),
+                F.lit(c in handle_cols).alias("h"),
+                F.col(c).cast("string").alias("v"),
+            ).alias(c)
+        )
+    return F.struct(*entries)
+
+
+def encode_open_protocol(
+    df: DataFrame,
+    schema: str,
+    table: str,
+    data_cols: list,
+    handle_cols: tuple = ("conv_id", "turn_idx"),
+    col_types: dict | None = None,
+    pre_cols: list | None = None,
+) -> DataFrame:
+    """Open protocol, TiCDC's default MQ codec
+    (pkg/sink/codec/open/open_protocol_encoder.go):
+
+    - message key: {"ts": commit-ts, "scm": schema, "tbl": table, "t": 1}
+      (internal/message_key.go:25-30; t=1 is MessageTypeRow,
+      cdc/model/sink.go:45-46)
+    - message value: {"u": cols} for insert/update (+"p": pre-image columns
+      when ``pre_cols`` given), {"d": cols} for delete
+      (open_protocol_message.go:53-57 messageRow).
+
+    Pure Column expressions — the whole codec is one whole-stage-codegen
+    projection, no per-row Python."""
+    types = col_types or {}
+    key = F.to_json(
+        F.struct(
+            F.col("commit_ts").alias("ts"),
+            F.lit(schema).alias("scm"),
+            F.lit(table).alias("tbl"),
+            F.lit(1).alias("t"),
+        )
+    )
+    row = _op_columns_entry(data_cols, types, handle_cols)
+    handle_row = _op_columns_entry(
+        [c for c in data_cols if c in handle_cols], types, handle_cols
+    )
+    value = F.when(
+        F.col("op") == "D",
+        # a delete carries only the handle-key columns (the reference's
+        # large-message handle-key mode is the general delete shape here:
+        # post-image columns of a delete are unknown to the stream)
+        F.to_json(F.struct(handle_row.alias("d"))),
+    ).otherwise(
+        F.to_json(
+            F.struct(row.alias("u"), *(
+                [_op_columns_entry(pre_cols, types, handle_cols).alias("p")]
+                if pre_cols else []
+            ))
+        )
+    )
+    return df.select(
+        F.lit(f"{schema}_{table}").alias("topic"),
+        key.alias("key"), value.alias("value"),
+        "commit_ts", "op", "conv_id", "turn_idx",
+    )
+
+
+def decode_open_protocol(df: DataFrame, data_cols: list) -> DataFrame:
+    """Consumer-side identity for the roundtrip oracle: re-extract ts /
+    schema / table / op / column values FROM the encoded strings (the
+    decoder half, open_protocol_message.go:171-195)."""
+    op = (
+        F.when(F.get_json_object("value", "$.d").isNotNull(), "D")
+        .otherwise(F.lit("UI"))
+    )
+    out = df.select(
+        F.get_json_object("key", "$.ts").cast("long").alias("ts"),
+        F.get_json_object("key", "$.scm").alias("schema_name"),
+        F.get_json_object("key", "$.tbl").alias("table_name"),
+        op.alias("op_class"),
+        *[
+            F.coalesce(
+                F.get_json_object("value", f"$.u.{c}.v"),
+                F.get_json_object("value", f"$.d.{c}.v"),
+            ).alias(c)
+            for c in data_cols
+        ],
+    )
+    return out
+
+
 # ---------------- partition dispatchers (X4) ----------------
 
 
@@ -93,8 +200,108 @@ def dispatch_by_table(df: DataFrame, n_partitions: int, table_col: str = "topic"
     )
 
 
+def dispatch_default(df: DataFrame, n_partitions: int, table_col: str = "topic") -> DataFrame:
+    """default dispatcher = the table dispatcher
+    (dispatcher/partition/default.go:48-59 delegates to TableDispatcher)."""
+    return dispatch_by_table(df, n_partitions, table_col)
+
+
 def dispatch_by_ts(df: DataFrame, n_partitions: int) -> DataFrame:
     """ts dispatcher: round-robin by commit-ts (dispatcher/partition/ts.go)."""
     return df.withColumn(
         "partition", F.pmod(F.col("commit_ts"), F.lit(n_partitions)).cast("int")
     )
+
+
+def dispatch_by_key(df: DataFrame, partition_key: str) -> DataFrame:
+    """key dispatcher: every event to partition 0 with a FIXED configured
+    message key (dispatcher/partition/key.go:35-37 returns (0, key))."""
+    return df.withColumn("partition", F.lit(0).cast("int")).withColumn(
+        "partition_key", F.lit(partition_key)
+    )
+
+
+def dispatch_by_columns(df: DataFrame, n_partitions: int, columns: list,
+                        schema_col=None, table_col: str = "topic") -> DataFrame:
+    """columns dispatcher: hash of (schema, table) + each configured
+    column's (name, value) — rows agreeing on those columns co-locate
+    (dispatcher/partition/columns.go:46-76; hasher is xxhash64 here rather
+    than crc32, same co-location property)."""
+    parts = [schema_col if schema_col is not None else F.lit(""), F.col(table_col)]
+    for c in columns:
+        parts += [F.lit(c), F.col(c).cast("string")]
+    return df.withColumn(
+        "partition", F.pmod(F.xxhash64(*parts), F.lit(n_partitions)).cast("int")
+    )
+
+
+# ---------------- event router (event_router.go) ----------------
+
+
+@dataclass(frozen=True)
+class RouteRule:
+    """One dispatch rule: tables matching ``matcher`` (full-match regexes)
+    route to ``topic_rule`` (with {schema}/{table} substitution,
+    pkg/cmd/util/helper_test.go:191-192 expression forms) using
+    ``partition_rule`` (default|table|index-value|ts|columns|key)."""
+
+    matcher: tuple = ("*",)
+    partition_rule: str = "default"
+    topic_rule: str = "{schema}_{table}"
+    columns: tuple = ()          # for partition_rule == "columns"
+    partition_key: str = ""      # for partition_rule == "key"
+
+
+def _matcher_to_regex(pat: str) -> str:
+    # the reference uses MySQL-style table filters; '*' wildcard only
+    import re as _re
+
+    return "".join(".*" if ch == "*" else _re.escape(ch) for ch in pat)
+
+
+def route_events(
+    df: DataFrame,
+    rules: list,
+    n_partitions: int,
+    schema: str,
+    table_col: str = "table_name",
+    key_cols: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Route every event to (topic, partition) by the FIRST matching rule
+    (event_router.go:90-110 matcher semantics). Pure Column logic: the rule
+    chain compiles to nested CASE WHEN over rlike matchers — one codegen
+    projection regardless of rule count, no per-table driver loop."""
+    tname = F.col(table_col)
+    topic = None
+    part = None
+    for r in rules:
+        cond = F.lit(False)
+        for pat in r.matcher:
+            cond = cond | tname.rlike("^" + _matcher_to_regex(pat) + "$")
+        t_expr = F.lit(r.topic_rule.replace("{schema}", schema))
+        if "{table}" in r.topic_rule:
+            pieces = r.topic_rule.replace("{schema}", schema).split("{table}")
+            t_expr = F.concat_ws("", F.lit(pieces[0]), tname,
+                                 *[F.lit(p) for p in pieces[1:]])
+        if r.partition_rule in ("default", "table"):
+            p_expr = F.pmod(F.xxhash64(tname), F.lit(n_partitions))
+        elif r.partition_rule in ("index-value", "rowid"):
+            p_expr = F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_partitions))
+        elif r.partition_rule == "ts":
+            p_expr = F.pmod(F.col("commit_ts"), F.lit(n_partitions))
+        elif r.partition_rule == "columns":
+            parts = [F.lit(schema), tname]
+            for c in r.columns:
+                parts += [F.lit(c), F.col(c).cast("string")]
+            p_expr = F.pmod(F.xxhash64(*parts), F.lit(n_partitions))
+        elif r.partition_rule == "key":
+            p_expr = F.lit(0)
+        else:
+            raise ValueError(f"unknown partition rule {r.partition_rule!r}")
+        topic = F.when(cond, t_expr) if topic is None else topic.when(cond, t_expr)
+        part = F.when(cond, p_expr) if part is None else part.when(cond, p_expr)
+    # unmatched tables fall back to the default rule (event_router.go
+    # appends a default matcher covering all tables)
+    topic = topic.otherwise(F.concat_ws("_", F.lit(schema), tname))
+    part = part.otherwise(F.pmod(F.xxhash64(tname), F.lit(n_partitions)))
+    return df.withColumn("topic", topic).withColumn("partition", part.cast("int"))

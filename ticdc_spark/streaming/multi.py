@@ -1,27 +1,40 @@
-"""Multi-table changefeed: N tables through one feed.
+"""Multi-table changefeed: N tables through ONE feed, single-pass.
 
-TiCDC's data model is per-table everywhere — per-table spans and
-resolved-ts (/root/reference/cdc/puller/multiplexing_puller.go:175-520),
-per-table schema storage (/root/reference/cdc/entry/schema_storage.go:72-153),
-per-table DDL barriers with global vs table-scoped events
+TiCDC multiplexes every table's spans through one puller pass
+(/root/reference/cdc/puller/multiplexing_puller.go:175-520) and targets
+100,000 tables per node (docs/design/2022-03-16-ticdc-db-sorter.md:177-181);
+per-table state is everywhere else — per-table schema storage
+(/root/reference/cdc/entry/schema_storage.go:72-153), per-table DDL barriers
+with global vs table-scoped events
 (/root/reference/cdc/owner/ddl_manager.go:40-85,459-532), and the feed
 checkpoint = min over tables
 (/root/reference/cdc/scheduler/internal/v3/replication/replication_manager.go:556-731).
 
-Spark-first re-expression: each table is an independent single-table
-:class:`~ticdc_spark.streaming.pipeline.Changefeed` over the shared WAL,
-filtered by ``table_name`` (a pushed-down predicate — partition the WAL by
-table for partition pruning at scale). The reference's table→capture
-scheduler assigns tables to nodes; here Spark's scheduler spreads each
-table's jobs across executors, and tables progress independently exactly
-as TiCDC's replication manager allows. A table-scoped DDL barriers only
-its own table (`ddl_only_block_related_table` scenario); a global DDL
-(``table_name`` NULL) is replayed into every table's barrier list.
+Spark-first single-pass execution: per frontier window the shared WAL is
+scanned ONCE and LWW-deduped ONCE with ``table_name`` prepended to the
+handle key — one shuffle for all N tables — then each table's slice is a
+narrow filter off the persisted dedup output, mounted against that table's
+schema registry and committed to its own LakeTable. Work per window is
+O(window events) + N cheap cached filters, not N full WAL scans. Store the
+WAL partitioned by ``table_name`` (:func:`write_wal_partitioned`) so any
+residual per-table scan partition-prunes.
 
-Exactly-once and resume are per-table: each LakeTable manifest carries its
+Mid-stream table lifecycle (batch_add_table / multi_tables_ddl analogs,
+/root/reference/tests/integration_tests/batch_add_table/,
+/root/reference/cdc/entry/schema/snapshot.go:412-551):
+
+- ``create_table`` DDL at ts c: a new feed activates at the barrier; its
+  windows start at c (upstream guarantees no DML below a table's create-ts).
+- ``drop_table`` at ts d: the feed applies its final window ending at d,
+  then deactivates (replicated data is retained, as TiCDC's sink does).
+- ``rename_table`` at ts r (``old_column`` = old name, ``table_name`` = new
+  name): same target table, same registry; WAL events carry the old name
+  through r and the new name after — windows split at r, so each window
+  filters exactly one source name.
+
+Exactly-once and resume stay per-table: each LakeTable manifest carries its
 own checkpoint and batch_ids, so a crash mid-feed resumes every table from
-its own high-water mark; the feed-level checkpoint reported to the user is
-the min over tables.
+its own high-water mark; the feed-level checkpoint is the min over tables.
 """
 
 from __future__ import annotations
@@ -33,7 +46,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ticdc_spark.sinks.lake import LakeTable
+from ticdc_spark.sources.frontier import frontier_steps
 from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig, table_matches
+
+_LIFECYCLE = ("create_table", "drop_table", "rename_table")
+
+
+def write_wal_partitioned(df: DataFrame, path: str, table_col: str = "table_name") -> None:
+    """Persist a multi-table WAL partitioned by table so per-table reads
+    partition-prune instead of scanning every table's events (the storage
+    layout the single-pass driver assumes at scale)."""
+    df.write.partitionBy(table_col).parquet(path)
 
 
 class MultiTableChangefeed:
@@ -50,34 +73,57 @@ class MultiTableChangefeed:
     ):
         """``binlog`` carries a ``table_col`` column; ``ddl_log`` rows carry
         one too (NULL = global DDL, applied to every table). ``tables``
-        skips the discovery scan when the table set is known."""
+        skips the discovery scan when the table set is known. Tables with a
+        ``create_table`` DDL activate at that barrier even if absent from
+        ``tables``/discovery."""
         self.spark = spark
+        self.binlog = binlog
+        self.resolved_log = resolved_log
         self.config = config or ChangefeedConfig(changefeed_id="cf-multi")
         self.table_col = table_col
+        self.table_factory = table_factory
+        if isinstance(ddl_log, list) or ddl_log is None:
+            self.ddl_rows = sorted(ddl_log or [], key=lambda r: r["commit_ts"])
+        else:
+            self.ddl_rows = sorted(ddl_log.collect(), key=lambda r: r["commit_ts"])
+        self.lifecycle = [r for r in self.ddl_rows if r["ddl_type"] in _LIFECYCLE]
+        created = {r[table_col] for r in self.lifecycle if r["ddl_type"] == "create_table"}
         if tables is None:
             tables = sorted(
                 r[0] for r in binlog.select(table_col).distinct().collect() if r[0] is not None
             )
-        # allow/block routing decides the replicated set (filter.go:95-235)
-        self.tables = [t for t in tables if table_matches(t, self.config)]
-        if isinstance(ddl_log, list) or ddl_log is None:
-            ddl_rows = ddl_log or []
-        else:
-            ddl_rows = ddl_log.collect()
+            # renamed tables appear in the WAL under BOTH names; only the
+            # original (pre-rename) name is a table of its own at start
+            renamed_to = {r[table_col] for r in self.lifecycle if r["ddl_type"] == "rename_table"}
+            tables = [t for t in tables if t not in renamed_to]
+        # allow/block routing decides the replicated set (filter.go:95-235);
+        # mid-stream creates start INACTIVE and activate at their barrier
+        self.tables = [t for t in tables if table_matches(t, self.config) and t not in created]
         self.feeds: dict = {}
+        # current WAL source name per feed key (diverges on rename)
+        self._source_name: dict = {}
         for t in self.tables:
-            t_ddls = [
-                r for r in ddl_rows
-                if r[table_col] is None or r[table_col] == t
-            ]
-            self.feeds[t] = Changefeed(
-                spark,
-                binlog.filter(F.col(table_col) == t).drop(table_col),
-                resolved_log,
-                t_ddls,
-                table_factory(t),
-                replace(self.config, changefeed_id=f"{self.config.changefeed_id}/{t}"),
-            )
+            self._add_feed(t, start_ts=self.config.start_ts)
+
+    def _table_ddls(self, t: str) -> list:
+        """Column-DDL rows scoped to table t (global rows included)."""
+        return [
+            r for r in self.ddl_rows
+            if r["ddl_type"] not in _LIFECYCLE
+            and (r[self.table_col] is None or r[self.table_col] == t)
+        ]
+
+    def _add_feed(self, t: str, start_ts: int) -> None:
+        self.feeds[t] = Changefeed(
+            self.spark,
+            self.binlog.filter(F.col(self.table_col) == t).drop(self.table_col),
+            self.resolved_log,
+            self._table_ddls(t),
+            self.table_factory(t),
+            replace(self.config, changefeed_id=f"{self.config.changefeed_id}/{t}",
+                    start_ts=start_ts),
+        )
+        self._source_name[t] = t
 
     # -------------- feed-level aggregation --------------
 
@@ -97,7 +143,7 @@ class MultiTableChangefeed:
         """All tables' final states as one DataFrame (schemas reconciled by
         name: a column a table never had is NULL there)."""
         parts = []
-        for t in self.tables:
+        for t in sorted(self.feeds):
             parts.append(
                 self.feeds[t].target.read().withColumn(self.table_col, F.lit(t))
             )
@@ -106,19 +152,158 @@ class MultiTableChangefeed:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
-    # -------------- the driver loop --------------
+    # -------------- lifecycle barriers --------------
+
+    def _apply_lifecycle(self, d) -> None:
+        ts = int(d["commit_ts"])
+        t = d[self.table_col]
+        if d["ddl_type"] == "create_table":
+            if t in self.feeds:
+                return  # idempotent replay (resume past this barrier)
+            if not table_matches(t, self.config):
+                return
+            self._add_feed(t, start_ts=ts)
+            f = self.feeds[t]
+            f.ensure_target()
+            # catch the new target's schema up to create time: global column
+            # DDLs below the create barrier apply to the newborn table too
+            f._reconcile_ddl(ts)
+            f._partitions = getattr(self, "_partitions", [])
+        elif d["ddl_type"] == "drop_table":
+            self.feeds.pop(t, None)  # stop replicating; data retained
+            self._source_name.pop(t, None)
+        elif d["ddl_type"] == "rename_table":
+            old = d["old_column"]
+            if old in self.feeds and t not in self.feeds:
+                self.feeds[t] = self.feeds.pop(old)
+                self._source_name[t] = t  # WAL carries the new name after ts
+                del self._source_name[old]
+
+    def _replay_lifecycle_below(self, ckpt: int) -> None:
+        """Resume: re-apply lifecycle barriers at/below the checkpoint so a
+        fresh engine instance reconstructs the live table set (idempotent —
+        create of an existing feed is a no-op, targets self-describe)."""
+        for d in self.lifecycle:
+            if int(d["commit_ts"]) <= ckpt:
+                self._apply_lifecycle(d)
+
+    def _apply_column_ddl(self, d) -> None:
+        ts = int(d["commit_ts"])
+        scope = (
+            list(self.feeds) if d[self.table_col] is None else
+            [t for t in self.feeds if t == d[self.table_col]]
+        )
+        for t in scope:
+            self.feeds[t].target.alter(
+                d["ddl_type"], d["column"], d["old_column"],
+                d["col_type"] or "string", schema_version=ts,
+            )
+
+    # -------------- the single-pass driver loop --------------
 
     def run(self, max_merges_per_table: int | None = None) -> dict:
-        """Advance every table to the current global frontier. Tables are
-        independent (per-table barriers/checkpoints); a crash between
-        tables resumes cleanly because each manifest self-describes."""
-        stats = {"tables": len(self.tables), "merges": 0, "events": 0}
-        for t in self.tables:
-            s = self.feeds[t].run(max_merges=max_merges_per_table)
-            stats["merges"] += s["merges"]
-            stats["events"] += s["events"]
+        """Advance every table to the current global frontier, scanning the
+        shared WAL ONCE per window (not once per table): filters + update
+        splits + the LWW dedup shuffle run over all tables together with
+        ``table_name`` prepended to the key; each table then consumes a
+        narrow cached filter of the dedup output. Windows split at every
+        table's DDL commit-ts (a barrier only quiesces its own table's
+        slice; others just see a finer window)."""
+        # resume: rebuild live table set, targets, and missed column DDL
+        start_ckpt = self.checkpoint()
+        self._replay_lifecycle_below(start_ckpt)
+        for f in self.feeds.values():
+            f.ensure_target()
+            f._reconcile_ddl(f.target.checkpoint["resolved_ts"])
+        self._partitions = sorted(
+            int(r[0]) for r in self.resolved_log.select("partition_id").distinct().collect()
+        )
+        for f in self.feeds.values():
+            f._partitions = self._partitions
+
+        effective = [
+            max(f.target.checkpoint["resolved_ts"], f.config.start_ts)
+            for f in self.feeds.values()
+        ]
+        ckpt = min(effective) if effective else self.config.start_ts
+        steps = frontier_steps(
+            self.resolved_log, low=ckpt,
+            expected_partitions=self.config.expected_partitions,
+        )
+        k = max(1, self.config.frontiers_per_batch)
+        uppers = steps[k - 1 :: k]
+        if steps and (not uppers or uppers[-1] != steps[-1]):
+            uppers.append(steps[-1])
+
+        stats = {"tables": len(self.feeds), "merges": 0, "events": 0,
+                 "windows": 0, "wal_scans_per_window": 1}
+        merged_windows = 0
+        for r in uppers:
+            bounds = [d for d in self.ddl_rows if ckpt < int(d["commit_ts"]) <= r]
+            lo = ckpt
+            for d in bounds + [None]:
+                hi = r if d is None else int(d["commit_ts"])
+                if lo < hi:
+                    s = self._apply_window_all(lo, hi)
+                    stats["merges"] += s["merges"]
+                    stats["events"] += s["events"]
+                    stats["windows"] += 1
+                    merged_windows += s["merges"] > 0
+                if d is not None:
+                    # the barrier: quiesce done, apply the DDL
+                    if d["ddl_type"] in _LIFECYCLE:
+                        self._apply_lifecycle(d)
+                    else:
+                        self._apply_column_ddl(d)
+                lo = hi
+            ckpt = r
+            for f in self.feeds.values():
+                if (
+                    f.config.sink_mode == "mor"
+                    and f.target.delta_depth() >= f.config.compact_every
+                ):
+                    f.target.compact(drop_tombstones=True)
+            if max_merges_per_table and merged_windows >= max_merges_per_table:
+                break
+        stats["tables"] = len(self.feeds)
         stats["checkpoint"] = self.checkpoint()
         return stats
+
+    def _apply_window_all(self, lo: int, hi: int) -> dict:
+        """One window, all tables: ONE WAL scan + ONE dedup exchange."""
+        live = {
+            t: f for t, f in self.feeds.items()
+            if hi > max(f.target.checkpoint["resolved_ts"], f.config.start_ts)
+        }
+        out = {"merges": 0, "events": 0}
+        if not live:
+            return out
+        wal = self.binlog.filter(
+            (F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi)
+        )
+        # source-name routing: each live feed reads exactly one WAL name in
+        # this window (windows split at rename barriers)
+        names = {self._source_name[t]: t for t in live}
+        wal = wal.filter(F.col(self.table_col).isin(*names))
+        probe = next(iter(live.values()))
+        df, qobs = probe._prepare_window(wal, f"{self.config.changefeed_id}:{lo}:{hi}")
+        deduped = probe._dedup_window(df, [self.table_col, *self.config.key])
+        deduped = deduped.persist()
+        try:
+            for name, t in sorted(names.items()):
+                feed = live[t]
+                sliced = deduped.filter(F.col(self.table_col) == name).drop(self.table_col)
+                res = feed._sink_deduped(sliced, lo, hi)
+                out["events"] += res.get("events", 0)
+                out["merges"] += res["status"] == "committed"
+        finally:
+            deduped.unpersist()
+        if qobs is not None:
+            try:
+                out["quarantined"] = int(qobs.get.get("quarantined") or 0)
+            except Exception:
+                out["quarantined"] = 0
+        return out
 
 
 def route_tables(names: list, allow: tuple = (), block: tuple = ()) -> list:

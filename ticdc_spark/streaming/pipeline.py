@@ -175,18 +175,10 @@ class Changefeed:
 
     # -------------- one sub-batch --------------
 
-    def _apply_window(self, lo: int, hi: int) -> dict:
-        batch_id = f"{self.config.changefeed_id}:{lo}:{hi}"
-        # recognition is two-tier: the monotone-window rule (a window whose
-        # upper bound is at/below the checkpoint was already applied — lets
-        # the manifest PRUNE old batch ids instead of growing forever) plus
-        # the live batch-id set for in-flight windows
-        if hi <= self.target.checkpoint["resolved_ts"] or (
-            batch_id in self.target.committed_batch_ids()
-        ):
-            return {"status": "skipped", "batch_id": batch_id}
-
-        df = self.binlog.filter((F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi))
+    def _prepare_window(self, df: DataFrame, batch_id: str):
+        """Shared pre-dedup pipeline on a WAL slice: configured event
+        filters, checksum quarantine, update splits, op-rank. Returns
+        (df, quarantine_observation|None)."""
         df = apply_event_filters(df, self.config)
         qobs = None
         if self.config.verify_checksums and "checksum" in df.columns:
@@ -210,16 +202,47 @@ class Changefeed:
         # pre_payload is consumed by the splits above and op is an exact
         # function of op_rank — dropping both keeps dead bytes out of the
         # dedup shuffle (the one exchange per batch)
-        df = with_op_rank(df).drop("pre_payload", "op")
+        return with_op_rank(df).drop("pre_payload", "op"), qobs
 
-        # dedup BEFORE mount, with per-key stats folded into the SAME
-        # aggregate: one scan + one shuffle per batch total. The decode
-        # then touches only surviving rows.
-        deduped = lww_dedup(df, self.config.key, stats=True)
-        deduped = deduped.withColumn(
+    @staticmethod
+    def _dedup_window(df: DataFrame, key) -> DataFrame:
+        """LWW dedup with per-key lineage stats folded into the SAME
+        aggregate: one scan + one shuffle per batch total. ``key`` may be
+        extended with a table column (multi-table single-pass mode)."""
+        deduped = lww_dedup(df, list(key), stats=True)
+        return deduped.withColumn(
             "op",
             F.when(F.col("op_rank") == 1, "D").when(F.col("op_rank") == 2, "U").otherwise("I"),
         )
+
+    def _apply_window(self, lo: int, hi: int) -> dict:
+        batch_id = f"{self.config.changefeed_id}:{lo}:{hi}"
+        # recognition is two-tier: the monotone-window rule (a window whose
+        # upper bound is at/below the checkpoint was already applied — lets
+        # the manifest PRUNE old batch ids instead of growing forever) plus
+        # the live batch-id set for in-flight windows
+        if hi <= self.target.checkpoint["resolved_ts"] or (
+            batch_id in self.target.committed_batch_ids()
+        ):
+            return {"status": "skipped", "batch_id": batch_id}
+
+        df = self.binlog.filter((F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi))
+        df, qobs = self._prepare_window(df, batch_id)
+        # dedup BEFORE mount: the decode then touches only surviving rows
+        deduped = self._dedup_window(df, self.config.key)
+        return self._sink_deduped(deduped, lo, hi, qobs=qobs)
+
+    def _sink_deduped(self, deduped: DataFrame, lo: int, hi: int,
+                      qobs=None) -> dict:
+        """Mount + exactly-once sink of an already-deduped window slice.
+        Split out of :meth:`_apply_window` so the multi-table single-pass
+        driver can dedup ALL tables in one shuffle and feed each table's
+        slice here (streaming/multi.py)."""
+        batch_id = f"{self.config.changefeed_id}:{lo}:{hi}"
+        if hi <= max(self.target.checkpoint["resolved_ts"], self.config.start_ts) or (
+            batch_id in self.target.committed_batch_ids()
+        ):
+            return {"status": "skipped", "batch_id": batch_id}
 
         # per-source-partition lineage (A2/A5) via the Observation API:
         # the metrics ride on the sink's own action — NO extra Spark job
@@ -300,11 +323,11 @@ class Changefeed:
         """Syncpoint store analog (K8,
         /root/reference/cdc/syncpointstore/mysql_syncpoint_store.go:133-180):
         (source resolved-ts → lake snapshot version) pairs, one per commit —
-        the mapping a consistent cross-system snapshot read needs."""
-        m = self.target.manifest()
+        the mapping a consistent cross-system snapshot read needs. Read from
+        the table's append-only sidecar (bounded manifests)."""
         return [
             {"primary_ts": rts, "version": v}
-            for rts, v in sorted(m.get("syncpoints", []))
+            for rts, v in self.target.syncpoints()
         ]
 
     def _ddl_at(self, ts: int) -> dict | None:

@@ -62,8 +62,12 @@ def run_streaming(
             schema_version=registry.resolved_ts,
             with_order_cols=True,
         )
-    elif checkpoint_dir is None and any(
-        b.startswith(f"{config.changefeed_id}:epoch-") for b in target.committed_batch_ids()
+    elif checkpoint_dir is None and (
+        target.checkpoint.get("epoch_hwm", -1) >= 0
+        or any(
+            b.startswith(f"{config.changefeed_id}:epoch-")
+            for b in target.committed_batch_ids()
+        )
     ):
         # without a streaming checkpoint, a repeat call restarts epochs at 0
         # and re-reads ALL files — epoch batch_ids already in the manifest
@@ -127,7 +131,12 @@ def run_streaming(
             F.col("op_rank").alias("_op_rank"),
             (F.col("op") == "D").cast("int").alias("_deleted"),
         )
-        res = target.merge_lww(src, batch_id, lineage_rows=lineage_rows)
+        # epoch rides into the commit so the manifest can PRUNE old epoch
+        # batch_ids by the monotone epoch high-water mark (foreachBatch
+        # epochs are monotone; only the newest can be re-delivered) — the
+        # arrival-ordered twin of the monotone-window rule
+        res = target.merge_lww(src, batch_id, lineage_rows=lineage_rows,
+                               epoch=int(epoch_id))
         stats["batches"] += 1
         stats["events"] += sum(r["event_count"] for r in res.get("lineage", []))
 
