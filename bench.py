@@ -112,10 +112,14 @@ def main():
     timings = {}
     total = 0.0
 
-    # headline: engine replay scaled to sf (sf0.1 → 4M events, MOR ingest)
+    # headline: engine replay scaled to sf (sf0.1 → 4M events, MOR ingest).
+    # loadavg before/after makes a host-contention outlier self-evident in
+    # the recorded numbers (the r2 headline was one).
+    load_pre = os.getloadavg()[0]
     n_events = max(int(40_000_000 * sf), 200_000)
     r = bench_engine_replay(spark, n_events=n_events, n_convs=max(n_events // 50, 100),
                             block=max(n_events // 10, 20_000), sink_mode="mor")
+    load_post = os.getloadavg()[0]
     timings["cdc_engine_replay"] = round(r["sec"], 3)
     total += r["sec"]
     # CoW MERGE comparison at quarter size
@@ -148,6 +152,8 @@ def main():
         "engine_replay_events_per_sec": round(r["events_per_sec"], 1),
         "blackhole_events_per_sec": round(r_bh["events_per_sec"], 1),
         "cpus": cpus,
+        "loadavg_pre": round(load_pre, 2),
+        "loadavg_post": round(load_post, 2),
     }
     print(json.dumps(out))
 

@@ -95,6 +95,26 @@ def main():
         sec_base, n3 = timed(t.read())
         base_only_after = sec_base
 
+        # ---- single-bucket point read between compactions: bucketed delta
+        # layout (file-level pruning) vs the legacy unbucketed layout
+        # (scan ALL deltas, re-derive the bucket) ----
+        for i in range(8):
+            t.append_delta(mk_rows(spark, n_delta, 20_000_000 + i * n_delta, f"u{i}"),
+                           f"delta-b{i}")
+        sec_bucketed, nb = timed(t.read(buckets=[5]))
+        t_legacy = LakeTable(spark, os.path.join(work, "t"))
+        _orig = t_legacy.manifest
+
+        def _legacy_manifest(version=None):
+            m = _orig(version)
+            for d in m.get("deltas", []):
+                d.pop("buckets", None)
+            return m
+
+        t_legacy.manifest = _legacy_manifest
+        sec_legacy, nl = timed(t_legacy.read(buckets=[5]))
+        assert nb == nl, (nb, nl)
+
         assert n1 == n2 == n3, (n1, n2, n3)
         print(json.dumps({
             "base_rows": N_BASE,
@@ -104,6 +124,9 @@ def main():
             "read_base_only_sec": round(base_only_after, 2),
             "delta_scoped_overhead_vs_pure_scan": round(sec_scoped / base_only_after, 2),
             "full_lww_overhead_vs_pure_scan": round(sec_full / base_only_after, 2),
+            "single_bucket_read_bucketed_delta_sec": round(sec_bucketed, 2),
+            "single_bucket_read_legacy_delta_sec": round(sec_legacy, 2),
+            "bucketed_delta_speedup": round(sec_legacy / max(sec_bucketed, 1e-9), 2),
             "cpus": cpus,
         }))
     finally:

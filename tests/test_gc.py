@@ -52,48 +52,48 @@ def test_manifest_size_bounded_across_batches(spark, tmp_table_path):
 
 
 def test_manifest_flat_in_streaming_epoch_mode(spark, tmp_table_path):
-    """200 arrival-ordered (resolved_ts=None) commits with monotone epochs:
+    """60 arrival-ordered (resolved_ts=None) commits with monotone epochs:
     the manifest byte-size must be FLAT — epoch batch_ids prune by the
     epoch high-water mark, syncpoints live in a sidecar."""
     t = _mk(spark, tmp_table_path)
     sizes = []
-    for e in range(200):
+    for e in range(60):
         t.merge_lww(_batch(spark, e + 1), f"cf:epoch-{e}", epoch=e)
         mf = os.path.join(t.meta_dir, f"v{t.manifest()['version']:08d}.json")
         sizes.append(os.path.getsize(mf))
     m = t.manifest()
     assert len(m["batch_ids"]) == 1  # only the newest epoch retained
-    assert m["checkpoint"]["epoch_hwm"] == 199
+    assert m["checkpoint"]["epoch_hwm"] == 59
     # byte-flat up to integer digit-width (epoch/seq counters), not O(history)
     assert sizes[-1] - sizes[10] < 50
     # replaying an old PRUNED epoch is still a no-op (monotone epoch rule)
     res = t.merge_lww(_batch(spark, 3), "cf:epoch-3", epoch=3)
     assert res["status"] == "skipped"
     # re-delivery of the NEWEST epoch (the only one Spark can re-deliver)
-    res = t.merge_lww(_batch(spark, 777), "cf:epoch-199", epoch=199)
+    res = t.merge_lww(_batch(spark, 777), "cf:epoch-59", epoch=59)
     assert res["status"] == "skipped"
     final = {r["_commit_ts"] for r in t.read(include_meta=True).collect()}
-    assert final == {200}
+    assert final == {60}
 
 
 def test_manifest_flat_in_resolved_ts_mode(spark, tmp_table_path):
-    """200 resolved-ts commits: manifest byte-size flat (syncpoints rotated
+    """60 resolved-ts commits: manifest byte-size flat (syncpoints rotated
     to the sidecar; batch_ids pruned by the monotone-window rule) while the
     full syncpoint history stays readable."""
     t = _mk(spark, tmp_table_path)
     sizes = []
-    for i in range(1, 201):
+    for i in range(1, 61):
         t.merge_lww(_batch(spark, i), f"b{i}", resolved_ts=i)
         mf = os.path.join(t.meta_dir, f"v{t.manifest()['version']:08d}.json")
         sizes.append(os.path.getsize(mf))
     assert sizes[-1] - sizes[10] < 50  # flat up to counter digit-width
     sp = t.syncpoints()
-    assert len(sp) == 200 and sp[0][0] == 1 and sp[-1][0] == 200
+    assert len(sp) == 60 and sp[0][0] == 1 and sp[-1][0] == 60
     # new batch SHARING the checkpoint ts is NOT silently dropped (strict <)
-    res = t.merge_lww(_batch(spark, 999), "b-extra", resolved_ts=200)
+    res = t.merge_lww(_batch(spark, 999), "b-extra", resolved_ts=60)
     assert res["status"] == "committed"
     # but replaying an already-committed batch at the checkpoint is
-    res = t.merge_lww(_batch(spark, 200), "b200", resolved_ts=200)
+    res = t.merge_lww(_batch(spark, 60), "b60", resolved_ts=60)
     assert res["status"] == "skipped"
 
 
@@ -179,3 +179,32 @@ def test_pruned_batch_replay_still_skipped(spark, tmp_table_path):
     assert res["status"] == "skipped"
     final = {r["_commit_ts"] for r in t.read(include_meta=True).collect()}
     assert final == {5}  # newest image intact, stale replay ignored
+
+
+def test_batch_resolved_mode_sub_batches_at_one_ts(spark, tmp_table_path):
+    """Batch-resolved-mode analog (ResolvedTs Mode Batch + BatchID,
+    /root/reference/cdc/model/mounter.go:154-198): ONE huge transaction's
+    rows flush as MULTIPLE sub-batches sharing a resolved_ts. The strict-<
+    monotone-window rule admits distinct new ids AT the checkpoint, while
+    each committed id stays replay-proof."""
+    t = _mk(spark, tmp_table_path)
+    rts = 100
+    for part in range(3):  # three sub-batches of the same resolved window
+        df = spark.createDataFrame(
+            [(f"c{part}", 1, f"v{part}", "I", rts, rts - 1, 3, 0)],
+            "conv_id string, turn_idx int, text string, op string, _commit_ts long, "
+            "_start_ts long, _op_rank int, _deleted int",
+        )
+        res = t.merge_lww(df, f"b:{rts}:{part}", resolved_ts=rts)
+        assert res["status"] == "committed", part
+    # all three sub-batches landed
+    assert t.read().count() == 3
+    # replaying any sub-batch id is a no-op
+    for part in range(3):
+        df = spark.createDataFrame(
+            [(f"c{part}", 1, "REPLAYED", "I", rts, rts - 1, 3, 0)],
+            "conv_id string, turn_idx int, text string, op string, _commit_ts long, "
+            "_start_ts long, _op_rank int, _deleted int",
+        )
+        assert t.merge_lww(df, f"b:{rts}:{part}", resolved_ts=rts)["status"] == "skipped"
+    assert t.read().filter("text = 'REPLAYED'").count() == 0

@@ -122,3 +122,45 @@ def test_checksum_quarantine_in_pipeline(spark, tmp_table_path):
         spec.max_commit_ts, ["conv_id", "turn_idx"],
     )
     assert_df_equal(cf.target.read(), want, ["conv_id", "turn_idx"])
+
+
+def test_modify_column_registry_and_mixed_batch_decode(spark):
+    """ModifyColumn (snapshot.go:412-551): same column id, new type; one
+    Arrow batch holding writers of ALL THREE type eras decodes with exact
+    CAST semantics (int->long->string)."""
+    base = (("role", "string"), ("text", "string"), ("ts", "long"), ("score", "int"))
+    reg = SchemaRegistry(base)
+    assert reg.apply_ddl(100, "modify_column", "score", col_type="long")
+    assert reg.apply_ddl(200, "modify_column", "score", col_type="string")
+    cur = reg.snapshot_at(10**9)
+    assert dict(cur.fields)["score"] == "string"
+    # same column id across the chain
+    idx = [n for n, _ in cur.fields].index("score")
+    assert cur.col_ids[idx] == reg.snapshot_at(0).col_ids[idx]
+    tmap = reg.writer_type_map(cur)
+    assert tmap[0]["score"] == "int" and tmap[100]["score"] == "long"
+    rows = [
+        (50, 49, "I", "c", 0, '{"role":"user","text":"a","ts":1,"score":42}', None, 0, 0),
+        (150, 149, "I", "c", 1, '{"role":"user","text":"b","ts":2,"score":5000000123}', None, 100, 0),
+        (250, 249, "I", "c", 2, '{"role":"user","text":"c","ts":3,"score":"s-9"}', None, 200, 0),
+        (260, 259, "D", "c", 3, None, None, 200, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "commit_ts long, start_ts long, op string, conv_id string, turn_idx int, "
+        "payload string, pre_payload string, schema_version long, partition_id int",
+    )
+    out = mount(df, reg, as_of_ts=10**9)
+    got = {r["turn_idx"]: r["score"] for r in out.collect()}
+    assert got == {0: "42", 1: "5000000123", 2: "s-9", 3: None}
+    assert dict(out.dtypes)["score"] == "string"
+
+
+def test_modify_column_guards():
+    reg = SchemaRegistry()
+    try:
+        reg.apply_ddl(100, "modify_column", "nope", col_type="long")
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised

@@ -63,3 +63,40 @@ def test_batch_sessionize_gap_law(spark):
     assert s[(1, 1)] == (2, 0, 50)      # 0,50 in one session
     assert s[(1, 2)] == (2, 151, 200)   # 151 starts a new one (gap 101)
     assert s[(2, 1)] == (1, 0, 0)
+
+
+def test_stream_equals_batch_subsecond_timestamps(spark, tmp_path):
+    """Sub-second gaps near the threshold (e.g. 1800.05s) must land on the
+    SAME side of the gap rule in both twins — the stream kernel tracks
+    microseconds, not floored seconds — and streamed session bounds keep
+    sub-second precision."""
+    import datetime as dt
+
+    TS_SCHEMA = "user_id long, ts timestamp, event_id long"
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 0),
+        (1, base + dt.timedelta(seconds=1799, microseconds=950_000), 1),  # in
+        (1, base + dt.timedelta(seconds=3600, microseconds=50_000), 2),   # out: 1800.1s
+        (1, base + dt.timedelta(seconds=3600, microseconds=123_456), 3),  # in
+    ]
+    events_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(events_dir)
+    for i, chunk in enumerate([rows[:2], rows[2:]]):
+        spark.createDataFrame(chunk, TS_SCHEMA).coalesce(1).write.parquet(
+            f"{events_dir}/p{i}", mode="overwrite"
+        )
+        sessionize_stream(
+            spark, f"{events_dir}/p*", TS_SCHEMA, out_dir,
+            checkpoint_dir=str(tmp_path / "ck"), ts_col="ts", gap_seconds=1800,
+        )
+    got = [tuple(r) for r in read_sessions(spark, out_dir)
+           .orderBy("user_id", "session_idx").collect()]
+    want = [tuple(r) for r in sessionize_batch(
+        spark.createDataFrame(rows, TS_SCHEMA), ts_col="ts", gap_seconds=1800)
+        .orderBy("user_id", "session_idx").collect()]
+    assert got == want, f"\ngot={got}\nwant={want}"
+    # two sessions; bounds keep microsecond precision
+    assert len(got) == 2
+    assert got[1][3].microsecond == 50_000 and got[1][4].microsecond == 123_456

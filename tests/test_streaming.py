@@ -89,3 +89,36 @@ def test_tombstone_blocks_late_older_event(spark, tmp_path):
     assert got == {("c2", 0): "newer"}  # c1 stays deleted
     # the tombstone is still present internally
     assert t.read(include_deleted=True).filter("_deleted = 1").count() == 1
+
+
+def test_streaming_ddl_monotone_schema(spark, tmp_path):
+    """DDL in arrival-ordered mode: an add_column DDL replayed up front
+    evolves the target once; events written under BOTH schema versions —
+    arriving in ONE stream, across batch boundaries unaligned with the DDL
+    commit-ts — decode against their own writer version and produce the
+    barrier-replay final state."""
+    from ticdc_spark.sources.binlog_gen import DDLSpec, gen_ddl_log
+
+    ddl = DDLSpec(commit_ts=2_000, ddl_type="add_column", column="tool_args")
+    spec = BinlogSpec(n_events=4_000, n_convs=100, ddls=(ddl,))
+    binlog_dir = str(tmp_path / "binlog")
+    _write_binlog(spark, spec, binlog_dir)
+    t = LakeTable(spark, str(tmp_path / "t"))
+    stats = run_streaming(
+        spark, binlog_dir, t, ChangefeedConfig(changefeed_id="sd", n_buckets=8),
+        ddl_log=[r.asDict() for r in gen_ddl_log(spark, spec).collect()],
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=2,
+    )
+    assert stats["events"] == spec.n_events
+    got = t.read().drop("_commit_ts", "_start_ts", "_op_rank", "_deleted")
+    assert "tool_args" in got.columns
+    from ticdc_spark.plans.schema_registry import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.replay([r.asDict() for r in gen_ddl_log(spark, spec).collect()])
+    want = expected_final_state(gen_binlog(spark, spec), reg, spec.max_commit_ts, KEY)
+    assert_df_equal(got, want, KEY)
+    # pre-DDL winners carry NULL tool_args, post-DDL winners carry values
+    assert got.filter("ts <= timestamp_micros(1700002000 * CAST(1000000 AS BIGINT)) "
+                      "AND tool_args IS NOT NULL").count() == 0
+    assert got.filter("tool_args IS NOT NULL").count() > 0

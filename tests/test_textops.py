@@ -170,3 +170,38 @@ def test_ivf_topk_candidates_come_from_probed_lists(spark):
     got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in full.collect()}
     want = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in brute.collect()}
     assert got == want
+
+
+def test_ivf_trained_codebook_and_recall_dial(spark):
+    """Trained k-means codebook (Lloyd's as a DataFrame loop): training
+    reduces the spherical distortion vs the seed centroids, n_probe=all
+    recovers brute force exactly, and recall@k is monotone in n_probe."""
+    from ticdc_spark.functions.ivf_codebook import CENTROIDS, K
+    from ticdc_spark.functions.simsearch import (
+        cosine_topk, ivf_topk, kmeans_distortion, train_ivf_kmeans,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # training on THIS data improves the objective over its seed centroids
+    seeds = [
+        [round(float(x), 6) for x in r["embedding"]]
+        for r in embs.filter("vec_id >= 100 AND vec_id < 104").orderBy("vec_id").collect()
+    ]
+    trained = train_ivf_kmeans(embs, k=4, iters=2, seed_ids=tuple(range(100, 104)))
+    assert kmeans_distortion(embs, trained) <= kmeans_distortion(embs, seeds) + 1e-9
+    # the committed codebook (trained at sf0.01) serves any sf
+    assert len(CENTROIDS) == K and all(len(c) == 64 for c in CENTROIDS)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(embs, n_queries=6, k=3).collect()}
+    recalls = []
+    for np_ in (1, 2, 4, K):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in ivf_topk(embs, n_queries=6, k=3, n_probe=np_,
+                                 centroids=CENTROIDS).collect()}
+        recalls.append(len(got & brute) / len(brute))
+    assert all(a <= b + 1e-9 for a, b in zip(recalls, recalls[1:]))  # monotone
+    full = ivf_topk(embs, n_queries=6, k=3, n_probe=K, centroids=CENTROIDS)
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in cosine_topk(embs, n_queries=6, k=3).collect()}
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in full.collect()}
+    assert got == want  # n_probe = all lists == brute force

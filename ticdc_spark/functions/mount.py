@@ -174,7 +174,8 @@ def mount(
     """
     current = registry.snapshot_at(as_of_ts)
     writer_maps = registry.writer_field_map(current)
-    udf = _decode_udf(current, writer_maps)
+    writer_types = registry.writer_type_map(current)
+    udf = _decode_udf(current, writer_maps, writer_types)
     out = df.withColumn("_m", udf(F.col(payload_col), F.col(version_col)))
     for n, t in current.fields:
         col = F.col(f"_m.{n}")

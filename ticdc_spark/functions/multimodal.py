@@ -35,20 +35,26 @@ FEATURE_SCHEMA = (
 
 def synth_media(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (payload = seeded pseudo-bytes),
-    lazily generated from spark.range."""
+    lazily generated from spark.range. Derivation is md5-based — a
+    PORTABLE hash both Spark and DuckDB compute identically, so an external
+    SQL oracle can rebuild the exact table (xxhash64 would be Spark-only)."""
     df = spark.range(n)
-    h = F.xxhash64(F.col("id"), F.lit(seed))
+    hexc = F.md5(F.concat(F.col("id").cast("string"), F.lit(f"-{seed}")))
+    a1 = F.ascii(F.substring(hexc, 1, 1))
+    a2 = F.ascii(F.substring(hexc, 2, 1))
+    a3 = F.ascii(F.substring(hexc, 3, 1))
     kind = F.element_at(
-        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.pmod(h, F.lit(3)) + 1).cast("int")
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (a1 % 3 + 1).cast("int")
     )
     return df.select(
         F.col("id").alias("media_id"),
         kind.alias("kind"),
         F.concat(F.lit("application/x-fake-"), kind).alias("mime"),
-        F.when(kind == "image", (F.pmod(h, F.lit(1024)) + 64).cast("int")).alias("width"),
-        F.when(kind == "image", (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(768)) + 64).cast("int")).alias("height"),
-        F.when(kind != "image", (F.pmod(h, F.lit(60_000)) + 1000)).alias("duration_ms"),
-        F.encode(F.repeat(F.format_string("%016x", h), 16), "utf-8").alias("payload"),
+        F.when(kind == "image", (a2 * 16 % 1024 + 64).cast("int")).alias("width"),
+        F.when(kind == "image", (a3 * 12 % 768 + 64).cast("int")).alias("height"),
+        F.when(kind != "image", (a2 * 997 % 60_000 + 1000).cast("long")).alias("duration_ms"),
+        # 8 x 32 hex chars = 256 payload bytes
+        F.encode(F.repeat(hexc, 8), "utf-8").alias("payload"),
     )
 
 

@@ -119,21 +119,101 @@ def rp_lsh_bucket(embs: DataFrame, n_bits: int = 8, dim: int = 64,
     )
 
 
-def ivf_assign(embs: DataFrame, centroid_ids: tuple = tuple(range(100, 108)),
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its best centroid
-    (deterministic data-derived centroids = the vectors with the given ids —
-    a seeded stand-in for a k-means codebook; the Spark plumbing is the
-    same). Ranking is by cosine rounded to 4 decimals with centroid-id
-    tie-break so external oracles reproduce it exactly.
+def _centroid_df(embs: DataFrame, centroid_ids, centroids, id_col, vec_col) -> DataFrame:
+    """Centroid side of the IVF quantizer: either a TRAINED codebook
+    (list of vectors — literals, so an external oracle can embed the exact
+    same values) or data-derived stand-ins (the vectors with given ids)."""
+    if centroids is not None:
+        spark = embs.sparkSession
+        return spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid_id int, cv array<double>",
+        )
+    return embs.filter(F.col(id_col).isin(*centroid_ids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
+    )
 
-    Plan shape: ONE pass over the table against a broadcast 8-row centroid
+
+def train_ivf_kmeans(embs: DataFrame, k: int = 8, iters: int = 3,
+                     seed_ids: tuple | None = None,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+    """Lloyd's k-means codebook training as a DataFrame loop (spherical
+    variant: cosine assignment, arithmetic-mean update).
+
+    Per iteration: (1) assignment = ONE pass over the table against the
+    broadcast k-row centroid literals — vectors are never shuffled for
+    assignment; (2) update = posexplode to (centroid, dim, value) and a
+    per-(centroid, dim) mean — one hash exchange of k*dim*partitions
+    partial aggregates, independent of row count. Driver holds only the
+    k x dim codebook. Returns centroids rounded to 6 decimals — stable
+    literals for external oracles (the rp_planes pattern).
+
+    The reference has no ANN (it replicates rows); this is the
+    training-data-pipeline surface's scale path."""
+    from pyspark.sql import Window as W
+
+    spark = embs.sparkSession
+    seed_ids = tuple(seed_ids) if seed_ids is not None else tuple(range(100, 100 + k))
+    cents = [
+        [float(x) for x in r["cv"]]
+        for r in embs.filter(F.col(id_col).isin(*seed_ids))
+        .select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("cv"))
+        .orderBy("i").collect()
+    ]
+    v = embs.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "centroid_id int, cv array<double>"
+        )
+        scored = v.join(F.broadcast(cdf)).select(
+            "vec_id", "v", "centroid_id",
+            F.round(cosine(F.col("v"), F.col("cv")), 4).alias("c"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("centroid_id"))
+        assign = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        means = (
+            assign.select("centroid_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("centroid_id", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("centroid_id", F.transform("pm", lambda x: x["m"]).alias("cv"))
+            .collect()
+        )
+        new = {int(r["centroid_id"]): [float(x) for x in r["cv"]] for r in means}
+        # an emptied cluster keeps its previous centroid
+        cents = [new.get(i, cents[i]) for i in range(k)]
+    return [[round(x, 6) for x in c] for c in cents]
+
+
+def kmeans_distortion(embs: DataFrame, centroids: list,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> float:
+    """Mean (1 - best cosine) over the table — the spherical k-means
+    objective, for convergence tests."""
+    cdf = _centroid_df(embs, None, centroids, id_col, vec_col)
+    best = (
+        embs.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col).alias("i"))
+        .join(F.broadcast(cdf))
+        .groupBy("i").agg(F.max(F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("b"))
+    )
+    return float(best.agg(F.avg(F.lit(1.0) - F.col("b"))).collect()[0][0])
+
+
+def ivf_assign(embs: DataFrame, centroid_ids: tuple = tuple(range(100, 108)),
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: list | None = None) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its best centroid.
+    ``centroids`` takes a TRAINED codebook (:func:`train_ivf_kmeans`
+    literals); without it, deterministic data-derived stand-ins (the
+    vectors with ``centroid_ids``). Ranking is by cosine rounded to 4
+    decimals with centroid-id tie-break so external oracles reproduce it
+    exactly.
+
+    Plan shape: ONE pass over the table against a broadcast k-row centroid
     set — no shuffle of the vectors; scales to any table size."""
     from pyspark.sql import Window as W
 
-    cents = embs.filter(F.col(id_col).isin(*centroid_ids)).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    cents = _centroid_df(embs, centroid_ids, centroids, id_col, vec_col)
     scored = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
         F.broadcast(cents)
     ).select(
@@ -148,17 +228,17 @@ def ivf_assign(embs: DataFrame, centroid_ids: tuple = tuple(range(100, 108)),
 
 def ivf_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2,
              centroid_ids: tuple = tuple(range(100, 108)),
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list | None = None) -> DataFrame:
     """IVF approximate top-k: probe the ``n_probe`` best centroid lists per
     query, exact cosine re-rank only within the probed lists — the inverted-
     file trade (scan O(probed lists), not O(table)). Candidates outside the
-    probed lists are missed by design; that is the recall/latency dial."""
+    probed lists are missed by design; that is the recall/latency dial.
+    ``centroids`` = trained codebook literals (:func:`train_ivf_kmeans`)."""
     from pyspark.sql import Window as W
 
-    assign = ivf_assign(embs, centroid_ids, id_col, vec_col)
-    cents = embs.filter(F.col(id_col).isin(*centroid_ids)).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cv")
-    )
+    assign = ivf_assign(embs, centroid_ids, id_col, vec_col, centroids=centroids)
+    cents = _centroid_df(embs, centroid_ids, centroids, id_col, vec_col)
     q = embs.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

@@ -184,3 +184,21 @@ class SchemaRegistry:
                     m[cur_name] = wname
             out[snap.version_ts] = m
         return out
+
+    def writer_type_map(self, current: SchemaSnapshot) -> dict:
+        """{writer_version_ts: {current_field_name: writer_type_str}} —
+        companion to :meth:`writer_field_map`; lets the decode UDF cast a
+        value written under a pre-``modify_column`` type to the current
+        one (ModifyColumn, cdc/entry/schema/snapshot.go:412-551)."""
+        cur_by_id = current.id_of()
+        out = {}
+        for snap in self._snapshots:
+            if snap.version_ts > current.version_ts:
+                break
+            m = {}
+            for (wname, wtype), wid in zip(snap.fields, snap.col_ids):
+                cur_name = cur_by_id.get(wid)
+                if cur_name is not None:
+                    m[cur_name] = wtype
+            out[snap.version_ts] = m
+        return out

@@ -749,18 +749,31 @@ SELECT vec_id, CAST({_rp_bucket_sql()} AS BIGINT) AS bucket FROM embeddings
 
 
 def q_emb_ivf_topk(spark, sf_dir):
-    """ANN scale path #2: IVF — coarse-quantize to 8 data-derived centroid
-    lists (one broadcast pass, no table shuffle), probe the 2 best lists
-    per query, exact cosine re-rank only inside the probed lists."""
+    """ANN scale path #2: IVF with a TRAINED k-means codebook (Lloyd's over
+    sf0.01 embeddings, scripts/train_ivf.py; literals pinned into
+    ivf_codebook.py and shared verbatim with the oracle) — coarse-quantize
+    in one broadcast pass (no table shuffle), probe the 2 best lists per
+    query, exact cosine re-rank only inside the probed lists."""
+    from ticdc_spark.functions.ivf_codebook import CENTROIDS
     from ticdc_spark.functions.simsearch import ivf_topk
 
-    return ivf_topk(_embs(spark, sf_dir), n_queries=8, k=3, n_probe=2)
+    return ivf_topk(_embs(spark, sf_dir), n_queries=8, k=3, n_probe=2,
+                    centroids=CENTROIDS)
 
 
-SQL_EMB_IVF_TOPK = """
+def _ivf_cents_sql() -> str:
+    """DuckDB twin of the trained codebook: the SAME literal doubles."""
+    from ticdc_spark.functions.ivf_codebook import CENTROIDS
+
+    vals = ",\n    ".join(
+        f"({i}, {c!r}::DOUBLE[])" for i, c in enumerate(CENTROIDS)
+    )
+    return f"SELECT * FROM (VALUES {vals}) t(centroid_id, cv)"
+
+
+SQL_EMB_IVF_TOPK = f"""
 WITH cents AS (
-  SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
-  WHERE vec_id BETWEEN 100 AND 107),
+  {_ivf_cents_sql()}),
 assign0 AS (
   SELECT e.vec_id, c.centroid_id,
          row_number() OVER (
@@ -1038,9 +1051,9 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 
 
 
-def _run_engine_ddl(spark, sf_dir, work_dir, binlog, ddl_rows, max_ts):
+def _run_engine_ddl(spark, sf_dir, work_dir, binlog, ddl_rows, max_ts, cfg_extra=None):
     """Engine replay of a custom transcript binlog + DDL list (shared by
-    the drop/re-add and truncate e2e queries)."""
+    the drop/re-add, truncate and modify-column e2e queries)."""
     from ticdc_spark.sinks.lake import LakeTable
     from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
 
@@ -1052,15 +1065,15 @@ def _run_engine_ddl(spark, sf_dir, work_dir, binlog, ddl_rows, max_ts):
     cf = Changefeed(
         spark, binlog, resolved, ddl_rows, LakeTable(spark, work_dir),
         ChangefeedConfig(changefeed_id="ddl-e2e", n_buckets=8, sink_mode="mor",
-                         compact_every=2),
+                         compact_every=2, **(cfg_extra or {})),
     )
     cf.run()
     return cf
 
 
-def _ddl_row(ts, ddl_type, column=None, old_column=None):
+def _ddl_row(ts, ddl_type, column=None, old_column=None, col_type="string"):
     return {"commit_ts": ts, "ddl_type": ddl_type, "query": "", "column": column,
-            "old_column": old_column, "col_type": "string", "schema_version": ts,
+            "old_column": old_column, "col_type": col_type, "schema_version": ts,
             "table_name": None}
 
 
@@ -1122,6 +1135,76 @@ SELECT conv_id, turn_idx,
        make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
        CASE WHEN commit_ts > (SELECT b2 FROM ddl)
             THEN 'T2-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_cdc_modify_column_e2e(spark, sf_dir):
+    """Engine replay across TWO MODIFY COLUMN barriers on `score`
+    (ModifyColumn, cdc/entry/schema/snapshot.go:412-551): int → long at a
+    (post-a writers emit values above int32 range), long → string at b2
+    (post-b2 writers emit strings). Same column ID throughout; files and
+    payloads written under the old types reconcile via cast-on-read — the
+    final table carries score:string with exact CAST semantics."""
+    n = _events(spark, sf_dir).count()
+    a, b2 = _mt_ddl_ts(n)
+    bl = binlog_from_events(spark, sf_dir)
+    role = (
+        F.when(F.col("turn_idx") % 4 == 0, "user")
+        .when(F.col("turn_idx") % 4 == 1, "assistant")
+        .when(F.col("turn_idx") % 4 == 2, "system")
+        .otherwise("tool")
+    )
+    ct = F.col("commit_ts").cast("string")
+    text = F.concat(F.lit("txt-"), ct)
+    tool = F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string"))
+    ts_us = (F.lit(1_700_000_000) + F.col("commit_ts")) * F.lit(1_000_000)
+    base = [role.alias("role"), text.alias("text"), tool.alias("tool"), ts_us.alias("ts")]
+    p0 = F.to_json(F.struct(*base, (F.col("commit_ts") % 997).cast("int").alias("score")))
+    p1 = F.to_json(F.struct(*base, (F.lit(5_000_000_000) + F.col("commit_ts")).alias("score")))
+    p2 = F.to_json(F.struct(*base, F.concat(F.lit("s-"), ct).alias("score")))
+    payload = F.when(F.col("commit_ts") > b2, p2).when(F.col("commit_ts") > a, p1).otherwise(p0)
+    sv = (F.when(F.col("commit_ts") > b2, F.lit(b2))
+          .when(F.col("commit_ts") > a, F.lit(a)).otherwise(F.lit(0))).cast("long")
+    binlog = bl.select(
+        "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(payload).alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        sv.alias("schema_version"), "partition_id",
+    )
+    work = _work_dir("ticdc_modcol_")
+    cf = _run_engine_ddl(
+        spark, sf_dir, os.path.join(work, "t"), binlog,
+        [_ddl_row(a, "modify_column", "score", col_type="long"),
+         _ddl_row(b2, "modify_column", "score", col_type="string")],
+        max_ts=1000 + n,
+        cfg_extra={"payload_fields": (
+            ("role", "string"), ("text", "string"), ("tool", "string"),
+            ("ts", "long"), ("score", "int"),
+        )},
+    )
+    return cf.target.read()
+
+
+SQL_CDC_MODIFY_COLUMN_E2E = f"""
+WITH {BINLOG_CTE},
+ddl AS (SELECT 1000 + 2 * (count(*) // 5) AS a, 1000 + 3 * (count(*) // 5) AS b2 FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM binlog)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+       CASE WHEN commit_ts > (SELECT b2 FROM ddl) THEN 's-' || CAST(commit_ts AS VARCHAR)
+            WHEN commit_ts > (SELECT a FROM ddl) THEN CAST(5000000000 + commit_ts AS VARCHAR)
+            ELSE CAST(commit_ts % 997 AS VARCHAR) END AS score
 FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
@@ -1688,14 +1771,31 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing (binary media columns → mapInPandas feature
     extraction; decode kernel stubbed with a deterministic fake — the
-    image/audio libs aren't in this container). Rows-only check: no SQL
-    oracle since the synthetic media table is engine-generated."""
+    image/audio libs aren't in this container). The synthetic media table
+    is md5-derived, so the oracle rebuilds the identical table and byte
+    stats in pure SQL — fully hash-checked, no longer rows-only."""
     from ticdc_spark.functions.multimodal import extract_features, synth_media
 
     media = synth_media(spark, n=512)
     return extract_features(media, fake=True).select(
         "media_id", "kind", "n_bytes", "checksum"
     )
+
+
+# payload = repeat(md5_hex, 8) utf-8 (256 bytes); checksum = sum of the
+# first 64 payload bytes = 2 * sum(ascii of the 32 hex chars)
+SQL_MEDIA_FEATURES = """
+WITH m AS (
+  SELECT range AS media_id,
+         md5(CAST(range AS VARCHAR) || '-42') AS hex
+  FROM range(512))
+SELECT media_id,
+       (['image','audio','video'])[(ascii(substring(hex, 1, 1)) % 3) + 1] AS kind,
+       CAST(256 AS BIGINT) AS n_bytes,
+       CAST(2 * list_sum(list_transform(generate_series(1, 32),
+                                        i -> ascii(substring(hex, i, 1)))) AS BIGINT) AS checksum
+FROM m
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1712,6 +1812,7 @@ QUERIES = {
     "cdc_batch_add_table_e2e": q_cdc_batch_add_table_e2e,
     "cdc_drop_readd_e2e": q_cdc_drop_readd_e2e,
     "cdc_truncate_e2e": q_cdc_truncate_e2e,
+    "cdc_modify_column_e2e": q_cdc_modify_column_e2e,
     "bank_conservation": q_bank_conservation,
     "checksum_quarantine": q_checksum_quarantine,
     "mq_csv_encode": q_mq_csv_encode,
@@ -1764,6 +1865,7 @@ ORACLES = {
     "cdc_batch_add_table_e2e": SQL_CDC_BATCH_ADD_TABLE_E2E,
     "cdc_drop_readd_e2e": SQL_CDC_DROP_READD_E2E,
     "cdc_truncate_e2e": SQL_CDC_TRUNCATE_E2E,
+    "cdc_modify_column_e2e": SQL_CDC_MODIFY_COLUMN_E2E,
     "bank_conservation": SQL_BANK_CONSERVATION,
     "checksum_quarantine": SQL_CHECKSUM_QUARANTINE,
     "mq_csv_encode": SQL_MQ_CSV_ENCODE,
@@ -1803,4 +1905,5 @@ ORACLES = {
     "emb_rp_lsh": SQL_EMB_RP_LSH,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
+    "media_features": SQL_MEDIA_FEATURES,
 }

@@ -50,6 +50,7 @@ _TYPE = {
     "string": T.StringType(),
     "int": T.IntegerType(),
     "long": T.LongType(),
+    "bigint": T.LongType(),
     "double": T.DoubleType(),
     "timestamp": T.TimestampType(),
 }
@@ -336,7 +337,9 @@ class LakeTable:
             cols = []
             for n, t, i in cur:
                 if i in wname_by_id:
-                    cols.append(F.col(wname_by_id[i]).alias(n))
+                    # cast-on-read: after a modify_column the writer's type
+                    # differs from the current one — a no-op cast otherwise
+                    cols.append(F.col(wname_by_id[i]).cast(_TYPE[t]).alias(n))
                 else:
                     cols.append(F.lit(None).cast(_TYPE[t]).alias(n))
             parts.append(df.select(*cols))
@@ -379,13 +382,25 @@ class LakeTable:
             if info["files"]:
                 base_fs.setdefault(info["written_version"], []).extend(info["files"])
         delta_fs: dict = {}
+        legacy_unbucketed = False
         for d in m.get("deltas", []):
-            delta_fs.setdefault(d["written_version"], []).extend(d["files"])
+            if want is not None and "buckets" in d:
+                # bucketed delta layout: FILE-level pruning, O(bucket delta)
+                fs = [
+                    f for b, fls in d["buckets"].items() if int(b) in want
+                    for f in fls
+                ]
+            else:
+                fs = d["files"]
+                legacy_unbucketed = legacy_unbucketed or want is not None
+            if fs:
+                delta_fs.setdefault(d["written_version"], []).extend(fs)
 
         base = self._reconcile(base_fs, m)
         delta = self._reconcile(delta_fs, m)
-        if delta is not None and want is not None:
-            # delta files are unbucketed: re-derive the bucket and prune
+        if delta is not None and legacy_unbucketed:
+            # pre-bucketed-layout manifests: re-derive the bucket and prune
+            # (harmless no-op rows-wise for the bucketed entries in the mix)
             delta = delta.filter(
                 self._bucket_expr(m["n_buckets"], m["key"][0]).isin(*[int(x) for x in want])
             )
@@ -460,6 +475,11 @@ class LakeTable:
         src = src.withColumn("_bucket", self._bucket_expr(n_buckets, key[0]))
         src = src.persist()
         try:
+            # ONE metadata-cardinality pre-write job, deliberately: the write
+            # plan needs `affected` BEFORE it exists (bucket-pruned live
+            # read) and the broadcast gate needs n_src — both ride a single
+            # tiny aggregate that doubles as the cache-materializing action,
+            # so CoW is exactly 2 jobs/batch (the MOR default is 1)
             stats = src.groupBy("_bucket").count().collect()
             affected = sorted(int(r["_bucket"]) for r in stats)
             n_src = sum(int(r["count"]) for r in stats)
@@ -638,19 +658,33 @@ class LakeTable:
             # stale-DML drop (see merge_lww): pre-truncate events are dead
             src = src.filter(F.col("_commit_ts") > int(m["truncate_ts"]))
 
-        # deltas are table-level filesets written straight from the dedup
-        # output partitioning — NO extra shuffle on the ingest path; the
-        # only shuffle per batch is the dedup exchange itself. Bucketing is
-        # re-established at compaction.
+        # deltas are written straight from the dedup output partitioning —
+        # NO extra shuffle on the ingest path (the only exchange per batch
+        # is the dedup itself) — but LAID OUT by bucket via partitionBy, a
+        # narrow write: each task splits its rows into per-bucket files, so
+        # a bucket-pruned read between compactions scans O(bucket delta),
+        # not O(all deltas). File count is bounded by tasks × touched
+        # buckets per batch and folded away every `compact_every` batches.
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        src.select(*cur_names).write.parquet(commit_dir)
-        files = sorted(
-            os.path.join(commit_dir, f)
-            for f in os.listdir(commit_dir)
-            if f.endswith(".parquet")
+        (
+            src.withColumn("_bucket", self._bucket_expr(m["n_buckets"], m["key"][0]))
+            .select(*cur_names, "_bucket")
+            .write.partitionBy("_bucket")
+            .parquet(commit_dir)
         )
+        bucket_files: dict = {}
+        for d in sorted(os.listdir(commit_dir)):
+            if d.startswith("_bucket="):
+                bdir = os.path.join(commit_dir, d)
+                bucket_files[d.split("=", 1)[1]] = sorted(
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet")
+                )
+        files = sorted(f for fls in bucket_files.values() for f in fls)
         m.setdefault("deltas", []).append(
-            {"files": files, "written_version": m["schema_version"]}
+            {"files": files, "buckets": bucket_files,
+             "written_version": m["schema_version"]}
         )
         rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
         n_src = sum(r.get("event_count", 0) for r in rows)
@@ -679,15 +713,27 @@ class LakeTable:
             return {"status": "noop"}
         delta_fs: dict = {}
         for d in m["deltas"]:
-            delta_fs.setdefault(d["written_version"], []).extend(d["files"])
+            if d["files"]:
+                delta_fs.setdefault(d["written_version"], []).extend(d["files"])
+        if not delta_fs:
+            # only empty delta entries (empty windows): clear them, no data
+            m["deltas"] = []
+            m["version"] += 1
+            self._commit(m)
+            return {"status": "compacted", "version": m["version"], "buckets": []}
         delta = self._reconcile(delta_fs, m)
-        # affected-bucket list: metadata-cardinality collect (≤ n_buckets rows)
-        affected = sorted(
-            int(r[0])
-            for r in delta.select(
-                self._bucket_expr(n_buckets, key[0]).alias("_b")
-            ).distinct().collect()
-        )
+        if all("buckets" in d for d in m["deltas"]):
+            # bucketed delta layout: the affected-bucket list comes straight
+            # from the manifest — ZERO Spark jobs for it
+            affected = sorted({int(b) for d in m["deltas"] for b in d["buckets"] if d["buckets"][b]})
+        else:
+            # legacy layout: metadata-cardinality collect (≤ n_buckets rows)
+            affected = sorted(
+                int(r[0])
+                for r in delta.select(
+                    self._bucket_expr(n_buckets, key[0]).alias("_b")
+                ).distinct().collect()
+            )
         # delta keys all hash into `affected`, so this bucket-pruned read
         # sees every delta row; it is itself delta-scoped (untouched base
         # rows of affected buckets flow through without the LWW shuffle)

@@ -288,7 +288,12 @@ class MultiTableChangefeed:
         probe = next(iter(live.values()))
         df, qobs = probe._prepare_window(wal, f"{self.config.changefeed_id}:{lo}:{hi}")
         deduped = probe._dedup_window(df, [self.table_col, *self.config.key])
-        deduped = deduped.persist()
+        # cluster the cached dedup output by table WITHIN partitions (no
+        # extra exchange): cache batches become single-table runs, so each
+        # table's slice filter prunes other tables' batches via the
+        # in-memory scan's per-batch column stats instead of rescanning the
+        # whole cache N times
+        deduped = deduped.sortWithinPartitions(self.table_col).persist()
         try:
             for name, t in sorted(names.items()):
                 feed = live[t]

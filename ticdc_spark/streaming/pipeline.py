@@ -50,6 +50,10 @@ class ChangefeedConfig:
     changefeed_id: str = "cf-1"
     key: tuple = HANDLE_KEY
     n_buckets: int = 16
+    # base (version-0) payload schema of the transcript table; override for
+    # feeds whose payload carries extra typed columns (e.g. modify_column
+    # scenarios start from an int column)
+    payload_fields: tuple = BASE_PAYLOAD_FIELDS
     frontiers_per_batch: int = 1  # resolved steps folded into one micro-batch
     safe_mode_ts: int = 0  # updates with commit_ts <= this split into D+I (S5)
     defaults: dict = field(default_factory=dict)
@@ -140,7 +144,7 @@ class Changefeed:
         self.resolved_log = resolved_log
         self.config = config or ChangefeedConfig()
         self.target = target
-        self.registry = SchemaRegistry(BASE_PAYLOAD_FIELDS, base_version=0)
+        self.registry = SchemaRegistry(self.config.payload_fields, base_version=0)
         # ddl_log: a DataFrame (collected — the DDL stream is tiny by
         # nature), or an already-collected list of rows/dicts
         if ddl_log is None:

@@ -55,10 +55,10 @@ def sessionize_batch(df: DataFrame, key_col: str = "user_id", ts_col: str = "ts"
 
 
 _STATE_SCHEMA = T.StructType([
-    T.StructField("last_ts", T.LongType()),
+    T.StructField("last_ts", T.LongType()),      # epoch MICROS of newest event
     T.StructField("session_idx", T.LongType()),
     T.StructField("open_n", T.LongType()),       # events so far in the open session
-    T.StructField("open_start", T.LongType()),   # its start (epoch seconds)
+    T.StructField("open_start", T.LongType()),   # its start (epoch MICROS)
 ])
 
 
@@ -93,6 +93,8 @@ def sessionize_stream(
     key_field = T.StructField(key_col, stream.schema[key_col].dataType)
     out_schema = _out_schema(key_field, stream.schema[ts_col].dataType)
 
+    gap_us = gap_seconds * 1_000_000
+
     def assign(key, pdfs, state: GroupState):
         import pandas as pd
 
@@ -102,37 +104,43 @@ def sessionize_stream(
         prev_open_idx = idx if last_ts is not None else None
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(ts_col, kind="mergesort")
-        ts_vals = (
-            rows[ts_col].astype("int64") // 1_000_000_000
-            if is_ts else rows[ts_col].astype("int64")
-        )
-        sess = []
-        for t in ts_vals:
-            if last_ts is None or t - last_ts > gap_seconds:
-                idx += 1
-            sess.append(idx)
-            last_ts = int(t)
-        rows = rows.assign(_s=sess, _t=list(ts_vals))
+        # MICROSECOND precision throughout — bit-for-bit the batch twin's
+        # unix_micros comparison (sub-second gaps near the threshold must
+        # agree between the two implementations)
+        ts_us = (
+            rows[ts_col].astype("int64") // 1_000
+            if is_ts else rows[ts_col].astype("int64") * 1_000_000
+        ).astype("Int64")
+        # vectorized gap rule: diff against the previous event (the carried
+        # last_ts seeds position 0), cumsum numbers the sessions — no
+        # per-row Python even for a hot key with millions of events
+        prev = ts_us.shift(1)
+        if last_ts is not None:
+            prev.iloc[0] = last_ts
+        new_sess = (prev.isna() | ((ts_us - prev) > gap_us)).astype("int64")
+        sess_ids = (new_sess.cumsum() + idx).astype("int64")
+        rows = rows.assign(_s=sess_ids.to_numpy(), _t=ts_us.astype("int64").to_numpy())
         agg = rows.groupby("_s").agg(
             n_events=("_t", "size"),
-            start_s=("_t", "min"),
-            end_s=("_t", "max"),
+            start_us=("_t", "min"),
+            end_us=("_t", "max"),
         ).reset_index()
         # a session continuing from earlier batches accumulates its carried
         # count and keeps its original start
         if prev_open_idx is not None and (agg["_s"] == prev_open_idx).any():
             m = agg["_s"] == prev_open_idx
             agg.loc[m, "n_events"] += open_n
-            agg.loc[m, "start_s"] = min(int(agg.loc[m, "start_s"].iloc[0]), open_start)
+            agg.loc[m, "start_us"] = min(int(agg.loc[m, "start_us"].iloc[0]), open_start)
         # the (possibly new) open session is the one with the max idx
         tail = agg.loc[agg["_s"].idxmax()]
-        state.update((int(last_ts), int(idx), int(tail["n_events"]), int(tail["start_s"])))
+        state.update((int(ts_us.iloc[-1]), int(sess_ids.iloc[-1]),
+                      int(tail["n_events"]), int(tail["start_us"])))
         if is_ts:
-            agg["session_start"] = pd.to_datetime(agg["start_s"], unit="s")
-            agg["session_end"] = pd.to_datetime(agg["end_s"], unit="s")
+            agg["session_start"] = pd.to_datetime(agg["start_us"], unit="us")
+            agg["session_end"] = pd.to_datetime(agg["end_us"], unit="us")
         else:
-            agg["session_start"] = agg["start_s"]
-            agg["session_end"] = agg["end_s"]
+            agg["session_start"] = agg["start_us"] // 1_000_000
+            agg["session_end"] = agg["end_us"] // 1_000_000
         agg[key_col] = key[0]
         agg["n_events"] = agg["n_events"].astype("int64")
         yield agg.rename(columns={"_s": "session_idx"})[

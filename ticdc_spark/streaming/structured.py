@@ -44,16 +44,31 @@ def run_streaming(
     target: LakeTable,
     config: ChangefeedConfig | None = None,
     registry: SchemaRegistry | None = None,
+    ddl_log=None,
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
 ) -> dict:
     """Drain all currently-available binlog files (Trigger.AvailableNow)
     into the lake table. Restartable via ``checkpoint_dir``; safe to call
-    repeatedly as new files land. DDL barriers are not supported in this
-    mode (use the resolved-ts driver loop); the registry's newest snapshot
-    decodes every event."""
+    repeatedly as new files land.
+
+    DDL in this mode is applied MONOTONICALLY rather than as commit-ts
+    barriers: batch boundaries are arbitrary w.r.t. commit-ts here, so
+    ``ddl_log`` (rows or DataFrame) is replayed into the registry up front,
+    the target evolves to the newest schema, and every event decodes
+    against its own writer version (the per-row ``schema_version`` column —
+    snapshot-at-CRTs-1, cdc/entry/mounter.go:173). Equivalent final state:
+    the schema chain is column-ID-stable (add/rename/drop never reuse an
+    id), so late old-version events land as NULL-backfilled rows exactly as
+    a barrier replay would produce. Barrier-exact intermediate states need
+    the resolved-ts driver loop."""
     config = config or ChangefeedConfig(changefeed_id="cf-stream")
-    registry = registry or SchemaRegistry()
+    registry = registry or SchemaRegistry(config.payload_fields)
+    ddl_rows = []
+    if ddl_log is not None:
+        ddl_rows = ddl_log if isinstance(ddl_log, list) else ddl_log.collect()
+        ddl_rows = sorted(ddl_rows, key=lambda r: r["commit_ts"])
+        registry.replay(ddl_rows)
     if not target.exists():
         target.create(
             key=list(config.key),
@@ -75,6 +90,13 @@ def run_streaming(
         raise ValueError(
             "target already holds committed epochs for this changefeed; pass "
             "checkpoint_dir so re-runs resume offsets instead of reusing epoch ids"
+        )
+    # evolve an existing target to the registry's newest schema (idempotent
+    # by schema_version — the streaming twin of _reconcile_ddl)
+    for d in ddl_rows:
+        target.alter(
+            d["ddl_type"], d["column"], d["old_column"],
+            (d["col_type"] or "string"), schema_version=int(d["commit_ts"]),
         )
     payload_cols = mounted_columns(registry, _FAR_FUTURE)
     # source partition ids, ONCE per run (metadata-cardinality): enables the
