@@ -83,3 +83,46 @@ def test_mor_delete_semantics(spark, tmp_path):
     cf.target.compact(drop_tombstones=True)
     assert cf.target.read(include_deleted=True).filter("_deleted = 1").count() == 0
     _check(spark, spec, cf)
+
+
+def test_bucketed_delta_read_prunes_files(spark, tmp_table_path):
+    """Manifest-driven FILE pruning: a single-bucket read's input files are
+    exactly the base fileset of that bucket plus that bucket's delta files —
+    other buckets' deltas never reach the scan."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    t = LakeTable(spark, tmp_table_path)
+    t.create(key=KEY,
+             fields=[("conv_id", "string"), ("turn_idx", "int"), ("text", "string")],
+             n_buckets=4, with_order_cols=True)
+    rows = spark.range(200).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.format_string("v%d", F.col("id")).alias("text"),
+        F.lit("I").alias("op"),
+        (F.lit(1000) + F.col("id")).alias("_commit_ts"),
+        (F.lit(999) + F.col("id")).alias("_start_ts"),
+        F.lit(3).cast("int").alias("_op_rank"),
+        F.lit(0).cast("int").alias("_deleted"),
+    )
+    t.append_delta(rows, "b1", resolved_ts=1)
+    t.compact(drop_tombstones=True)
+    upd = rows.withColumn("_commit_ts", F.col("_commit_ts") + 10_000)
+    t.append_delta(upd, "b2", resolved_ts=2)
+    m = t.manifest()
+    d = m["deltas"][0]
+    assert "buckets" in d and len(d["buckets"]) == 4  # bucketed layout
+    got = t.read(buckets=[2])
+    scanned = {os.path.realpath(f.replace("file:", "")) for f in got.inputFiles()}
+    allowed = {os.path.realpath(f) for f in m["buckets"]["2"]["files"]}
+    allowed |= {os.path.realpath(f) for f in d["buckets"].get("2", [])}
+    assert scanned and scanned <= allowed, scanned - allowed
+    # and the rows are right: every conv in bucket 2, newest image
+    from pyspark.sql import functions as F2
+    n_b2 = rows.filter(
+        F2.pmod(F2.xxhash64("conv_id"), F2.lit(4)) == 2
+    ).count()
+    assert got.count() == n_b2
+    assert got.count() > 0

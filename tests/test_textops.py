@@ -205,3 +205,47 @@ def test_ivf_trained_codebook_and_recall_dial(spark):
             for r in cosine_topk(embs, n_queries=6, k=3).collect()}
     got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in full.collect()}
     assert got == want  # n_probe = all lists == brute force
+
+
+def test_neardup_clusters_laws(spark):
+    """Connected-components laws on a hand-built graph: chain + triangle +
+    isolated pair; cluster id = min member; pair endpoints always share a
+    cluster."""
+    from ticdc_spark.functions.textops import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain -> cluster 1
+         (10, 11), (11, 12), (10, 12),  # triangle -> cluster 10
+         (20, 21)],                     # pair -> cluster 20
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {r["doc_id"]: r["cluster"] for r in neardup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_stratified_sample_deterministic_and_stable_under_append(spark):
+    """The sample is a pure function of doc_id: re-running and appending
+    rows never flips an existing row's fate; rates land near nominal."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.functions.textops import stratified_sample
+
+    base = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("stratum"),
+    )
+    rates = {"a": 0.25, "b": 0.75}
+    s1 = {r["doc_id"] for r in stratified_sample(base, "stratum", rates).collect()}
+    s2 = {r["doc_id"] for r in stratified_sample(base, "stratum", rates).collect()}
+    assert s1 == s2
+    grown = spark.range(8000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("stratum"),
+    )
+    s3 = {r["doc_id"] for r in stratified_sample(grown, "stratum", rates).collect()}
+    assert {x for x in s3 if x < 4000} == s1  # append-stable
+    n_a = sum(1 for x in s1 if x % 2 == 0)
+    n_b = len(s1) - n_a
+    assert abs(n_a / 2000 - 0.25) < 0.05 and abs(n_b / 2000 - 0.75) < 0.05

@@ -259,3 +259,69 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("sb") > 0, F.pow(F.lit(2), F.col("b")).cast("long")).otherwise(F.lit(0))
         ).cast("long").alias("simhash")
     )
+
+
+def neardup_clusters(pairs: DataFrame, a_col: str = "doc_id_a",
+                     b_col: str = "doc_id_b", max_iters: int = 25) -> DataFrame:
+    """Connected components over the near-dup pair graph: every member doc
+    maps to its cluster's canonical (minimum) doc id — the dedup-cluster
+    assignment a training pipeline runs AFTER candidate-pair generation
+    (keep one doc per cluster, drop the rest).
+
+    Pregel-lite min-label propagation: per iteration one equi-join
+    (labels → neighbors) + one min-aggregate, converging in graph-diameter
+    steps; convergence is detected by the monotone non-increasing
+    sum-of-labels (one metadata-cardinality agg per iteration). Near-dup
+    components are tiny by construction (bucket caps bound them), so the
+    diameter — and the iteration count — stays small at any table size;
+    a 100-TB deployment swaps in the alternating small-star/large-star
+    variant of the same loop."""
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("cluster", F.col("node"))
+        .persist()
+    )
+    prev = None
+    try:
+        for _ in range(max_iters):
+            prop = edges.join(labels, edges["src"] == labels["node"]).select(
+                F.col("dst").alias("node"), "cluster"
+            )
+            new = (
+                labels.unionByName(prop)
+                .groupBy("node").agg(F.min("cluster").alias("cluster"))
+                .persist()
+            )
+            s = new.agg(F.sum("cluster")).collect()[0][0]
+            labels.unpersist()
+            labels = new
+            if prev is not None and s == prev:
+                break
+            prev = s
+    finally:
+        edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), "cluster")
+
+
+def stratified_sample(docs: DataFrame, strata_col, rates: dict,
+                      default_rate: float = 0.0, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff the first 32 bits
+    of md5(id) fall below the stratum's rate threshold. md5 is a PORTABLE
+    hash (an external SQL oracle reproduces the exact sample), the sample
+    is stable under reruns/appends (a row's fate depends only on its id),
+    and the plan is one narrow projection + filter — no shuffle, no state,
+    any table size."""
+    u = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+    thr = None
+    for s, r in rates.items():
+        t = F.lit(int(r * 0x1_0000_0000))
+        thr = F.when(F.col(strata_col) == s, t) if thr is None else thr.when(
+            F.col(strata_col) == s, t
+        )
+    thr = thr.otherwise(F.lit(int(default_rate * 0x1_0000_0000))) if thr is not None \
+        else F.lit(int(default_rate * 0x1_0000_0000))
+    return docs.filter(u < thr)

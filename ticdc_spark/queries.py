@@ -627,6 +627,81 @@ GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
 """
 
 
+def q_doc_neardup_clusters(spark, sf_dir):
+    """Dedup-cluster assignment: connected components over the MinHash-LSH
+    near-dup pair graph — each member doc mapped to its cluster's canonical
+    (min) doc id. The step a training pipeline runs after pair generation
+    to keep ONE doc per near-dup cluster."""
+    from ticdc_spark.functions.textops import neardup_clusters, neardup_pairs
+
+    pairs = neardup_pairs(_docs(spark, sf_dir), min_bands=3, max_bucket=_LSH_MAX_BUCKET)
+    return q_cast_clusters(neardup_clusters(pairs))
+
+
+def q_cast_clusters(df):
+    return df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                     F.col("cluster").cast("long").alias("cluster"))
+
+
+SQL_DOC_NEARDUP_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i
+        FROM documents)),
+banded AS (
+  SELECT doc_id, band, md5(CAST(band AS VARCHAR) || h) AS bh
+  FROM sh, (SELECT unnest(range(0, 4)) AS band)),
+mh0 AS (SELECT doc_id, band, min(bh) AS minhash FROM banded GROUP BY doc_id, band),
+sz AS (SELECT band, minhash, count(*) AS c FROM mh0 GROUP BY band, minhash),
+mh AS (SELECT mh0.* FROM mh0 JOIN sz USING (band, minhash) WHERE sz.c <= {_LSH_MAX_BUCKET}),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+e AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+FROM reach GROUP BY n
+"""
+
+
+_SAMPLE_RATES = {"short": 0.1, "med": 0.5, "long": 1.0}
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling by length tier (the canonical
+    oversample-long-documents policy): md5-threshold per stratum — exact,
+    rerun-stable, shuffle-free, reproducible by the SQL oracle."""
+    from ticdc_spark.functions.textops import stratified_sample
+
+    d = _docs(spark, sf_dir).withColumn(
+        "stratum",
+        F.when(F.length("text") < 200, "short")
+        .when(F.length("text") < 1000, "med")
+        .otherwise("long"),
+    )
+    return stratified_sample(d, "stratum", _SAMPLE_RATES).select("doc_id", "stratum")
+
+
+SQL_DOC_STRATIFIED_SAMPLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 200 THEN 'short'
+              WHEN length(text) < 1000 THEN 'med'
+              ELSE 'long' END AS stratum,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+  FROM documents)
+SELECT doc_id, stratum FROM d
+WHERE u < CASE stratum WHEN 'short' THEN CAST(0.1 * 4294967296 AS BIGINT)
+                       WHEN 'med' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                       ELSE CAST(4294967296 AS BIGINT) END
+"""
+
+
 def q_doc_ngram_jaccard(spark, sf_dir):
     from ticdc_spark.functions.textops import ngram_jaccard_adjacent
 
@@ -1845,6 +1920,8 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "doc_minhash_bands": q_doc_minhash_bands,
     "doc_neardup_pairs": q_doc_neardup_pairs,
+    "doc_neardup_clusters": q_doc_neardup_clusters,
+    "doc_stratified_sample": q_doc_stratified_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_simhash16": q_doc_simhash16,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -1898,6 +1975,8 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "doc_minhash_bands": SQL_DOC_MINHASH_BANDS,
     "doc_neardup_pairs": SQL_DOC_NEARDUP_PAIRS,
+    "doc_neardup_clusters": SQL_DOC_NEARDUP_CLUSTERS,
+    "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_simhash16": SQL_DOC_SIMHASH16,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
