@@ -91,11 +91,20 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # per-language stopword markers for the scored language-ID heuristic; the
 # production swap-in is a full stopword table or a fastText model — the
 # PLAN (per-language hit counts -> argmax, all JVM-side) stays identical
+# top-frequency stopwords per language (standard corpus-frequency lists —
+# the compact form of a real stopword table; a production deployment swaps
+# in fastText, which is not in this container). Overlapping words (de/que/
+# la/en...) are fine: they score for every language that claims them and
+# the argmax resolves.
 LANG_MARKERS: dict = {
-    "en": ("the", "and", "of", "to", "is"),
-    "de": ("der", "die", "und", "nicht", "ist"),
-    "fr": ("le", "la", "et", "les", "est"),
-    "es": ("el", "la", "los", "que", "es"),
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "you", "for"),
+    "de": ("der", "die", "und", "nicht", "ist", "das", "ich", "sie", "ein", "mit"),
+    "fr": ("le", "la", "et", "les", "est", "des", "vous", "une", "dans", "pas"),
+    "es": ("el", "la", "los", "que", "es", "una", "por", "con", "para", "las"),
+    "it": ("il", "che", "di", "la", "non", "per", "una", "sono", "con", "del"),
+    "pt": ("o", "que", "de", "uma", "com", "para", "os", "das", "mais", "como"),
+    "nl": ("de", "het", "een", "van", "en", "niet", "dat", "ik", "je", "maar"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "akan"),
 }
 
 

@@ -66,9 +66,12 @@ def lww_dedup(df: DataFrame, key: Sequence[str] = HANDLE_KEY, stats: bool = Fals
 
     Equivalent to
     ``row_number() OVER (PARTITION BY key ORDER BY commit_ts DESC,
-    start_ts DESC, op_rank DESC) = 1`` but executed as a hash aggregate
-    with partial combine (no per-key sort, skew-resistant).
-    Output: key cols + every non-key column of the winning event.
+    start_ts DESC, op_rank DESC) = 1`` but executed as an aggregate with
+    MAP-SIDE partial combine and a single exchange (struct-max compiles to
+    a sort-based agg physically, but the skew property holds: a hot key
+    collapses to one row per task before the shuffle — asserted in
+    tests/test_plans.py). Output: key cols + every non-key column of the
+    winning event.
 
     ``stats=True`` additionally emits per-key ``_n_events`` and
     ``_max_commit_ts`` in the SAME aggregate, so per-partition lineage
