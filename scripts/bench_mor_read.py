@@ -60,7 +60,11 @@ def main():
     work = tempfile.mkdtemp(prefix="mor_read_bench_")
     try:
         t = LakeTable(spark, os.path.join(work, "t"))
-        t.create(key=KEY, fields=FIELDS, n_buckets=32, with_order_cols=True)
+        # bucketed delta layout: this bench measures the read-side trade
+        # (the ingest-side cost of the layout is measured in the replay
+        # probe — see BENCH/OPERATORS.md; the engine default is flat)
+        t.create(key=KEY, fields=FIELDS, n_buckets=32, with_order_cols=True,
+                 delta_layout="bucketed")
         t.append_delta(mk_rows(spark, N_BASE, 1_000, "base"), "seed")
         t.compact(drop_tombstones=True)  # establish the bucketed base
 

@@ -105,3 +105,13 @@ def test_time_travel(spark, tmp_table_path):
     t.merge(spark.createDataFrame([("c1", 0, "U", "u", "v2")], SRC), "b2")
     assert [r["text"] for r in t.read(version=v_after_b1).collect()] == ["v1"]
     assert [r["text"] for r in t.read().collect()] == ["v2"]
+
+
+def test_delta_layout_validation_and_manifest(spark, tmp_table_path):
+    import pytest as _pt
+
+    t = LakeTable(spark, tmp_table_path + "_dl")
+    with _pt.raises(ValueError):
+        t.create(key=KEY, fields=FIELDS, delta_layout="zoned")
+    t.create(key=KEY, fields=FIELDS, with_order_cols=True, delta_layout="bucketed")
+    assert t.manifest()["delta_layout"] == "bucketed"

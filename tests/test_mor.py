@@ -96,7 +96,7 @@ def test_bucketed_delta_read_prunes_files(spark, tmp_table_path):
     t = LakeTable(spark, tmp_table_path)
     t.create(key=KEY,
              fields=[("conv_id", "string"), ("turn_idx", "int"), ("text", "string")],
-             n_buckets=4, with_order_cols=True)
+             n_buckets=4, with_order_cols=True, delta_layout="bucketed")
     rows = spark.range(200).select(
         F.format_string("c%d", F.col("id")).alias("conv_id"),
         F.lit(0).cast("int").alias("turn_idx"),

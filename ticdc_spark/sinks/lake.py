@@ -124,7 +124,8 @@ class LakeTable:
     # ---------------- DDL ----------------
 
     def create(self, key: list, fields: list, n_buckets: int = 16,
-               schema_version: int = 0, with_order_cols: bool = False) -> None:
+               schema_version: int = 0, with_order_cols: bool = False,
+               delta_layout: str = "flat") -> None:
         """``fields`` = full table columns [(name, type_str)...] including
         the key; merge key must exist (ineligible-table rule F4,
         cdc/entry/schema_storage.go:297-333).
@@ -133,7 +134,17 @@ class LakeTable:
         (_commit_ts, _start_ts, _op_rank, _deleted) required by
         :meth:`merge_lww` — the arrival-ordered/streaming mode, where
         deletes persist as tombstones so a late older event cannot
-        resurrect a deleted key."""
+        resurrect a deleted key.
+
+        ``delta_layout`` picks the MOR delta trade-off (measured,
+        BENCH/OPERATORS.md): "flat" (default) writes each batch straight
+        from the dedup partitioning — maximum ingest throughput (~1.7x
+        faster than bucketed; ingest is the north metric); "bucketed"
+        writes partitionBy(_bucket) — point-bucket reads between
+        compactions scan O(bucket delta) (7.9x faster) at the ingest cost.
+        Pick bucketed for read-heavy serving tables."""
+        if delta_layout not in ("flat", "bucketed"):
+            raise ValueError(f"delta_layout must be flat|bucketed, got {delta_layout!r}")
         if with_order_cols:
             fields = list(fields) + [
                 ("_commit_ts", "long"), ("_start_ts", "long"),
@@ -157,6 +168,7 @@ class LakeTable:
             "next_col_id": len(triples),
             "schema": triples,
             "schemas": {str(schema_version): triples},
+            "delta_layout": delta_layout,
             "truncate_ts": 0,
             "buckets": {str(b): {"files": [], "written_version": schema_version}
                         for b in range(n_buckets)},
@@ -660,32 +672,42 @@ class LakeTable:
 
         # deltas are written straight from the dedup output partitioning —
         # NO extra shuffle on the ingest path (the only exchange per batch
-        # is the dedup itself) — but LAID OUT by bucket via partitionBy, a
-        # narrow write: each task splits its rows into per-bucket files, so
-        # a bucket-pruned read between compactions scans O(bucket delta),
-        # not O(all deltas). File count is bounded by tasks × touched
-        # buckets per batch and folded away every `compact_every` batches.
+        # is the dedup itself). Two layouts (the trade-off is measured,
+        # BENCH/OPERATORS.md; chosen per table at create()):
+        #   flat (default): one file per task — maximum ingest throughput
+        #     (~1.7x faster); bucket-pruned reads re-derive + filter.
+        #   bucketed: partitionBy(_bucket), still a narrow write — each
+        #     task splits rows into per-bucket files, so a point-bucket
+        #     read between compactions scans O(bucket delta) (7.9x) at the
+        #     cost of tasks x touched-buckets small files per batch.
         commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        (
-            src.withColumn("_bucket", self._bucket_expr(m["n_buckets"], m["key"][0]))
-            .select(*cur_names, "_bucket")
-            .write.partitionBy("_bucket")
-            .parquet(commit_dir)
-        )
-        bucket_files: dict = {}
-        for d in sorted(os.listdir(commit_dir)):
-            if d.startswith("_bucket="):
-                bdir = os.path.join(commit_dir, d)
-                bucket_files[d.split("=", 1)[1]] = sorted(
-                    os.path.join(bdir, f)
-                    for f in os.listdir(bdir)
-                    if f.endswith(".parquet")
-                )
-        files = sorted(f for fls in bucket_files.values() for f in fls)
-        m.setdefault("deltas", []).append(
-            {"files": files, "buckets": bucket_files,
-             "written_version": m["schema_version"]}
-        )
+        entry: dict = {"written_version": m["schema_version"]}
+        if m.get("delta_layout", "flat") == "bucketed":
+            (
+                src.withColumn("_bucket", self._bucket_expr(m["n_buckets"], m["key"][0]))
+                .select(*cur_names, "_bucket")
+                .write.partitionBy("_bucket")
+                .parquet(commit_dir)
+            )
+            bucket_files: dict = {}
+            for d in sorted(os.listdir(commit_dir)):
+                if d.startswith("_bucket="):
+                    bdir = os.path.join(commit_dir, d)
+                    bucket_files[d.split("=", 1)[1]] = sorted(
+                        os.path.join(bdir, f)
+                        for f in os.listdir(bdir)
+                        if f.endswith(".parquet")
+                    )
+            entry["buckets"] = bucket_files
+            entry["files"] = sorted(f for fls in bucket_files.values() for f in fls)
+        else:
+            src.select(*cur_names).write.parquet(commit_dir)
+            entry["files"] = sorted(
+                os.path.join(commit_dir, f)
+                for f in os.listdir(commit_dir)
+                if f.endswith(".parquet")
+            )
+        m.setdefault("deltas", []).append(entry)
         rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
         n_src = sum(r.get("event_count", 0) for r in rows)
         self._commit_batch(m, batch_id, resolved_ts, n_src, rows, mode="mor", epoch=epoch)

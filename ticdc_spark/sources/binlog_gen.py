@@ -46,8 +46,16 @@ class DDLSpec:
             return f"ALTER TABLE {tbl} RENAME COLUMN {self.old_column} TO {self.column}"
         if self.ddl_type == "drop_column":
             return f"ALTER TABLE {tbl} DROP COLUMN {self.column}"
+        if self.ddl_type == "modify_column":
+            return f"ALTER TABLE {tbl} MODIFY COLUMN {self.column} {self.col_type.upper()}"
         if self.ddl_type == "truncate_table":
             return f"TRUNCATE TABLE {tbl}"
+        if self.ddl_type == "create_table":
+            return f"CREATE TABLE {tbl}"
+        if self.ddl_type == "drop_table":
+            return f"DROP TABLE {tbl}"
+        if self.ddl_type == "rename_table":
+            return f"RENAME TABLE {self.old_column} TO {tbl}"
         raise ValueError(f"unknown ddl_type {self.ddl_type}")
 
 

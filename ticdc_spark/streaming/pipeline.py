@@ -64,6 +64,10 @@ class ChangefeedConfig:
     # semantics — the reference path for consumers that need merge-free reads)
     sink_mode: str = "mor"
     compact_every: int = 8
+    # MOR delta layout: "flat" = max ingest throughput (the north metric);
+    # "bucketed" = O(bucket delta) point reads between compactions (7.9x)
+    # at ~1.7x ingest cost — measured trade-off, BENCH/OPERATORS.md
+    delta_layout: str = "flat"
     # snapshot expiry (W8): every N committed merges, expire snapshots older
     # than the newest `expire_keep_last`, except versions protected by the
     # GC safepoint (checkpoint >= gc_safepoint_ts is never expired). 0 = off.
@@ -165,6 +169,7 @@ class Changefeed:
                 n_buckets=self.config.n_buckets,
                 schema_version=0,
                 with_order_cols=(self.config.sink_mode == "mor"),
+                delta_layout=self.config.delta_layout,
             )
 
     def _reconcile_ddl(self, ckpt: int) -> None:

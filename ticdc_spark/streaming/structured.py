@@ -76,6 +76,7 @@ def run_streaming(
             n_buckets=config.n_buckets,
             schema_version=registry.resolved_ts,
             with_order_cols=True,
+            delta_layout=config.delta_layout,
         )
     elif checkpoint_dir is None and (
         target.checkpoint.get("epoch_hwm", -1) >= 0
