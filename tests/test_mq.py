@@ -135,3 +135,25 @@ def test_event_router_first_match_and_topic_expr(spark):
     df2 = _df(spark).withColumn("table_name", F.lit("misc"))
     out2 = route_events(df2, rules, 4, "db")
     assert {r["topic"] for r in out2.collect()} == {"db_misc"}
+
+
+def test_maxwell_debezium_simple_shapes(spark):
+    import json
+
+    from ticdc_spark.sinks.mq import encode_debezium, encode_maxwell, encode_simple
+
+    df = _df(spark)
+    mx = {r["commit_ts"]: json.loads(r["value"])
+          for r in encode_maxwell(df, "db", "t", ["conv_id", "turn_idx", "text"]).collect()}
+    assert mx[1001]["type"] == "insert" and mx[1001]["data"]["text"] == "hello"
+    assert mx[1003]["type"] == "delete" and mx[1003]["ts"] == 1003
+    dz = {r["commit_ts"]: json.loads(r["value"])
+          for r in encode_debezium(df, "db", "t", ["conv_id", "turn_idx", "text"]).collect()}
+    assert dz[1001]["payload"]["op"] == "c" and "before" not in dz[1001]["payload"]
+    assert dz[1001]["payload"]["after"]["text"] == "hello"
+    assert dz[1003]["payload"]["op"] == "d" and "after" not in dz[1003]["payload"]
+    sp = {r["commit_ts"]: json.loads(r["value"])
+          for r in encode_simple(df, "db", "t", ["conv_id", "turn_idx", "text"]).collect()}
+    assert sp[1002]["version"] == 1 and sp[1002]["type"] == "UPDATE"
+    assert sp[1002]["data"]["text"] == "hi, there"
+    assert sp[1003]["old"]["conv_id"] == "conv-b" and "data" not in sp[1003]

@@ -1490,6 +1490,99 @@ FROM t
 """
 
 
+def q_mq_maxwell_roundtrip(spark, sf_dir):
+    """K5 (maxwell codec, pkg/sink/codec/maxwell/maxwell_message.go:27-37):
+    encode → re-extract the routed fields from the encoded string."""
+    from ticdc_spark.sinks.mq import encode_maxwell
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))
+    )
+    enc = encode_maxwell(b, "db", "transcripts", ["conv_id", "turn_idx", "text"])
+    return enc.select(
+        F.get_json_object("value", "$.database").alias("database"),
+        F.get_json_object("value", "$.type").alias("msg_type"),
+        F.get_json_object("value", "$.ts").cast("long").alias("ts"),
+        F.get_json_object("value", "$.data.conv_id").alias("conv_id"),
+        F.get_json_object("value", "$.data.turn_idx").cast("int").alias("turn_idx"),
+        F.get_json_object("value", "$.data.text").alias("text"),
+    )
+
+
+SQL_MQ_MAXWELL_ROUNDTRIP = f"""
+WITH {BINLOG_CTE}
+SELECT 'db' AS database,
+       CASE op WHEN 'I' THEN 'insert' WHEN 'U' THEN 'update' ELSE 'delete' END AS msg_type,
+       commit_ts AS ts, conv_id, turn_idx,
+       'p-' || CAST(commit_ts AS VARCHAR) AS text
+FROM binlog
+"""
+
+
+def q_mq_debezium_roundtrip(spark, sf_dir):
+    """K5 (debezium-JSON envelope, pkg/sink/codec/debezium/codec.go:531-591):
+    op c|u|d, NULL before for inserts, NULL after for deletes."""
+    from ticdc_spark.sinks.mq import encode_debezium
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))
+    )
+    enc = encode_debezium(b, "db", "transcripts", ["conv_id", "turn_idx", "text"])
+    return enc.select(
+        F.get_json_object("value", "$.payload.source.db").alias("db"),
+        F.get_json_object("value", "$.payload.op").alias("dbz_op"),
+        F.get_json_object("value", "$.payload.ts_ms").cast("long").alias("ts_ms"),
+        F.get_json_object("value", "$.payload.after.text").alias("after_text"),
+        (F.get_json_object("value", "$.payload.after").isNull()).alias("after_is_null"),
+        "conv_id", "turn_idx",
+    )
+
+
+SQL_MQ_DEBEZIUM_ROUNDTRIP = f"""
+WITH {BINLOG_CTE}
+SELECT 'db' AS db,
+       CASE op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END AS dbz_op,
+       commit_ts AS ts_ms,
+       CASE WHEN op = 'D' THEN NULL ELSE 'p-' || CAST(commit_ts AS VARCHAR) END AS after_text,
+       (op = 'D') AS after_is_null,
+       conv_id, turn_idx
+FROM binlog
+"""
+
+
+def q_mq_simple_roundtrip(spark, sf_dir):
+    """K5 (simple protocol DML message,
+    pkg/sink/codec/simple/message.go:471-501): data for insert/update,
+    old (handle image) for delete."""
+    from ticdc_spark.sinks.mq import encode_simple
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text", F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))
+    )
+    enc = encode_simple(b, "db", "transcripts", ["conv_id", "turn_idx", "text"])
+    return enc.select(
+        F.get_json_object("value", "$.version").cast("int").alias("version"),
+        F.get_json_object("value", "$.type").alias("msg_type"),
+        F.get_json_object("value", "$.commitTs").cast("long").alias("commit_ts_out"),
+        F.coalesce(
+            F.get_json_object("value", "$.data.conv_id"),
+            F.get_json_object("value", "$.old.conv_id"),
+        ).alias("conv_id"),
+        F.get_json_object("value", "$.data.text").alias("text"),
+    )
+
+
+SQL_MQ_SIMPLE_ROUNDTRIP = f"""
+WITH {BINLOG_CTE}
+SELECT 1 AS version,
+       CASE op WHEN 'I' THEN 'INSERT' WHEN 'U' THEN 'UPDATE' ELSE 'DELETE' END AS msg_type,
+       commit_ts AS commit_ts_out,
+       conv_id,
+       CASE WHEN op = 'D' THEN NULL ELSE 'p-' || CAST(commit_ts AS VARCHAR) END AS text
+FROM binlog
+"""
+
+
 def q_checksum_quarantine(spark, sf_dir):
     """P3 integrity verification (cdc/entry/mounter.go:453-523): recompute
     the transported md5 payload checksum; rows that mismatch (here every
@@ -1893,6 +1986,9 @@ QUERIES = {
     "mq_csv_encode": q_mq_csv_encode,
     "mq_canal_roundtrip": q_mq_canal_roundtrip,
     "mq_open_roundtrip": q_mq_open_roundtrip,
+    "mq_maxwell_roundtrip": q_mq_maxwell_roundtrip,
+    "mq_debezium_roundtrip": q_mq_debezium_roundtrip,
+    "mq_simple_roundtrip": q_mq_simple_roundtrip,
     "mq_event_router": q_mq_event_router,
     "user_sessions": q_user_sessions,
     "key_change_split": q_key_change_split,
@@ -1948,6 +2044,9 @@ ORACLES = {
     "mq_csv_encode": SQL_MQ_CSV_ENCODE,
     "mq_canal_roundtrip": SQL_MQ_CANAL_ROUNDTRIP,
     "mq_open_roundtrip": SQL_MQ_OPEN_ROUNDTRIP,
+    "mq_maxwell_roundtrip": SQL_MQ_MAXWELL_ROUNDTRIP,
+    "mq_debezium_roundtrip": SQL_MQ_DEBEZIUM_ROUNDTRIP,
+    "mq_simple_roundtrip": SQL_MQ_SIMPLE_ROUNDTRIP,
     "mq_event_router": SQL_MQ_EVENT_ROUTER,
     "user_sessions": SQL_USER_SESSIONS,
     "key_change_split": SQL_KEY_CHANGE_SPLIT,

@@ -15,8 +15,9 @@ Column over the configured dispatch key. The output DataFrame
 (`df.write.format("kafka")` in an environment with the connector; here the
 encoded frame itself is the oracle-checked product).
 
-Encoders implemented (the text-protocol family; avro/craft/debezium/
-maxwell need external schema registries and stay out of scope):
+Encoders implemented — 6 of the reference's 8 protocols (the JSON/text
+family; avro + craft are binary protocols needing an external schema
+registry / a custom binary spec and stay out of scope):
 
 - open-protocol (TiCDC's default MQ protocol,
   pkg/sink/codec/open/open_protocol_encoder.go + internal/message_key.go):
@@ -29,6 +30,13 @@ maxwell need external schema registries and stay out of scope):
   per event with type INSERT/UPDATE/DELETE, ts, and the column data.
 - csv (pkg/sink/codec/csv/csv_message.go:43-55): operation code
   I/U/D, table name, commit-ts, then the column values.
+- maxwell (pkg/sink/codec/maxwell/maxwell_message.go:27-37):
+  {"database","table","type","ts","data"[,"old"]}.
+- debezium-JSON (pkg/sink/codec/debezium/codec.go:531-591): the
+  {"payload":{"source","op" c|u|d,"ts_ms","before","after"}} envelope.
+- simple (pkg/sink/codec/simple): flat JSON DML message —
+  {"schema","table","type","commitTs","data"} (bootstrap/schema messages
+  are registry-coupled and omitted).
 """
 
 from __future__ import annotations
@@ -305,3 +313,101 @@ def route_events(
     topic = topic.otherwise(F.concat_ws("_", F.lit(schema), tname))
     part = part.otherwise(F.pmod(F.xxhash64(tname), F.lit(n_partitions)))
     return df.withColumn("topic", topic).withColumn("partition", part.cast("int"))
+
+
+def encode_maxwell(df: DataFrame, database: str, table: str, data_cols: list,
+                   pre_cols: list | None = None) -> DataFrame:
+    """Maxwell codec (pkg/sink/codec/maxwell/maxwell_message.go:27-37):
+    {"database","table","type" insert|update|delete,"ts","data":{...}
+    [,"old":{...}]} — the update's "old" map carries the pre-image. Pure
+    Column to_json; a delete's data carries the handle key (the stream has
+    no post-image for deletes)."""
+    mtype = (
+        F.when(F.col("op") == "I", "insert")
+        .when(F.col("op") == "U", "update")
+        .otherwise("delete")
+    )
+    data = F.struct(*[F.col(c).cast("string").alias(c) for c in data_cols])
+    parts = [
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        mtype.alias("type"),
+        F.col("commit_ts").alias("ts"),
+        data.alias("data"),
+    ]
+    if pre_cols:
+        parts.append(
+            F.struct(*[F.col(c).cast("string").alias(c) for c in pre_cols]).alias("old")
+        )
+    value = F.to_json(F.struct(*parts))
+    return df.select(
+        F.lit(f"{database}_{table}").alias("topic"), value.alias("value"),
+        "commit_ts", "op", "conv_id", "turn_idx",
+    )
+
+
+def encode_debezium(df: DataFrame, database: str, table: str, data_cols: list,
+                    pre_cols: list | None = None) -> DataFrame:
+    """Debezium-JSON envelope (pkg/sink/codec/debezium/codec.go:531-591):
+    {"payload": {"source": {"db","table"}, "op": c|u|d, "ts_ms",
+    "before": ..., "after": ...}} — insert has NULL before, delete has NULL
+    after, update carries both when the pre-image is available."""
+    row = F.struct(*[F.col(c).cast("string").alias(c) for c in data_cols])
+    null_row = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:string" for c in data_cols) + ">"
+    )
+    op = (
+        F.when(F.col("op") == "I", "c")
+        .when(F.col("op") == "U", "u")
+        .otherwise("d")
+    )
+    # before/after are REAL nested objects (a NULL one is omitted from the
+    # JSON, matching debezium's null before/after)
+    pre = (
+        F.struct(*[F.col(c).cast("string").alias(c) for c in pre_cols])
+        if pre_cols else null_row
+    )
+    before = F.when(F.col("op") == "I", null_row).otherwise(pre)
+    after = F.when(F.col("op") == "D", null_row).otherwise(row)
+    payload = F.struct(
+        F.struct(F.lit(database).alias("db"), F.lit(table).alias("table")).alias("source"),
+        op.alias("op"),
+        F.col("commit_ts").alias("ts_ms"),
+        before.alias("before"),
+        after.alias("after"),
+    )
+    value = F.to_json(F.struct(payload.alias("payload")))
+    return df.select(
+        F.lit(f"{database}.{table}").alias("topic"), value.alias("value"),
+        "commit_ts", "op", "conv_id", "turn_idx",
+    )
+
+
+def encode_simple(df: DataFrame, database: str, table: str, data_cols: list,
+                  schema_version: int = 0) -> DataFrame:
+    """Simple-protocol DML message (pkg/sink/codec/simple/message.go:471-501):
+    {"version":1,"database","table","type" INSERT|UPDATE|DELETE,"commitTs",
+    "schemaVersion","data":{...}} for insert/update, "old" instead of
+    "data" for delete (Data is insert/update-only, Old carries the
+    delete's image per the reference struct). Bootstrap/DDL messages are
+    registry-coupled and omitted."""
+    row = F.struct(*[F.col(c).cast("string").alias(c) for c in data_cols])
+    handle = F.struct(*[
+        F.col(c).cast("string").alias(c) for c in ("conv_id", "turn_idx")
+        if c in data_cols
+    ])
+    base = [
+        F.lit(1).alias("version"),
+        F.lit(database).alias("database"),
+        F.lit(table).alias("table"),
+        _op_word().alias("type"),
+        F.col("commit_ts").alias("commitTs"),
+        F.lit(schema_version).alias("schemaVersion"),
+    ]
+    value = F.when(
+        F.col("op") == "D", F.to_json(F.struct(*base, handle.alias("old")))
+    ).otherwise(F.to_json(F.struct(*base, row.alias("data"))))
+    return df.select(
+        F.lit(f"{database}_{table}").alias("topic"), value.alias("value"),
+        "commit_ts", "op", "conv_id", "turn_idx",
+    )
