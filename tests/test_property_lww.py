@@ -146,3 +146,41 @@ def test_key_change_split_laws(spark, raw):
         if prev is None or (c, s, OP_RANK[op]) > prev[0]:
             last[key] = ((c, s, OP_RANK[op]), op)
     assert live == {k for k, (_, op) in last.items() if op != "D"}
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    _events_strategy(),
+    st.randoms(use_true_random=False),
+    st.integers(min_value=1, max_value=4),
+)
+def test_merge_lww_batch_boundary_independence(spark, tmp_path_factory, raw, rnd, n_batches):
+    """The arrival-ordered sink law (mysql.go:516,533-537 generalized): for
+    ANY event multiset, ANY arrival order, and ANY chop into batches,
+    merge_lww produces the same final visible state as the one-shot LWW
+    model — deletes tombstone, late older events never resurrect."""
+    from ticdc_spark.sinks.lake import LakeTable
+
+    rows = _dedupe_order_ties(raw)
+    if not rows:
+        return
+    rnd.shuffle(rows)  # arrival order unrelated to commit order
+    cuts = sorted(rnd.sample(range(1, len(rows)), min(n_batches - 1, len(rows) - 1))) \
+        if len(rows) > 1 and n_batches > 1 else []
+    batches = [rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])]
+
+    t = LakeTable(spark, str(tmp_path_factory.mktemp("lww_prop") / "t"))
+    t.create(key=["conv_id", "turn_idx"],
+             fields=[("conv_id", "string"), ("turn_idx", "int"), ("payload", "string")],
+             n_buckets=2, with_order_cols=True)
+    for e, batch in enumerate(batches):
+        src = spark.createDataFrame(
+            [(conv, turn, p, op, c, s, OP_RANK[op], int(op == "D"))
+             for c, s, op, conv, turn, p in batch],
+            "conv_id string, turn_idx int, payload string, op string, "
+            "_commit_ts long, _start_ts long, _op_rank int, _deleted int",
+        )
+        t.merge_lww(src, f"e{e}", epoch=e)
+    got = {(r["conv_id"], r["turn_idx"]): r["payload"] for r in t.read().collect()}
+    want = {k: v[3] for k, v in _py_lww(rows).items() if v[2] != "D"}
+    assert got == want
