@@ -157,3 +157,37 @@ def test_maxwell_debezium_simple_shapes(spark):
     assert sp[1002]["version"] == 1 and sp[1002]["type"] == "UPDATE"
     assert sp[1002]["data"]["text"] == "hi, there"
     assert sp[1003]["old"]["conv_id"] == "conv-b" and "data" not in sp[1003]
+
+
+def test_column_selector_rules():
+    import pytest as _pt
+
+    from ticdc_spark.sinks.mq import ColumnSelectorRule, select_columns
+
+    rules = [
+        ColumnSelectorRule(matcher=("orders",), columns=("conv_id", "turn_idx", "text")),
+        ColumnSelectorRule(matcher=("audit*",), columns=("*", "!tool")),
+    ]
+    cols = ["conv_id", "turn_idx", "text", "tool", "ts"]
+    assert select_columns("orders", cols, rules) == ["conv_id", "turn_idx", "text"]
+    assert select_columns("audit_log", cols, rules) == ["conv_id", "turn_idx", "text", "ts"]
+    # unmatched table: all columns pass through
+    assert select_columns("misc", cols, rules) == cols
+    # dropping a handle-key column is forbidden (column_selector.go:227)
+    bad = [ColumnSelectorRule(matcher=("orders",), columns=("text",))]
+    with _pt.raises(ValueError):
+        select_columns("orders", cols, bad)
+
+
+def test_resolved_broadcast_covers_all_topic_partitions(spark):
+    from ticdc_spark.sinks.mq import resolved_messages
+
+    resolved = spark.createDataFrame(
+        [(p, r, 0) for p in range(2) for r in (10, 20)] + [(0, 30, 0)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    out = resolved_messages(resolved, ["t1", "t2"], 4).collect()
+    # 30 is NOT an achievable frontier (partition 1 never reached it)
+    assert {r["resolved_ts"] for r in out} == {10, 20}
+    assert len(out) == 2 * 2 * 4  # steps x topics x partitions
+    assert all(r["key"] == '{"ts":%d,"t":3}' % r["resolved_ts"] for r in out)

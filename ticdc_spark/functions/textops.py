@@ -334,3 +334,43 @@ def stratified_sample(docs: DataFrame, strata_col, rates: dict,
     thr = thr.otherwise(F.lit(int(default_rate * 0x1_0000_0000))) if thr is not None \
         else F.lit(int(default_rate * 0x1_0000_0000))
     return docs.filter(u < thr)
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality
+    filters): fraction of duplicate word 2-grams and the most-frequent
+    2-gram's share of the document. High values flag boilerplate/looping
+    text a training pipeline drops.
+
+    Plan: tokenize + adjacent-pair transform natively, ONE explode +
+    per-(doc, gram) count + per-doc aggregate — two hash exchanges keyed by
+    doc_id, no Python, skew-bounded (a doc's grams are O(doc length))."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.slice(toks, 1, F.size(toks) - 1),
+            lambda x, i: F.concat_ws(" ", x, F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    per_gram = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_gram.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.round(
+            F.when(F.col("n_grams") > 0,
+                   (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"))
+            .otherwise(F.lit(0.0)), 4
+        ).alias("dup_gram_frac"),
+        F.round(
+            F.when(F.col("n_grams") > 0, F.col("top_c") / F.col("n_grams"))
+            .otherwise(F.lit(0.0)), 4
+        ).alias("top_gram_frac"),
+    )
+    return out

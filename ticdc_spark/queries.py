@@ -627,6 +627,36 @@ GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-2-gram fraction + top-2-gram share per doc — the boilerplate/
+    looping-text filters a training pipeline applies before sampling."""
+    from ticdc_spark.functions.textops import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+SQL_DOC_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+grams AS (
+  SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM toks WHERE len(tk) >= 2)),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+agg AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct, max(c) AS top_c
+        FROM pg GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
+                  THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams
+                  ELSE 0.0 END, 4) AS dup_gram_frac,
+       round(CASE WHEN coalesce(n_grams, 0) > 0
+                  THEN CAST(top_c AS DOUBLE) / n_grams
+                  ELSE 0.0 END, 4) AS top_gram_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_doc_neardup_clusters(spark, sf_dir):
     """Dedup-cluster assignment: connected components over the MinHash-LSH
     near-dup pair graph — each member doc mapped to its cluster's canonical
@@ -1583,6 +1613,35 @@ FROM binlog
 """
 
 
+def q_mq_resolved_broadcast(spark, sf_dir):
+    """Resolved-ts broadcast messages (open_protocol_message.go:115-119,
+    mq worker broadcast): each achievable global frontier is announced to
+    EVERY partition of EVERY topic as {"ts": r, "t": 3} so consumers can
+    advance their watermark."""
+    from ticdc_spark.sinks.mq import resolved_messages
+
+    n = _events(spark, sf_dir).count()
+    step = n // 5
+    resolved = spark.createDataFrame(
+        [(p, 1000 + k * step, k) for p in range(4) for k in range(1, 6)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    return resolved_messages(resolved, ["t_a", "t_b"], 3)
+
+
+SQL_MQ_RESOLVED_BROADCAST = """
+WITH st AS (
+  SELECT 1000 + k * (SELECT count(*) // 5 FROM events) AS r
+  FROM (SELECT unnest(range(1, 6)) AS k)),
+tp AS (SELECT unnest(['t_a', 't_b']) AS topic),
+pt AS (SELECT CAST(unnest(range(0, 3)) AS INT) AS partition)
+SELECT topic, partition,
+       '{"ts":' || CAST(r AS VARCHAR) || ',"t":3}' AS key,
+       CAST(r AS BIGINT) AS resolved_ts
+FROM st, tp, pt
+"""
+
+
 def q_checksum_quarantine(spark, sf_dir):
     """P3 integrity verification (cdc/entry/mounter.go:453-523): recompute
     the transported md5 payload checksum; rows that mismatch (here every
@@ -1990,6 +2049,7 @@ QUERIES = {
     "mq_debezium_roundtrip": q_mq_debezium_roundtrip,
     "mq_simple_roundtrip": q_mq_simple_roundtrip,
     "mq_event_router": q_mq_event_router,
+    "mq_resolved_broadcast": q_mq_resolved_broadcast,
     "user_sessions": q_user_sessions,
     "key_change_split": q_key_change_split,
     "lww_final_state": q_lww_final_state,
@@ -2017,6 +2077,7 @@ QUERIES = {
     "doc_minhash_bands": q_doc_minhash_bands,
     "doc_neardup_pairs": q_doc_neardup_pairs,
     "doc_neardup_clusters": q_doc_neardup_clusters,
+    "doc_repetition": q_doc_repetition,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_simhash16": q_doc_simhash16,
@@ -2048,6 +2109,7 @@ ORACLES = {
     "mq_debezium_roundtrip": SQL_MQ_DEBEZIUM_ROUNDTRIP,
     "mq_simple_roundtrip": SQL_MQ_SIMPLE_ROUNDTRIP,
     "mq_event_router": SQL_MQ_EVENT_ROUTER,
+    "mq_resolved_broadcast": SQL_MQ_RESOLVED_BROADCAST,
     "user_sessions": SQL_USER_SESSIONS,
     "key_change_split": SQL_KEY_CHANGE_SPLIT,
     "lww_final_state": SQL_LWW_FINAL,
@@ -2075,6 +2137,7 @@ ORACLES = {
     "doc_minhash_bands": SQL_DOC_MINHASH_BANDS,
     "doc_neardup_pairs": SQL_DOC_NEARDUP_PAIRS,
     "doc_neardup_clusters": SQL_DOC_NEARDUP_CLUSTERS,
+    "doc_repetition": SQL_DOC_REPETITION,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_simhash16": SQL_DOC_SIMHASH16,

@@ -411,3 +411,80 @@ def encode_simple(df: DataFrame, database: str, table: str, data_cols: list,
         F.lit(f"{database}_{table}").alias("topic"), value.alias("value"),
         "commit_ts", "op", "conv_id", "turn_idx",
     )
+
+
+@dataclass(frozen=True)
+class ColumnSelectorRule:
+    """Column selector (cdc/sink/dmlsink/mq/transformer/columnselector/
+    column_selector.go:30-135): tables matching ``matcher`` emit only the
+    columns matching ``columns`` patterns ('*' wildcard; '!' prefix
+    negates). Handle-key columns may never be deselected (VerifyColumn
+    :227 — the dispatcher and consumer resolution depend on them)."""
+
+    matcher: tuple = ("*",)
+    columns: tuple = ("*",)
+
+
+def select_columns(table: str, data_cols: list, rules: list,
+                   handle_cols: tuple = ("conv_id", "turn_idx")) -> list:
+    """Resolve the emitted column list for one table against the FIRST
+    matching selector rule — the config-time half of the reference's
+    ColumnSelector.Apply (the per-event half is just feeding the reduced
+    list to an encoder). Raises if a rule would drop a handle-key column."""
+    import re as _re
+
+    def _m(pat, name):
+        return _re.fullmatch(_matcher_to_regex(pat), name) is not None
+
+    for r in rules:
+        if not any(_m(p, table) for p in r.matcher):
+            continue
+        keep = []
+        for c in data_cols:
+            pos = any(_m(p, c) for p in r.columns if not p.startswith("!"))
+            neg = any(_m(p[1:], c) for p in r.columns if p.startswith("!"))
+            if pos and not neg:
+                keep.append(c)
+        dropped_handles = [c for c in handle_cols if c in data_cols and c not in keep]
+        if dropped_handles:
+            raise ValueError(
+                f"column selector would drop handle-key columns {dropped_handles} "
+                f"of table {table!r} (column_selector.go:227 forbids it)"
+            )
+        return keep
+    return list(data_cols)
+
+
+def resolved_messages(resolved_log: DataFrame, topics: list, n_partitions: int) -> DataFrame:
+    """Resolved-ts broadcast messages: when the global frontier advances,
+    an open-protocol resolved message ({"ts": r, "t": 3} — t=3 is
+    MessageTypeResolved, open_protocol_message.go:115-119) is sent to
+    EVERY partition of EVERY topic so consumers can advance their
+    watermark (mq worker broadcast semantics). One row per
+    (frontier step, topic, partition)."""
+    from ticdc_spark.sources.frontier import per_partition_resolved
+
+    steps = (
+        resolved_log.groupBy("resolved_ts")
+        .agg(F.count_distinct("partition_id").alias("n"))
+        .crossJoin(
+            per_partition_resolved(resolved_log)
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+        )
+        .filter(F.col("n") == F.col("n_parts"))  # achievable global frontiers
+        .select(F.col("resolved_ts"))
+    )
+    t = F.explode(F.array(*[F.lit(x) for x in topics])).alias("topic")
+    p = F.explode(F.sequence(F.lit(0), F.lit(n_partitions - 1))).alias("partition")
+    return (
+        steps.select("resolved_ts", t)
+        .select("resolved_ts", "topic", p)
+        .select(
+            "topic",
+            F.col("partition").cast("int").alias("partition"),
+            F.to_json(
+                F.struct(F.col("resolved_ts").alias("ts"), F.lit(3).alias("t"))
+            ).alias("key"),
+            "resolved_ts",
+        )
+    )
