@@ -176,7 +176,11 @@ def mount(
     writer_maps = registry.writer_field_map(current)
     writer_types = registry.writer_type_map(current)
     udf = _decode_udf(current, writer_maps, writer_types)
-    out = df.withColumn("_m", udf(F.col(payload_col), F.col(version_col)))
+    field_names = {n for n, _ in current.fields}
+    # ONE select, not a withColumn per field: each withColumn adds a plan
+    # node the analyzer re-walks — at one mount per micro-batch the loop
+    # was a measurable slice of the per-batch driver constant
+    exprs = []
     for n, t in current.fields:
         col = F.col(f"_m.{n}")
         if t == "timestamp":
@@ -184,14 +188,19 @@ def mount(
         elif n == "ts" and t == "long":
             # transcript convention: ts travels as epoch micros
             col = F.timestamp_micros(col)
-            t = "timestamp"
         else:
             col = col.cast({"string": "string", "int": "int", "long": "long",
                             "bigint": "long", "double": "double"}[t])
         if defaults and n in defaults:
             col = F.coalesce(col, F.lit(defaults[n]))
-        out = out.withColumn(n, col)
-    return out.drop("_m", payload_col, "pre_payload", version_col)
+        exprs.append(col.alias(n))
+    keep = [
+        c for c in df.columns
+        if c not in field_names and c not in (payload_col, "pre_payload", version_col)
+    ]
+    return df.withColumn("_m", udf(F.col(payload_col), F.col(version_col))).select(
+        *keep, *exprs
+    )
 
 
 def mounted_columns(registry: SchemaRegistry, as_of_ts: int) -> list:
