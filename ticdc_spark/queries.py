@@ -732,6 +732,102 @@ WHERE u < CASE stratum WHEN 'short' THEN CAST(0.1 * 4294967296 AS BIGINT)
 """
 
 
+def q_corpus_prep_pipeline(spark, sf_dir):
+    """The capstone composition — a training-data prep pipeline end to end,
+    each stage one of this repo's operators: (1) exact dedup keeps each
+    content hash's min doc, (2) near-dup CLUSTERS (MinHash-LSH pairs →
+    connected components) keep only the canonical doc per cluster,
+    (3) quality gates drop short (<20 tokens) and repetitive
+    (dup-2-gram fraction > 0.4) docs, (4) deterministic stratified
+    sampling by length tier picks the final set. Returns (doc_id, stratum)
+    of the kept corpus. Every stage is shuffle-bounded and shown
+    individually green by its own oracle; this query proves they COMPOSE."""
+    from ticdc_spark.functions.textops import (
+        exact_dedup, neardup_clusters, neardup_pairs, repetition_metrics,
+        stratified_sample, token_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keep_exact = exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    pairs = neardup_pairs(docs, min_bands=3, max_bucket=_LSH_MAX_BUCKET)
+    clusters = neardup_clusters(pairs)
+    non_canonical = clusters.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
+    toks = token_count(docs)
+    rep = repetition_metrics(docs)
+    kept = (
+        docs.join(keep_exact, "doc_id", "left_semi")
+        .join(non_canonical, "doc_id", "left_anti")
+        .join(toks, "doc_id")
+        .join(rep.select("doc_id", "dup_gram_frac"), "doc_id")
+        .filter((F.col("n_tokens") >= 20) & (F.col("dup_gram_frac") <= 0.4))
+        .withColumn(
+            "stratum",
+            F.when(F.length("text") < 200, "short")
+            .when(F.length("text") < 1000, "med")
+            .otherwise("long"),
+        )
+    )
+    return stratified_sample(kept, "stratum", _SAMPLE_RATES).select("doc_id", "stratum")
+
+
+SQL_CORPUS_PREP_PIPELINE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i
+        FROM documents)),
+banded AS (
+  SELECT doc_id, band, md5(CAST(band AS VARCHAR) || h) AS bh
+  FROM sh, (SELECT unnest(range(0, 4)) AS band)),
+mh0 AS (SELECT doc_id, band, min(bh) AS minhash FROM banded GROUP BY doc_id, band),
+bsz AS (SELECT band, minhash, count(*) AS c FROM mh0 GROUP BY band, minhash),
+mh AS (SELECT mh0.* FROM mh0 JOIN bsz USING (band, minhash) WHERE bsz.c <= {_LSH_MAX_BUCKET}),
+pairs AS (
+  SELECT a.doc_id AS pa, b.doc_id AS pb
+  FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3),
+e AS (SELECT pa AS a, pb AS b FROM pairs UNION SELECT pb, pa FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+clusters AS (SELECT n AS doc_id, min(m) AS cluster FROM reach GROUP BY n),
+exact_keep AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+grams AS (
+  SELECT doc_id, tk[CAST(i AS INT)] || ' ' || tk[CAST(i AS INT) + 1] AS gram
+  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+              FROM documents)
+        WHERE len(tk) >= 2)),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY doc_id, gram),
+rep AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct FROM pg GROUP BY doc_id),
+kept AS (
+  SELECT d.doc_id,
+         CASE WHEN length(d.text) < 200 THEN 'short'
+              WHEN length(d.text) < 1000 THEN 'med'
+              ELSE 'long' END AS stratum
+  FROM documents d
+  JOIN toks USING (doc_id)
+  LEFT JOIN rep USING (doc_id)
+  LEFT JOIN clusters cl USING (doc_id)
+  WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)
+    AND (cl.cluster IS NULL OR cl.cluster = d.doc_id)
+    AND toks.n_tokens >= 20
+    AND round(CASE WHEN coalesce(rep.n_grams, 0) > 0
+                   THEN CAST(rep.n_grams - rep.n_distinct AS DOUBLE) / rep.n_grams
+                   ELSE 0.0 END, 4) <= 0.4)
+SELECT doc_id, stratum FROM kept
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      < CASE stratum WHEN 'short' THEN CAST(0.1 * 4294967296 AS BIGINT)
+                     WHEN 'med' THEN CAST(0.5 * 4294967296 AS BIGINT)
+                     ELSE CAST(4294967296 AS BIGINT) END
+"""
+
+
 def q_doc_ngram_jaccard(spark, sf_dir):
     from ticdc_spark.functions.textops import ngram_jaccard_adjacent
 
@@ -2078,6 +2174,7 @@ QUERIES = {
     "doc_neardup_pairs": q_doc_neardup_pairs,
     "doc_neardup_clusters": q_doc_neardup_clusters,
     "doc_repetition": q_doc_repetition,
+    "corpus_prep_pipeline": q_corpus_prep_pipeline,
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_simhash16": q_doc_simhash16,
@@ -2138,6 +2235,7 @@ ORACLES = {
     "doc_neardup_pairs": SQL_DOC_NEARDUP_PAIRS,
     "doc_neardup_clusters": SQL_DOC_NEARDUP_CLUSTERS,
     "doc_repetition": SQL_DOC_REPETITION,
+    "corpus_prep_pipeline": SQL_CORPUS_PREP_PIPELINE,
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_simhash16": SQL_DOC_SIMHASH16,
