@@ -207,3 +207,51 @@ def test_table_allow_block_routing(spark, tmp_path):
     mt, _ = _build(spark, str(tmp_path), cfg=cfg)
     assert mt.tables == ["t0", "t1"]
     assert route_tables(["a", "t1", "t2", "t10"], allow=("t[0-9]",), block=("t2",)) == ["t1"]
+
+
+def test_homogeneous_window_is_one_write_for_all_tables(spark, tmp_path, monkeypatch):
+    """When tables share one schema chain (the fleet case), a window must
+    execute the single-write fast path: every table commits via
+    append_delta_files (metadata-only, fed by ONE partitionBy write) and
+    the per-table append_delta write path never runs."""
+    calls = {"files": 0, "delta": 0}
+    orig_f = LakeTable.append_delta_files
+    orig_d = LakeTable.append_delta
+
+    def count_f(self, *a, **k):
+        calls["files"] += 1
+        return orig_f(self, *a, **k)
+
+    def count_d(self, *a, **k):
+        calls["delta"] += 1
+        return orig_d(self, *a, **k)
+
+    monkeypatch.setattr(LakeTable, "append_delta_files", count_f)
+    monkeypatch.setattr(LakeTable, "append_delta", count_d)
+    specs = {f"h{i}": BinlogSpec(n_events=2_000, n_convs=60, seed=300 + i)
+             for i in range(4)}
+    parts = [gen_binlog(spark, s).withColumn("table_name", F.lit(t))
+             for t, s in specs.items()]
+    binlog = parts[0]
+    for p in parts[1:]:
+        binlog = binlog.unionByName(p)
+    mt = MultiTableChangefeed(
+        spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))), None,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+        config=ChangefeedConfig(changefeed_id="h", n_buckets=4),
+        tables=list(specs),
+    )
+    stats = mt.run()
+    assert stats["merges"] == 4 * stats["windows"]
+    assert calls["delta"] == 0            # per-table write path never ran
+    assert calls["files"] == 4 * stats["windows"]
+    for t, s in specs.items():
+        want = expected_final_state(gen_binlog(spark, s), mt.feeds[t].registry,
+                                    s.max_commit_ts, KEY)
+        assert_df_equal(mt.read(t), want, KEY)
+    # GC ownership: every table's delta files live under ITS data_dir
+    for t in specs:
+        m = mt.feeds[t].target.manifest()
+        for d in m["deltas"]:
+            for f in d["files"]:
+                assert f.startswith(mt.feeds[t].target.data_dir), f

@@ -714,6 +714,34 @@ class LakeTable:
         return {"status": "committed", "batch_id": batch_id, "version": m["version"],
                 "lineage": rows}
 
+    def append_delta_files(
+        self,
+        files: list,
+        batch_id: str,
+        lineage_rows: list | None = None,
+        resolved_ts: int | None = None,
+        epoch: int | None = None,
+    ) -> dict:
+        """Commit ALREADY-WRITTEN delta files — the multi-table single-pass
+        driver writes every table's delta in ONE Spark job (partitionBy
+        table) and hands each table its file list; this is the metadata
+        half of :meth:`append_delta`. Caller owns placement: files must
+        live under this table's ``data_dir`` (snapshot expiry walks it).
+        Same exactly-once recognition as every other sink entry point."""
+        m = self.manifest()
+        if self._recognized(m, batch_id, resolved_ts, epoch):
+            return {"status": "skipped", "batch_id": batch_id}
+        if "_commit_ts" not in [x[0] for x in m["schema"]]:
+            raise ValueError("append_delta_files needs a table created with_order_cols=True")
+        m.setdefault("deltas", []).append(
+            {"files": sorted(files), "written_version": m["schema_version"]}
+        )
+        rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
+        n_src = sum(r.get("event_count", 0) for r in rows)
+        self._commit_batch(m, batch_id, resolved_ts, n_src, rows, mode="mor", epoch=epoch)
+        return {"status": "committed", "batch_id": batch_id, "version": m["version"],
+                "lineage": rows}
+
     def delta_depth(self) -> int:
         return len(self.manifest().get("deltas", []))
 

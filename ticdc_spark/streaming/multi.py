@@ -295,12 +295,16 @@ class MultiTableChangefeed:
         # whole cache N times
         deduped = deduped.sortWithinPartitions(self.table_col).persist()
         try:
-            for name, t in sorted(names.items()):
-                feed = live[t]
-                sliced = deduped.filter(F.col(self.table_col) == name).drop(self.table_col)
-                res = feed._sink_deduped(sliced, lo, hi)
-                out["events"] += res.get("events", 0)
-                out["merges"] += res["status"] == "committed"
+            if not self._apply_homogeneous(live, names, deduped, lo, hi, out):
+                # heterogeneous window (diverged schema chains, a DDL
+                # barrier, truncate, CoW mode): per-table mount + sink off
+                # the shared cache
+                for name, t in sorted(names.items()):
+                    feed = live[t]
+                    sliced = deduped.filter(F.col(self.table_col) == name).drop(self.table_col)
+                    res = feed._sink_deduped(sliced, lo, hi)
+                    out["events"] += res.get("events", 0)
+                    out["merges"] += res["status"] == "committed"
         finally:
             deduped.unpersist()
         if qobs is not None:
@@ -309,6 +313,113 @@ class MultiTableChangefeed:
             except Exception:
                 out["quarantined"] = 0
         return out
+
+    def _apply_homogeneous(self, live: dict, names: dict, deduped, lo: int,
+                           hi: int, out: dict) -> bool:
+        """HOMOGENEOUS-window fast path: when every live table shares the
+        SAME schema chain up to ``hi`` (the 100k-table fleet case — one
+        transcript schema, global DDLs only), mount ONCE and write every
+        table's delta files in ONE Spark job (partitionBy table), then
+        hand each table its files for a metadata-only commit. Cost per
+        window: 1 write job + 1 metadata-cardinality lineage aggregate —
+        independent of table count — vs N mount+write jobs on the
+        per-table path. Falls back (returns False) on diverged chains, a
+        DDL barrier at ``hi``, truncate incarnations, or CoW mode."""
+        import shutil as _sh
+        import tempfile as _tf
+        import uuid as _uuid
+
+        import os as _os
+
+        cfg = self.config
+        if cfg.sink_mode != "mor":
+            return False
+        applying: dict = {}
+        chains = set()
+        for name, t in sorted(names.items()):
+            f = live[t]
+            if f._ddl_at(hi) is not None or not f.target.exists():
+                return False
+            m = f.target.manifest()
+            if m.get("truncate_ts", 0):
+                return False
+            # identical chains ⇒ identical writer maps ⇒ one mount decodes
+            # every table's events correctly
+            chains.add(tuple(
+                (s.version_ts, s.fields)
+                for s in f.registry._snapshots if s.version_ts <= hi
+            ))
+            batch_id = f"{f.config.changefeed_id}:{lo}:{hi}"
+            if hi <= max(m["checkpoint"]["resolved_ts"], f.config.start_ts) or (
+                batch_id in m["batch_ids"]
+            ):
+                continue  # this table already has the window
+            applying[name] = t
+        if len(chains) > 1:
+            return False
+        if not applying:
+            return True
+        from ticdc_spark.functions.mount import mount, mounted_columns
+
+        probe = live[next(iter(applying.values()))]
+        sliced = deduped.filter(F.col(self.table_col).isin(*applying))
+        mounted = mount(sliced, probe.registry, as_of_ts=hi, defaults=cfg.defaults)
+        payload_cols = mounted_columns(probe.registry, hi)
+        src = mounted.select(
+            self.table_col, *cfg.key, *payload_cols,
+            F.col("commit_ts").alias("_commit_ts"),
+            F.col("start_ts").alias("_start_ts"),
+            F.col("op_rank").alias("_op_rank"),
+            (F.col("op") == "D").cast("int").alias("_deleted"),
+        )
+        staging_root = _tf.mkdtemp(prefix="mt_window_")
+        staging = _os.path.join(staging_root, "w")  # parquet needs a fresh path
+        try:
+            # THE one write job for all tables in this window
+            src.write.partitionBy(self.table_col).parquet(staging)
+            # per-(table, source partition) lineage off the cached dedup:
+            # metadata-cardinality output, one small job for all tables
+            stats = (
+                deduped.filter(F.col(self.table_col).isin(*applying))
+                .groupBy(self.table_col, "partition_id")
+                .agg(F.sum("_n_events").alias("n"), F.max("_max_commit_ts").alias("mx"))
+                .collect()
+            )
+            by_table: dict = {}
+            for r in stats:
+                by_table.setdefault(r[self.table_col], []).append(r)
+            for name in sorted(applying):
+                feed = live[applying[name]]
+                batch_id = f"{feed.config.changefeed_id}:{lo}:{hi}"
+                pdir = _os.path.join(staging, f"{self.table_col}={name}")
+                files: list = []
+                if _os.path.isdir(pdir):
+                    # move (same-fs rename) the partition dir INTO the
+                    # table's own data_dir so snapshot expiry owns it
+                    _os.makedirs(feed.target.data_dir, exist_ok=True)
+                    dest = _os.path.join(feed.target.data_dir, _uuid.uuid4().hex)
+                    try:
+                        _os.rename(pdir, dest)
+                    except OSError:
+                        _sh.move(pdir, dest)
+                    files = sorted(
+                        _os.path.join(dest, x)
+                        for x in _os.listdir(dest) if x.endswith(".parquet")
+                    )
+                rows = [
+                    {"batch_id": batch_id, "partition_id": int(r["partition_id"]),
+                     "resolved_ts": hi, "event_count": int(r["n"]),
+                     "max_commit_ts": int(r["mx"])}
+                    for r in by_table.get(name, [])
+                ]
+                res = feed.target.append_delta_files(
+                    files, batch_id, lineage_rows=rows, resolved_ts=hi
+                )
+                out["events"] += sum(x["event_count"] for x in res.get("lineage", []))
+                out["merges"] += res["status"] == "committed"
+        finally:
+            _sh.rmtree(staging_root, ignore_errors=True)
+        return True
 
 
 def route_tables(names: list, allow: tuple = (), block: tuple = ()) -> list:
