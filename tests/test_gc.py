@@ -66,14 +66,22 @@ def test_manifest_flat_in_streaming_epoch_mode(spark, tmp_table_path):
     assert m["checkpoint"]["epoch_hwm"] == 59
     # byte-flat up to integer digit-width (epoch/seq counters), not O(history)
     assert sizes[-1] - sizes[10] < 50
-    # replaying an old PRUNED epoch is still a no-op (monotone epoch rule)
-    res = t.merge_lww(_batch(spark, 3), "cf:epoch-3", epoch=3)
-    assert res["status"] == "skipped"
+    # an epoch BELOW the feed's high-water mark with an unseen id cannot be
+    # a legitimate replay (Spark only re-delivers the newest epoch) — it
+    # means the streaming checkpoint was reset; the sink must refuse loudly
+    # rather than silently skip what may be new data
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="epoch regression"):
+        t.merge_lww(_batch(spark, 3), "cf:epoch-3", epoch=3)
     # re-delivery of the NEWEST epoch (the only one Spark can re-deliver)
     res = t.merge_lww(_batch(spark, 777), "cf:epoch-59", epoch=59)
     assert res["status"] == "skipped"
+    # a SECOND changefeed's epochs are an independent namespace: its epoch 0
+    # must apply, not be judged against cf's high-water mark of 59
+    res = t.merge_lww(_batch(spark, 70), "cf2:epoch-0", epoch=0)
+    assert res["status"] == "committed"
     final = {r["_commit_ts"] for r in t.read(include_meta=True).collect()}
-    assert final == {60}
+    assert final == {70}
 
 
 def test_manifest_flat_in_resolved_ts_mode(spark, tmp_table_path):

@@ -203,26 +203,38 @@ class LakeTable:
 
         Entries with neither a resolved_ts nor an epoch (bare direct-API
         calls) cannot be pruned safely — pass one of them for bounded
-        manifests."""
+        manifests.
+
+        Epoch high-water marks are NAMESPACED by changefeed (the
+        ``cf:epoch-N`` batch-id prefix): foreachBatch epochs are monotone
+        only within one streaming query, so a second changefeed writing the
+        same table (or a feed restarted on a fresh checkpoint) must not have
+        its epoch 0 judged against another feed's high-water mark."""
         entry: dict = {"resolved_ts": resolved_ts, "rows": n_src}
         if mode:
             entry["mode"] = mode
         if epoch is not None:
             entry["epoch"] = epoch
+            entry["epoch_ns"] = self._epoch_ns(batch_id)
         m["batch_ids"][batch_id] = entry
         ck = m["checkpoint"]
         if resolved_ts is not None:
             ck["resolved_ts"] = max(ck["resolved_ts"], resolved_ts)
         if epoch is not None:
+            ns = entry["epoch_ns"]
+            hwms = ck.setdefault("epoch_hwms", {})
+            hwms[ns] = max(hwms.get(ns, -1), epoch)
+            # legacy scalar kept as max-across-feeds (readers that only ask
+            # "has ANY epoch committed here" still work)
             ck["epoch_hwm"] = max(ck.get("epoch_hwm", -1), epoch)
         ck["batch_seq"] = ck.get("batch_seq", 0) + 1
-        hwm = ck.get("epoch_hwm", -1)
+        hwms = ck.get("epoch_hwms", {})
 
         def _retain(v: dict) -> bool:
             if v.get("resolved_ts") is not None:
                 return v["resolved_ts"] >= ck["resolved_ts"]
             if v.get("epoch") is not None:
-                return v["epoch"] >= hwm
+                return v["epoch"] >= hwms.get(v.get("epoch_ns", ""), -1)
             return True
         m["batch_ids"] = {k: v for k, v in m["batch_ids"].items() if _retain(v)}
         m["version"] += 1
@@ -242,20 +254,49 @@ class LakeTable:
         self._commit(m)
 
     @staticmethod
-    def _recognized(m: dict, batch_id: str, resolved_ts: int | None,
+    def _epoch_ns(batch_id: str) -> str:
+        """Epoch namespace = the changefeed prefix of a ``cf:epoch-N``
+        batch id ('' for ad-hoc ids) — epoch monotonicity is a per-
+        streaming-query contract, never a cross-feed one."""
+        return batch_id.rsplit(":epoch-", 1)[0] if ":epoch-" in batch_id else ""
+
+    @classmethod
+    def _recognized(cls, m: dict, batch_id: str, resolved_ts: int | None,
                     epoch: int | None) -> bool:
         """Replay recognition, three-tier: the live batch-id set (replays AT
         the checkpoint/high-water stay in it — pruning retains those), the
         monotone checkpoint rule (strictly below: pruned history), and the
-        monotone epoch rule for arrival-ordered mode. Strict < avoids
-        silently dropping a DISTINCT new batch sharing the checkpoint ts;
-        idempotent replay at == is still caught by batch_ids."""
+        per-changefeed monotone epoch rule for arrival-ordered mode. Strict
+        < avoids silently dropping a DISTINCT new batch sharing the
+        checkpoint ts; idempotent replay at == is still caught by batch_ids.
+
+        An UNSEEN batch id with an epoch strictly below its own feed's
+        high-water mark cannot be a legitimate replay (foreachBatch only
+        re-delivers the newest epoch, whose id pruning retains) — it means
+        the feed restarted on a fresh/mismatched streaming checkpoint and
+        its epochs have reset. Silently skipping it would lose data, so
+        raise instead (same defense as run_streaming's up-front guard, one
+        layer deeper)."""
         ck = m["checkpoint"]
         if batch_id in m["batch_ids"]:
             return True
         if resolved_ts is not None and resolved_ts < ck["resolved_ts"]:
             return True
-        return epoch is not None and epoch < ck.get("epoch_hwm", -1)
+        if epoch is None:
+            return False
+        ns = cls._epoch_ns(batch_id)
+        hwms = ck.get("epoch_hwms")
+        # legacy manifests (pre-namespacing) carry only the scalar mark
+        hwm = ck.get("epoch_hwm", -1) if hwms is None else hwms.get(ns, -1)
+        if epoch < hwm:
+            raise RuntimeError(
+                f"epoch regression: batch {batch_id!r} carries epoch {epoch} "
+                f"below changefeed {ns or '<none>'}'s committed high-water "
+                f"mark {hwm} but its batch id is unseen — the streaming "
+                "checkpoint was reset or replaced; resume from the original "
+                "checkpoint_dir (skipping would silently lose this batch)"
+            )
+        return False
 
     def syncpoints(self) -> list:
         """(source resolved-ts, lake snapshot version) pairs, sorted. Reads
@@ -267,7 +308,10 @@ class LakeTable:
         if os.path.exists(p):
             with open(p) as f:
                 out.extend(tuple(json.loads(line)) for line in f if line.strip())
-        return sorted((rts, v) for rts, v in out if v <= cur["version"])
+        # set(): a crash between sidecar append and manifest commit followed
+        # by a successful retry re-appends the same (resolved_ts, version)
+        # pair — the sidecar is at-least-once, the view is exactly-once
+        return sorted({(rts, v) for rts, v in out if v <= cur["version"]})
 
     def alter(self, ddl_type: str, column: str | None, old_column: str | None = None,
               col_type: str = "string", schema_version: int = 0) -> bool:

@@ -61,7 +61,8 @@ def _op_word():
     )
 
 
-def encode_canal_json(df: DataFrame, table: str, data_cols: list) -> DataFrame:
+def encode_canal_json(df: DataFrame, table: str, data_cols: list,
+                      handle_cols: tuple = ("conv_id", "turn_idx")) -> DataFrame:
     """Canal-JSON-style value: {"table", "type", "ts", "data": [{...}]}
     (canal_json_message.go shape, specialized to the transcript payload)."""
     data = F.to_json(F.array(F.struct(*[F.col(c).cast("string").alias(c) for c in data_cols])))
@@ -73,14 +74,15 @@ def encode_canal_json(df: DataFrame, table: str, data_cols: list) -> DataFrame:
             data.alias("data"),
         )
     )
-    key = F.to_json(F.struct(F.col("conv_id"), F.col("turn_idx")))
+    key = F.to_json(F.struct(*[F.col(c) for c in handle_cols]))
     return df.select(
         F.lit(table).alias("topic"), key.alias("key"), value.alias("value"),
-        "commit_ts", "conv_id", "turn_idx",
+        "commit_ts", *handle_cols,
     )
 
 
-def encode_csv(df: DataFrame, table: str, data_cols: list) -> DataFrame:
+def encode_csv(df: DataFrame, table: str, data_cols: list,
+               handle_cols: tuple = ("conv_id", "turn_idx")) -> DataFrame:
     """CSV codec row: op,table,commit_ts,col1,col2,... with NULLs encoded
     as \\N (csv_message.go:43-55 field order)."""
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("\\N")) for c in data_cols]
@@ -88,7 +90,7 @@ def encode_csv(df: DataFrame, table: str, data_cols: list) -> DataFrame:
                         F.col("commit_ts").cast("string"), *cols)
     return df.select(
         F.lit(table).alias("topic"), value.alias("value"),
-        "commit_ts", "conv_id", "turn_idx",
+        "commit_ts", *handle_cols,
     )
 
 
@@ -159,7 +161,7 @@ def encode_open_protocol(
     return df.select(
         F.lit(f"{schema}_{table}").alias("topic"),
         key.alias("key"), value.alias("value"),
-        "commit_ts", "op", "conv_id", "turn_idx",
+        "commit_ts", "op", *handle_cols,
     )
 
 
@@ -316,7 +318,8 @@ def route_events(
 
 
 def encode_maxwell(df: DataFrame, database: str, table: str, data_cols: list,
-                   pre_cols: list | None = None) -> DataFrame:
+                   pre_cols: list | None = None,
+                   handle_cols: tuple = ("conv_id", "turn_idx")) -> DataFrame:
     """Maxwell codec (pkg/sink/codec/maxwell/maxwell_message.go:27-37):
     {"database","table","type" insert|update|delete,"ts","data":{...}
     [,"old":{...}]} — the update's "old" map carries the pre-image. Pure
@@ -342,12 +345,13 @@ def encode_maxwell(df: DataFrame, database: str, table: str, data_cols: list,
     value = F.to_json(F.struct(*parts))
     return df.select(
         F.lit(f"{database}_{table}").alias("topic"), value.alias("value"),
-        "commit_ts", "op", "conv_id", "turn_idx",
+        "commit_ts", "op", *handle_cols,
     )
 
 
 def encode_debezium(df: DataFrame, database: str, table: str, data_cols: list,
-                    pre_cols: list | None = None) -> DataFrame:
+                    pre_cols: list | None = None,
+                    handle_cols: tuple = ("conv_id", "turn_idx")) -> DataFrame:
     """Debezium-JSON envelope (pkg/sink/codec/debezium/codec.go:531-591):
     {"payload": {"source": {"db","table"}, "op": c|u|d, "ts_ms",
     "before": ..., "after": ...}} — insert has NULL before, delete has NULL
@@ -379,12 +383,13 @@ def encode_debezium(df: DataFrame, database: str, table: str, data_cols: list,
     value = F.to_json(F.struct(payload.alias("payload")))
     return df.select(
         F.lit(f"{database}.{table}").alias("topic"), value.alias("value"),
-        "commit_ts", "op", "conv_id", "turn_idx",
+        "commit_ts", "op", *handle_cols,
     )
 
 
 def encode_simple(df: DataFrame, database: str, table: str, data_cols: list,
-                  schema_version: int = 0) -> DataFrame:
+                  schema_version: int = 0,
+                  handle_cols: tuple = ("conv_id", "turn_idx")) -> DataFrame:
     """Simple-protocol DML message (pkg/sink/codec/simple/message.go:471-501):
     {"version":1,"database","table","type" INSERT|UPDATE|DELETE,"commitTs",
     "schemaVersion","data":{...}} for insert/update, "old" instead of
@@ -393,7 +398,7 @@ def encode_simple(df: DataFrame, database: str, table: str, data_cols: list,
     registry-coupled and omitted."""
     row = F.struct(*[F.col(c).cast("string").alias(c) for c in data_cols])
     handle = F.struct(*[
-        F.col(c).cast("string").alias(c) for c in ("conv_id", "turn_idx")
+        F.col(c).cast("string").alias(c) for c in handle_cols
         if c in data_cols
     ])
     base = [
@@ -409,7 +414,7 @@ def encode_simple(df: DataFrame, database: str, table: str, data_cols: list,
     ).otherwise(F.to_json(F.struct(*base, row.alias("data"))))
     return df.select(
         F.lit(f"{database}_{table}").alias("topic"), value.alias("value"),
-        "commit_ts", "op", "conv_id", "turn_idx",
+        "commit_ts", "op", *handle_cols,
     )
 
 
@@ -464,15 +469,19 @@ def resolved_messages(resolved_log: DataFrame, topics: list, n_partitions: int) 
     (frontier step, topic, partition)."""
     from ticdc_spark.sources.frontier import per_partition_resolved
 
+    # a resolved value r is an achievable global frontier once EVERY
+    # partition has advanced to >= r — r <= min over partitions of
+    # max(resolved_ts) (frontier_steps semantics). A partition may step
+    # PAST r without ever emitting r itself; requiring the exact value from
+    # every partition would wrongly suppress the broadcast.
     steps = (
-        resolved_log.groupBy("resolved_ts")
-        .agg(F.count_distinct("partition_id").alias("n"))
+        resolved_log.select("resolved_ts").distinct()
         .crossJoin(
             per_partition_resolved(resolved_log)
-            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .agg(F.min("resolved_ts").alias("_floor"))
         )
-        .filter(F.col("n") == F.col("n_parts"))  # achievable global frontiers
-        .select(F.col("resolved_ts"))
+        .filter(F.col("resolved_ts") <= F.col("_floor"))
+        .select("resolved_ts")
     )
     t = F.explode(F.array(*[F.lit(x) for x in topics])).alias("topic")
     p = F.explode(F.sequence(F.lit(0), F.lit(n_partitions - 1))).alias("partition")

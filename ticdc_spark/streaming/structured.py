@@ -78,20 +78,39 @@ def run_streaming(
             with_order_cols=True,
             delta_layout=config.delta_layout,
         )
-    elif checkpoint_dir is None and (
-        target.checkpoint.get("epoch_hwm", -1) >= 0
-        or any(
+    else:
+        ck = target.checkpoint
+        hwms = ck.get("epoch_hwms")
+        feed_hwm = (
+            ck.get("epoch_hwm", -1) if hwms is None  # legacy scalar manifest
+            else hwms.get(config.changefeed_id, -1)
+        )
+        if feed_hwm < 0 and any(
             b.startswith(f"{config.changefeed_id}:epoch-")
             for b in target.committed_batch_ids()
-        )
-    ):
-        # without a streaming checkpoint, a repeat call restarts epochs at 0
-        # and re-reads ALL files — epoch batch_ids already in the manifest
-        # would make merge_lww silently skip batches carrying NEW data
-        raise ValueError(
-            "target already holds committed epochs for this changefeed; pass "
-            "checkpoint_dir so re-runs resume offsets instead of reusing epoch ids"
-        )
+        ):
+            feed_hwm = 0
+        if feed_hwm >= 0:
+            # the target already holds committed epochs for THIS changefeed:
+            # a run without a checkpoint (or with a fresh/older one) restarts
+            # epochs at 0 and re-reads ALL files — reused epoch ids would
+            # collide with committed ones and lose data. The manifest's
+            # per-feed epoch-regression raise is the deep defense; this is
+            # the friendly up-front one.
+            import os as _os
+            off_dir = _os.path.join(checkpoint_dir or "", "offsets")
+            committed = -1
+            if checkpoint_dir and _os.path.isdir(off_dir):
+                nums = [int(f) for f in _os.listdir(off_dir) if f.isdigit()]
+                committed = max(nums) if nums else -1
+            if checkpoint_dir is None or committed < feed_hwm:
+                raise ValueError(
+                    f"target holds committed epochs (hwm={feed_hwm}) for "
+                    f"changefeed {config.changefeed_id!r} but the streaming "
+                    f"checkpoint {'is missing' if checkpoint_dir is None else f'only reaches offset {committed}'} "
+                    "— resume with the ORIGINAL checkpoint_dir so epochs "
+                    "continue instead of restarting at 0"
+                )
     # evolve an existing target to the registry's newest schema (idempotent
     # by schema_version — the streaming twin of _reconcile_ddl)
     for d in ddl_rows:
