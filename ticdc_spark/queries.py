@@ -2246,3 +2246,48 @@ ORACLES = {
     "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
     "media_features": SQL_MEDIA_FEATURES,
 }
+
+
+# ---------------------------------------------------------------------------
+# driver-cap ordering
+# ---------------------------------------------------------------------------
+
+# The correctness driver hash-checks only the FIRST 50 registry entries
+# (dict order). Every operator FAMILY must sit inside that window, so
+# redundant in-family variants — each still oracle-backed and covered by
+# scripts/check_oracles.py — are demoted to the tail. A variant may be
+# demoted only when another entry above exercises the same code path:
+#   canal/maxwell/debezium/simple roundtrips -> mq_open_roundtrip (same
+#     encoder surface, sinks/mq.py) + mq_csv_encode stay checked;
+#   event_type_filter / ts_filter -> event_filter_expr (same pushed-down
+#     filter path, streaming/pipeline.py);
+#   doc_token_count_bpe -> doc_token_count (same tokenizer regex family);
+#   lww_dedup -> lww_final_state (same max_by aggregate);
+#   emb_sign_lsh -> emb_rp_lsh (same RP-plane bucketing);
+#   partition_resolved -> global_frontier (same per-partition max agg).
+_DEMOTED = [
+    "mq_canal_roundtrip",
+    "mq_maxwell_roundtrip",
+    "mq_debezium_roundtrip",
+    "mq_simple_roundtrip",
+    "event_type_filter",
+    "ts_filter",
+    "doc_token_count_bpe",
+    "lww_dedup",
+    "emb_sign_lsh",
+    "partition_resolved",
+]
+
+DRIVER_CAP = 50
+
+QUERIES = {
+    k: QUERIES[k]
+    for k in [k for k in QUERIES if k not in _DEMOTED] + _DEMOTED
+}
+ORACLES = {k: ORACLES[k] for k in QUERIES}
+
+assert set(QUERIES) == set(ORACLES)
+assert len([k for k in QUERIES if k not in _DEMOTED]) <= DRIVER_CAP, (
+    "an operator family fell outside the driver's 50-query correctness "
+    "window — demote a redundant variant instead"
+)
