@@ -210,23 +210,24 @@ def test_table_allow_block_routing(spark, tmp_path):
 
 
 def test_homogeneous_window_is_one_write_for_all_tables(spark, tmp_path, monkeypatch):
-    """When tables share one schema chain (the fleet case), a window must
-    execute the single-write fast path: every table commits via
-    append_delta_files (metadata-only, fed by ONE partitionBy write) and
-    the per-table append_delta write path never runs."""
-    calls = {"files": 0, "delta": 0}
-    orig_f = LakeTable.append_delta_files
+    """When tables share one schema chain (the fleet case), windows must
+    execute the single-write fast path: ONE partitionBy write + ONE
+    feed-journal append per window, the per-table append_delta write path
+    never runs, and per-table manifest I/O happens once per table at the
+    END-OF-RUN FOLD (append_delta_files_group), not once per window."""
+    calls = {"group": 0, "delta": 0}
+    orig_g = LakeTable.append_delta_files_group
     orig_d = LakeTable.append_delta
 
-    def count_f(self, *a, **k):
-        calls["files"] += 1
-        return orig_f(self, *a, **k)
+    def count_g(self, *a, **k):
+        calls["group"] += 1
+        return orig_g(self, *a, **k)
 
     def count_d(self, *a, **k):
         calls["delta"] += 1
         return orig_d(self, *a, **k)
 
-    monkeypatch.setattr(LakeTable, "append_delta_files", count_f)
+    monkeypatch.setattr(LakeTable, "append_delta_files_group", count_g)
     monkeypatch.setattr(LakeTable, "append_delta", count_d)
     specs = {f"h{i}": BinlogSpec(n_events=2_000, n_convs=60, seed=300 + i)
              for i in range(4)}
@@ -244,7 +245,16 @@ def test_homogeneous_window_is_one_write_for_all_tables(spark, tmp_path, monkeyp
     stats = mt.run()
     assert stats["merges"] == 4 * stats["windows"]
     assert calls["delta"] == 0            # per-table write path never ran
-    assert calls["files"] == 4 * stats["windows"]
+    # the whole run is one homogeneous streak -> exactly ONE fold: one
+    # group manifest commit per table TOTAL, independent of window count
+    assert calls["group"] == 4
+    assert stats["windows"] > 1           # the amortization was real
+    # journal bookkeeping: everything folded, staging cleaned
+    assert mt.journal.pending() == []
+    import os as _os
+    assert not any(
+        d.startswith("w_") for d in _os.listdir(mt.journal.data_dir)
+    )
     for t, s in specs.items():
         want = expected_final_state(gen_binlog(spark, s), mt.feeds[t].registry,
                                     s.max_commit_ts, KEY)
@@ -255,3 +265,150 @@ def test_homogeneous_window_is_one_write_for_all_tables(spark, tmp_path, monkeyp
         for d in m["deltas"]:
             for f in d["files"]:
                 assert f.startswith(mt.feeds[t].target.data_dir), f
+
+
+def test_homogeneous_fast_path_honors_bucketed_layout(spark, tmp_path):
+    """Tables created with delta_layout='bucketed' must keep their
+    file-level bucket pruning when the multi-table fast path writes their
+    deltas: manifest delta entries carry per-bucket filesets, and a
+    single-bucket point read touches only that bucket's delta files."""
+    specs = {f"b{i}": BinlogSpec(n_events=2_000, n_convs=60, seed=400 + i)
+             for i in range(3)}
+    parts = [gen_binlog(spark, s).withColumn("table_name", F.lit(t))
+             for t, s in specs.items()]
+    binlog = parts[0]
+    for p in parts[1:]:
+        binlog = binlog.unionByName(p)
+    mt = MultiTableChangefeed(
+        spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))), None,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+        config=ChangefeedConfig(changefeed_id="bk", n_buckets=4,
+                                delta_layout="bucketed", compact_every=10**9),
+        tables=list(specs),
+    )
+    mt.run()
+    for t, s in specs.items():
+        tab = mt.feeds[t].target
+        m = tab.manifest()
+        deltas = [d for d in m.get("deltas", []) if d["files"]]
+        assert deltas, t
+        assert all("buckets" in d for d in deltas), t
+        # file-level pruning: a one-bucket read references only that
+        # bucket's delta files (the 7.9x point-read property)
+        want = expected_final_state(gen_binlog(spark, s), mt.feeds[t].registry,
+                                    s.max_commit_ts, KEY)
+        got = tab.read(buckets=[1])
+        want_b1 = want.filter(F.pmod(F.xxhash64(F.col(KEY[0])), F.lit(4)) == 1)
+        assert_df_equal(got, want_b1, KEY)
+        all_delta = sum(len(d["files"]) for d in deltas)
+        b1_delta = sum(len(d["buckets"].get("1", [])) for d in deltas)
+        assert b1_delta < all_delta
+
+
+def test_journal_crash_recovery(spark, tmp_path, monkeypatch):
+    """Crash AFTER the journal appends but BEFORE any fold (manifests lag
+    the journal): a fresh engine instance must fold pending windows at
+    run start and land on exactly the full-replay final state."""
+    from ticdc_spark.streaming.multi import MultiTableChangefeed as MT
+
+    specs = {f"j{i}": BinlogSpec(n_events=3_000, n_convs=80, seed=500 + i)
+             for i in range(3)}
+
+    def build():
+        parts = [gen_binlog(spark, s).withColumn("table_name", F.lit(t))
+                 for t, s in specs.items()]
+        binlog = parts[0]
+        for p in parts[1:]:
+            binlog = binlog.unionByName(p)
+        return MT(
+            spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))), None,
+            table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+            config=ChangefeedConfig(changefeed_id="jc", n_buckets=4),
+            tables=list(specs),
+        )
+
+    mt1 = build()
+    monkeypatch.setattr(MT, "_fold_journal", lambda self: None)  # the crash
+    mt1.run()
+    monkeypatch.undo()
+    # manifests lag: windows are durable ONLY in the journal
+    assert len(mt1.journal.pending()) > 0
+    for t in specs:
+        assert LakeTable(spark, f"{tmp_path}/{t}").checkpoint["resolved_ts"] == 0
+    mt2 = build()
+    mt2.run()  # recovery fold happens before the window loop
+    assert mt2.journal.pending() == []
+    for t, s in specs.items():
+        want = expected_final_state(gen_binlog(spark, s), mt2.feeds[t].registry,
+                                    s.max_commit_ts, KEY)
+        assert_df_equal(mt2.read(t), want, KEY)
+        assert mt2.feeds[t].target.checkpoint["resolved_ts"] == s.max_commit_ts
+    # refold is a no-op (idempotent)
+    mt2._fold_journal()
+    assert mt2.journal.pending() == []
+
+
+def test_shared_fleet_mode_correct_and_gc(spark, tmp_path):
+    """Above shared_deltas_after, homogeneous windows write ONE shared
+    per-bucket fileset for all tables. Per-table reads must still be
+    exactly right (filter + drop of the discriminator), compaction must
+    fold a table's slice into its own base, and the feed's shared-GC must
+    reclaim a window's files only after EVERY referencing table compacted
+    away its reference."""
+    n = 36  # above the default threshold of 32
+    spec = BinlogSpec(n_events=20_000, n_convs=400, seed=600, block=2_500)
+    wal = gen_binlog(spark, spec).withColumn(
+        "table_name",
+        F.concat(F.lit("s"), F.pmod(F.xxhash64("conv_id"), F.lit(n)).cast("string")),
+    )
+    tables = [f"s{i}" for i in range(n)]
+    mt = MultiTableChangefeed(
+        spark, wal, gen_resolved_log(spark, spec), None,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+        config=ChangefeedConfig(changefeed_id="fleet", n_buckets=4,
+                                compact_every=10**9),
+        tables=tables,
+    )
+    stats = mt.run()
+    assert stats["events"] == spec.n_events
+    # shared delta entries landed (fleet mode engaged)
+    m0 = mt.feeds["s0"].target.manifest()
+    shared_deltas = [d for d in m0.get("deltas", []) if d.get("shared")]
+    assert shared_deltas and shared_deltas[0]["shared"][0] == "table_name"
+    assert all("buckets" in d for d in shared_deltas)
+    # per-table correctness on a sample + bucket-pruned point read
+    for t in ["s0", "s7", "s35"]:
+        expr = F.concat(
+            F.lit("s"), F.pmod(F.xxhash64("conv_id"), F.lit(n)).cast("string"))
+        slice_df = gen_binlog(spark, spec).filter(expr == t)
+        want = expected_final_state(slice_df, mt.feeds[t].registry,
+                                    spec.max_commit_ts, KEY)
+        assert_df_equal(mt.read(t), want, KEY)
+        got_b = mt.feeds[t].target.read(buckets=[2])
+        want_b = want.filter(F.pmod(F.xxhash64(F.col(KEY[0])), F.lit(4)) == 2)
+        assert_df_equal(got_b, want_b, KEY)
+    # union of all tables == the whole stream's final state
+    total_want = expected_final_state(
+        gen_binlog(spark, spec), mt.feeds["s0"].registry, spec.max_commit_ts, KEY)
+    assert mt.read_union().count() == total_want.count()
+    # shared-GC: files live while ANY table references them
+    import os as _os
+    shared_dirs = [d for d in _os.listdir(mt.journal.data_dir) if d.startswith("w_")]
+    assert shared_dirs
+    mt.feeds["s0"].target.compact(drop_tombstones=True)
+    mt.feeds["s0"].target.expire_snapshots(keep_last=1)
+    assert mt._gc_shared() == 0  # 35 tables still reference every window
+    for t in tables[1:]:
+        mt.feeds[t].target.compact(drop_tombstones=True)
+        # retained pre-compaction snapshots keep references alive (time
+        # travel) — expire them so the shared windows become reclaimable
+        mt.feeds[t].target.expire_snapshots(keep_last=1)
+    assert mt._gc_shared() == len(shared_dirs)  # last reference gone
+    assert not any(
+        d.startswith("w_") for d in _os.listdir(mt.journal.data_dir))
+    # post-compaction reads still exact
+    want0 = expected_final_state(
+        gen_binlog(spark, spec).filter(
+            F.concat(F.lit("s"), F.pmod(F.xxhash64("conv_id"), F.lit(n)).cast("string")) == "s0"),
+        mt.feeds["s0"].registry, spec.max_commit_ts, KEY)
+    assert_df_equal(mt.read("s0"), want0, KEY)

@@ -163,6 +163,30 @@ class SchemaRegistry:
     def versions(self) -> list[int]:
         return [s.version_ts for s in self._snapshots]
 
+    def chain_digest(self, ts: int) -> str:
+        """Digest of the snapshot chain up to ``ts`` (inclusive). Two
+        registries with equal digests decode identically for every event at
+        or below ts — the multi-table homogeneous-window check compares ONE
+        string per table per window instead of serializing every snapshot's
+        full field list (O(log chain) lookup off a cumulative-hash list
+        built once and invalidated by apply_ddl)."""
+        import bisect
+        import hashlib
+
+        cache = getattr(self, "_digest_cache", None)
+        if cache is None or cache[0] != len(self._snapshots):
+            cum, acc = [], b""
+            for s in self._snapshots:
+                acc = hashlib.md5(
+                    acc + repr((s.version_ts, s.fields, s.col_ids)).encode()
+                ).digest()
+                cum.append((s.version_ts, acc.hex()))
+            cache = (len(self._snapshots), cum)
+            self._digest_cache = cache
+        cum = cache[1]
+        i = bisect.bisect_right([v for v, _ in cum], ts)
+        return cum[i - 1][1] if i else ""
+
     def writer_field_map(self, current: SchemaSnapshot) -> dict:
         """{writer_version_ts: {current_field_name: writer_field_name}}
         for every snapshot <= current — what the mount UDF needs to pull

@@ -210,6 +210,29 @@ class LakeTable:
         only within one streaming query, so a second changefeed writing the
         same table (or a feed restarted on a fresh checkpoint) must not have
         its epoch 0 judged against another feed's high-water mark."""
+        self._record_batch(m, batch_id, resolved_ts, n_src, mode=mode, epoch=epoch)
+        m["version"] += 1
+        if resolved_ts is not None:
+            # (source resolved-ts -> lake snapshot version): the syncpoint
+            # store (K8, mysql_syncpoint_store.go:133-180). Append-only
+            # sidecar, NOT the manifest — a million-batch history must not
+            # ride along in every manifest rewrite.
+            os.makedirs(self.meta_dir, exist_ok=True)
+            with open(os.path.join(self.meta_dir, "syncpoints.jsonl"), "a") as f:
+                f.write(json.dumps([resolved_ts, m["version"]]) + "\n")
+        if rows:
+            os.makedirs(self.lineage_dir, exist_ok=True)
+            with open(os.path.join(self.lineage_dir, f"v{m['version']:08d}.jsonl"), "w") as f:
+                for r in rows:
+                    f.write(json.dumps(r) + "\n")
+        self._commit(m)
+
+    def _record_batch(self, m: dict, batch_id: str, resolved_ts: int | None,
+                      n_src: int, mode: str | None = None,
+                      epoch: int | None = None) -> None:
+        """Record one batch in the in-memory manifest (batch id, checkpoint
+        advance, pruning) WITHOUT bumping the version or committing — the
+        shared half of :meth:`_commit_batch` and the group-commit path."""
         entry: dict = {"resolved_ts": resolved_ts, "rows": n_src}
         if mode:
             entry["mode"] = mode
@@ -237,21 +260,6 @@ class LakeTable:
                 return v["epoch"] >= hwms.get(v.get("epoch_ns", ""), -1)
             return True
         m["batch_ids"] = {k: v for k, v in m["batch_ids"].items() if _retain(v)}
-        m["version"] += 1
-        if resolved_ts is not None:
-            # (source resolved-ts -> lake snapshot version): the syncpoint
-            # store (K8, mysql_syncpoint_store.go:133-180). Append-only
-            # sidecar, NOT the manifest — a million-batch history must not
-            # ride along in every manifest rewrite.
-            os.makedirs(self.meta_dir, exist_ok=True)
-            with open(os.path.join(self.meta_dir, "syncpoints.jsonl"), "a") as f:
-                f.write(json.dumps([resolved_ts, m["version"]]) + "\n")
-        if rows:
-            os.makedirs(self.lineage_dir, exist_ok=True)
-            with open(os.path.join(self.lineage_dir, f"v{m['version']:08d}.jsonl"), "w") as f:
-                for r in rows:
-                    f.write(json.dumps(r) + "\n")
-        self._commit(m)
 
     @staticmethod
     def _epoch_ns(batch_id: str) -> str:
@@ -383,12 +391,23 @@ class LakeTable:
         columns alias through (same id, new name), dropped/added columns
         backfill NULL (the add-column default rule,
         cdc/entry/mounter.go:909-965) — and a re-added name (new id) never
-        reads a dropped column's bytes. Returns None for an empty fileset."""
+        reads a dropped column's bytes. Returns None for an empty fileset.
+
+        Keys are ``(written_version, shared)`` where ``shared`` is None for
+        table-exclusive files or ``(col, value)`` for SHARED multi-table
+        delta files (the fleet-scale write mode, streaming/multi.py): those
+        carry every table's rows with a discriminator column, so this
+        table's slice is filter(col == value) with the column dropped."""
         cur = [tuple(x) for x in m["schema"]]  # (name, type, id)
         parts = []
-        for wv, files in by_version.items():
+        for (wv, shared), files in by_version.items():
             wrows = [tuple(x) for x in m["schemas"][str(wv)]]
-            df = self.spark.read.schema(_struct(wrows)).parquet(*files)
+            read_rows = list(wrows) + ([(shared[0], "string", -1)] if shared else [])
+            df = self.spark.read.schema(
+                _struct([(n, t) for n, t, *_ in read_rows])
+            ).parquet(*files)
+            if shared:
+                df = df.filter(F.col(shared[0]) == shared[1]).drop(shared[0])
             wname_by_id = {i: n for n, _, i in wrows}
             cols = []
             for n, t, i in cur:
@@ -436,7 +455,7 @@ class LakeTable:
             if want is not None and int(b) not in want:
                 continue
             if info["files"]:
-                base_fs.setdefault(info["written_version"], []).extend(info["files"])
+                base_fs.setdefault((info["written_version"], None), []).extend(info["files"])
         delta_fs: dict = {}
         legacy_unbucketed = False
         for d in m.get("deltas", []):
@@ -450,7 +469,8 @@ class LakeTable:
                 fs = d["files"]
                 legacy_unbucketed = legacy_unbucketed or want is not None
             if fs:
-                delta_fs.setdefault(d["written_version"], []).extend(fs)
+                shared = tuple(d["shared"]) if d.get("shared") else None
+                delta_fs.setdefault((d["written_version"], shared), []).extend(fs)
 
         base = self._reconcile(base_fs, m)
         delta = self._reconcile(delta_fs, m)
@@ -786,6 +806,61 @@ class LakeTable:
         return {"status": "committed", "batch_id": batch_id, "version": m["version"],
                 "lineage": rows}
 
+    def append_delta_files_group(self, batches: list) -> dict:
+        """Group-commit MANY already-written window batches in ONE manifest
+        rewrite — the fold half of the multi-table feed journal
+        (streaming/multi.py). Per-table metadata cost becomes O(folds), not
+        O(windows): a 100k-table fleet appends one feed-journal line per
+        window and amortizes the per-table manifest I/O across the whole
+        homogeneous streak (the commit-tail scale fix;
+        docs/design/2022-03-16-ticdc-db-sorter.md:177-181 posture).
+
+        ``batches``: [{"batch_id", "files", "resolved_ts",
+        "lineage_rows": [...], "buckets": {bucket: files} | None}] in
+        window order. Already-recognized batches are skipped individually
+        (idempotent refold after a crash). Files must live under this
+        table's ``data_dir``."""
+        m = self.manifest()
+        if "_commit_ts" not in [x[0] for x in m["schema"]]:
+            raise ValueError("append_delta_files_group needs a table created "
+                             "with_order_cols=True")
+        applied, all_rows, n_total = [], [], 0
+        for b in batches:
+            rts = b.get("resolved_ts")
+            if self._recognized(m, b["batch_id"], rts, None):
+                continue
+            entry: dict = {"files": sorted(b.get("files") or []),
+                           "written_version": m["schema_version"]}
+            if b.get("buckets") is not None:
+                entry["buckets"] = b["buckets"]
+            if b.get("shared") is not None:
+                # shared fleet-mode fileset: rows of every table in the
+                # window, discriminated by (col, value) at read time
+                entry["shared"] = list(b["shared"])
+            m.setdefault("deltas", []).append(entry)
+            rows = b.get("lineage_rows") or []
+            n_src = sum(r.get("event_count", 0) for r in rows)
+            self._record_batch(m, b["batch_id"], rts, n_src, mode="mor")
+            all_rows.extend(rows)
+            n_total += n_src
+            applied.append((b["batch_id"], rts))
+        if not applied:
+            return {"status": "skipped", "batches": 0, "lineage": []}
+        m["version"] += 1
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with open(os.path.join(self.meta_dir, "syncpoints.jsonl"), "a") as f:
+            for _, rts in applied:
+                if rts is not None:
+                    f.write(json.dumps([rts, m["version"]]) + "\n")
+        if all_rows:
+            os.makedirs(self.lineage_dir, exist_ok=True)
+            with open(os.path.join(self.lineage_dir, f"v{m['version']:08d}.jsonl"), "w") as f:
+                for r in all_rows:
+                    f.write(json.dumps(r) + "\n")
+        self._commit(m)
+        return {"status": "committed", "batches": len(applied), "rows": n_total,
+                "version": m["version"], "lineage": all_rows}
+
     def delta_depth(self) -> int:
         return len(self.manifest().get("deltas", []))
 
@@ -808,7 +883,8 @@ class LakeTable:
         delta_fs: dict = {}
         for d in m["deltas"]:
             if d["files"]:
-                delta_fs.setdefault(d["written_version"], []).extend(d["files"])
+                shared = tuple(d["shared"]) if d.get("shared") else None
+                delta_fs.setdefault((d["written_version"], shared), []).extend(d["files"])
         if not delta_fs:
             # only empty delta entries (empty windows): clear them, no data
             m["deltas"] = []
@@ -816,9 +892,12 @@ class LakeTable:
             self._commit(m)
             return {"status": "compacted", "version": m["version"], "buckets": []}
         delta = self._reconcile(delta_fs, m)
-        if all("buckets" in d for d in m["deltas"]):
+        if all("buckets" in d and not d.get("shared") for d in m["deltas"]):
             # bucketed delta layout: the affected-bucket list comes straight
-            # from the manifest — ZERO Spark jobs for it
+            # from the manifest — ZERO Spark jobs for it. (Shared filesets
+            # are excluded: their bucket files carry EVERY table's rows, so
+            # the manifest list over-approximates this table's buckets —
+            # derive from the filtered delta instead.)
             affected = sorted({int(b) for d in m["deltas"] for b in d["buckets"] if d["buckets"][b]})
         else:
             # legacy layout: metadata-cardinality collect (≤ n_buckets rows)

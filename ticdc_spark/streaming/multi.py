@@ -39,12 +39,17 @@ its own high-water mark; the feed-level checkpoint is the min over tables.
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
+
 from collections.abc import Callable
 from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ticdc_spark.sinks.journal import FeedJournal
 from ticdc_spark.sinks.lake import LakeTable
 from ticdc_spark.sources.frontier import frontier_steps
 from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig, table_matches
@@ -102,8 +107,34 @@ class MultiTableChangefeed:
         self.feeds: dict = {}
         # current WAL source name per feed key (diverges on rename)
         self._source_name: dict = {}
+        # per-feed driver-cached state (checkpoint, layout, delta depth):
+        # the window loop must not re-read N manifest JSONs per window
+        self._state: dict = {}
         for t in self.tables:
             self._add_feed(t, start_ts=self.config.start_ts)
+        # feed-level window journal root: a DETERMINISTIC sibling of the
+        # table dirs (same name on resume; same filesystem, so fold renames
+        # never degrade to copies)
+        probe_name = self.tables[0] if self.tables else next(
+            (r[table_col] for r in self.lifecycle if r["ddl_type"] == "create_table"),
+            None,
+        )
+        self.feed_dir = None
+        if probe_name is not None:
+            safe = re.sub(r"[^A-Za-z0-9_.-]", "_", self.config.changefeed_id)
+            self.feed_dir = os.path.join(
+                os.path.dirname(os.path.abspath(table_factory(probe_name).path)),
+                f"_feed_{safe}",
+            )
+        self._journal: FeedJournal | None = None
+
+    @property
+    def journal(self) -> FeedJournal:
+        if self._journal is None:
+            if self.feed_dir is None:
+                raise RuntimeError("feed has no tables; no journal root")
+            self._journal = FeedJournal(self.feed_dir)
+        return self._journal
 
     def _table_ddls(self, t: str) -> list:
         """Column-DDL rows scoped to table t (global rows included)."""
@@ -152,6 +183,24 @@ class MultiTableChangefeed:
             out = out.unionByName(p, allowMissingColumns=True)
         return out
 
+    # -------------- driver-cached per-feed state --------------
+
+    def _load_state(self, t: str) -> None:
+        """ONE manifest read per (feed, load point) — refreshed only at
+        resume, create barriers, and compactions. Everything the window
+        loop consults per window (checkpoint, truncate incarnation, delta
+        layout, delta depth) lives here so per-window driver cost is
+        independent of both table count and manifest size."""
+        f = self.feeds[t]
+        m = f.target.manifest()
+        self._state[t] = {
+            "ckpt": max(m["checkpoint"]["resolved_ts"], f.config.start_ts),
+            "truncate": bool(m.get("truncate_ts", 0)),
+            "layout": m.get("delta_layout", "flat"),
+            "n_buckets": m["n_buckets"],
+            "depth": len(m.get("deltas", [])),
+        }
+
     # -------------- lifecycle barriers --------------
 
     def _apply_lifecycle(self, d) -> None:
@@ -169,15 +218,19 @@ class MultiTableChangefeed:
             # DDLs below the create barrier apply to the newborn table too
             f._reconcile_ddl(ts)
             f._partitions = getattr(self, "_partitions", [])
+            self._load_state(t)
         elif d["ddl_type"] == "drop_table":
             self.feeds.pop(t, None)  # stop replicating; data retained
             self._source_name.pop(t, None)
+            self._state.pop(t, None)
         elif d["ddl_type"] == "rename_table":
             old = d["old_column"]
             if old in self.feeds and t not in self.feeds:
                 self.feeds[t] = self.feeds.pop(old)
                 self._source_name[t] = t  # WAL carries the new name after ts
                 del self._source_name[old]
+                if old in self._state:
+                    self._state[t] = self._state.pop(old)
 
     def _replay_lifecycle_below(self, ckpt: int) -> None:
         """Resume: re-apply lifecycle barriers at/below the checkpoint so a
@@ -198,6 +251,11 @@ class MultiTableChangefeed:
                 d["ddl_type"], d["column"], d["old_column"],
                 d["col_type"] or "string", schema_version=ts,
             )
+            if d["ddl_type"] == "truncate_table" and t in self._state:
+                # new table incarnation: fast path must re-check stale-DML
+                # drops per table; truncate also cleared every delta fileset
+                self._state[t]["truncate"] = True
+                self._state[t]["depth"] = 0
 
     # -------------- the single-pass driver loop --------------
 
@@ -209,6 +267,11 @@ class MultiTableChangefeed:
         narrow cached filter of the dedup output. Windows split at every
         table's DDL commit-ts (a barrier only quiesces its own table's
         slice; others just see a finer window)."""
+        # crash recovery FIRST: pending journal windows are durable but not
+        # yet in the per-table manifests — fold so every checkpoint below
+        # reflects them (a lagging checkpoint would replay lifecycle
+        # barriers short and mis-place the window loop's start)
+        self._fold_journal()
         # resume: rebuild live table set, targets, and missed column DDL
         start_ckpt = self.checkpoint()
         self._replay_lifecycle_below(start_ckpt)
@@ -220,11 +283,10 @@ class MultiTableChangefeed:
         )
         for f in self.feeds.values():
             f._partitions = self._partitions
+        for t in self.feeds:
+            self._load_state(t)
 
-        effective = [
-            max(f.target.checkpoint["resolved_ts"], f.config.start_ts)
-            for f in self.feeds.values()
-        ]
+        effective = [st["ckpt"] for st in self._state.values()]
         ckpt = min(effective) if effective else self.config.start_ts
         steps = frontier_steps(
             self.resolved_log, low=ckpt,
@@ -250,30 +312,43 @@ class MultiTableChangefeed:
                     stats["windows"] += 1
                     merged_windows += s["merges"] > 0
                 if d is not None:
-                    # the barrier: quiesce done, apply the DDL
+                    # the barrier: quiesce done, fold pending journal
+                    # windows (manifest state must be current before a DDL
+                    # mutates schema_version or the table set), apply DDL
+                    self._fold_journal()
                     if d["ddl_type"] in _LIFECYCLE:
                         self._apply_lifecycle(d)
                     else:
                         self._apply_column_ddl(d)
                 lo = hi
             ckpt = r
-            for f in self.feeds.values():
-                if (
-                    f.config.sink_mode == "mor"
-                    and f.target.delta_depth() >= f.config.compact_every
-                ):
-                    f.target.compact(drop_tombstones=True)
+            due = [
+                t for t, f in self.feeds.items()
+                if f.config.sink_mode == "mor"
+                and self._state[t]["depth"] >= f.config.compact_every
+            ]
+            if due:
+                self._fold_journal()
+                for t in due:
+                    self.feeds[t].target.compact(drop_tombstones=True)
+                    self._load_state(t)
+                self._gc_shared()
             if max_merges_per_table and merged_windows >= max_merges_per_table:
                 break
+        # end-of-run fold: manifests catch up with the journal so external
+        # readers (tests, downstream queries, a fresh engine instance) see
+        # every window through the ordinary per-table read path
+        self._fold_journal()
         stats["tables"] = len(self.feeds)
         stats["checkpoint"] = self.checkpoint()
         return stats
 
     def _apply_window_all(self, lo: int, hi: int) -> dict:
-        """One window, all tables: ONE WAL scan + ONE dedup exchange."""
+        """One window, all tables: ONE WAL scan + ONE dedup exchange, and
+        (homogeneous fast path) ONE journal append — zero per-table driver
+        I/O per window."""
         live = {
-            t: f for t, f in self.feeds.items()
-            if hi > max(f.target.checkpoint["resolved_ts"], f.config.start_ts)
+            t: f for t, f in self.feeds.items() if hi > self._state[t]["ckpt"]
         }
         out = {"merges": 0, "events": 0}
         if not live:
@@ -298,13 +373,21 @@ class MultiTableChangefeed:
             if not self._apply_homogeneous(live, names, deduped, lo, hi, out):
                 # heterogeneous window (diverged schema chains, a DDL
                 # barrier, truncate, CoW mode): per-table mount + sink off
-                # the shared cache
+                # the shared cache. Manifests must be CURRENT first — a
+                # direct per-table commit advances the manifest checkpoint
+                # past any unfolded journal window, whose later fold would
+                # then be wrongly recognized as replay and dropped.
+                self._fold_journal()
                 for name, t in sorted(names.items()):
                     feed = live[t]
                     sliced = deduped.filter(F.col(self.table_col) == name).drop(self.table_col)
                     res = feed._sink_deduped(sliced, lo, hi)
                     out["events"] += res.get("events", 0)
                     out["merges"] += res["status"] == "committed"
+                    st = self._state[t]
+                    st["ckpt"] = max(st["ckpt"], hi)
+                    if res["status"] == "committed" and feed.config.sink_mode == "mor":
+                        st["depth"] += 1
         finally:
             deduped.unpersist()
         if qobs is not None:
@@ -318,47 +401,53 @@ class MultiTableChangefeed:
                            hi: int, out: dict) -> bool:
         """HOMOGENEOUS-window fast path: when every live table shares the
         SAME schema chain up to ``hi`` (the 100k-table fleet case — one
-        transcript schema, global DDLs only), mount ONCE and write every
-        table's delta files in ONE Spark job (partitionBy table), then
-        hand each table its files for a metadata-only commit. Cost per
-        window: 1 write job + 1 metadata-cardinality lineage aggregate —
-        independent of table count — vs N mount+write jobs on the
-        per-table path. Falls back (returns False) on diverged chains, a
-        DDL barrier at ``hi``, truncate incarnations, or CoW mode."""
-        import shutil as _sh
-        import tempfile as _tf
-        import uuid as _uuid
-
-        import os as _os
-
+        transcript schema, global DDLs only), mount ONCE, write every
+        table's delta files in ONE Spark job (partitionBy table — plus
+        ``_bucket`` when tables use the bucketed delta layout, so the
+        7.9x point-read dial survives multi-table mode), and commit the
+        window with ONE feed-journal append. Driver cost per window: 1
+        write job + 1 metadata-cardinality lineage aggregate + 1 jsonl
+        append — independent of table count; per-table manifest I/O is
+        amortized into group folds at barriers/compactions/run end.
+        Falls back (returns False) on diverged chain digests, a DDL
+        barrier at ``hi``, truncate incarnations, mixed bucket counts, or
+        CoW mode."""
         cfg = self.config
         if cfg.sink_mode != "mor":
             return False
         applying: dict = {}
-        chains = set()
+        digests = set()
         for name, t in sorted(names.items()):
             f = live[t]
-            if f._ddl_at(hi) is not None or not f.target.exists():
+            st = self._state[t]
+            if f._ddl_at(hi) is not None or st["truncate"]:
                 return False
-            m = f.target.manifest()
-            if m.get("truncate_ts", 0):
-                return False
-            # identical chains ⇒ identical writer maps ⇒ one mount decodes
-            # every table's events correctly
-            chains.add(tuple(
-                (s.version_ts, s.fields)
-                for s in f.registry._snapshots if s.version_ts <= hi
-            ))
-            batch_id = f"{f.config.changefeed_id}:{lo}:{hi}"
-            if hi <= max(m["checkpoint"]["resolved_ts"], f.config.start_ts) or (
-                batch_id in m["batch_ids"]
-            ):
+            # equal chain digests ⇒ identical writer maps ⇒ one mount
+            # decodes every table's events correctly (O(1) per table per
+            # window off the registry's cached cumulative hashes)
+            digests.add(f.registry.chain_digest(hi))
+            if hi <= st["ckpt"]:
                 continue  # this table already has the window
             applying[name] = t
-        if len(chains) > 1:
+        if len(digests) > 1:
             return False
         if not applying:
             return True
+        nb_all = {self._state[applying[n]]["n_buckets"] for n in applying}
+        nb_set = {
+            self._state[applying[n]]["n_buckets"] for n in applying
+            if self._state[applying[n]]["layout"] == "bucketed"
+        }
+        if len(nb_set) > 1:
+            return False  # mixed bucket counts can't share one staged layout
+        # fleet mode: above the threshold, per-table partition dirs would
+        # write O(tasks x tables) tiny files per window — switch to ONE
+        # SHARED per-bucket fileset (file count O(tasks x buckets),
+        # independent of table count; per-table split deferred to the
+        # compactor). Requires one common bucket count.
+        shared = (
+            len(applying) >= cfg.shared_deltas_after and len(nb_all) == 1
+        )
         from ticdc_spark.functions.mount import mount, mounted_columns
 
         probe = live[next(iter(applying.values()))]
@@ -372,54 +461,188 @@ class MultiTableChangefeed:
             F.col("op_rank").alias("_op_rank"),
             (F.col("op") == "D").cast("int").alias("_deleted"),
         )
-        staging_root = _tf.mkdtemp(prefix="mt_window_")
-        staging = _os.path.join(staging_root, "w")  # parquet needs a fresh path
-        try:
-            # THE one write job for all tables in this window
-            src.write.partitionBy(self.table_col).parquet(staging)
-            # per-(table, source partition) lineage off the cached dedup:
-            # metadata-cardinality output, one small job for all tables
-            stats = (
-                deduped.filter(F.col(self.table_col).isin(*applying))
-                .groupBy(self.table_col, "partition_id")
-                .agg(F.sum("_n_events").alias("n"), F.max("_max_commit_ts").alias("mx"))
-                .collect()
-            )
-            by_table: dict = {}
-            for r in stats:
-                by_table.setdefault(r[self.table_col], []).append(r)
-            for name in sorted(applying):
-                feed = live[applying[name]]
-                batch_id = f"{feed.config.changefeed_id}:{lo}:{hi}"
-                pdir = _os.path.join(staging, f"{self.table_col}={name}")
-                files: list = []
-                if _os.path.isdir(pdir):
-                    # move (same-fs rename) the partition dir INTO the
-                    # table's own data_dir so snapshot expiry owns it
-                    _os.makedirs(feed.target.data_dir, exist_ok=True)
-                    dest = _os.path.join(feed.target.data_dir, _uuid.uuid4().hex)
-                    try:
-                        _os.rename(pdir, dest)
-                    except OSError:
-                        _sh.move(pdir, dest)
-                    files = sorted(
-                        _os.path.join(dest, x)
-                        for x in _os.listdir(dest) if x.endswith(".parquet")
-                    )
-                rows = [
-                    {"batch_id": batch_id, "partition_id": int(r["partition_id"]),
-                     "resolved_ts": hi, "event_count": int(r["n"]),
-                     "max_commit_ts": int(r["mx"])}
-                    for r in by_table.get(name, [])
-                ]
-                res = feed.target.append_delta_files(
-                    files, batch_id, lineage_rows=rows, resolved_ts=hi
+        bucketed = bool(nb_set) or shared
+        if shared:
+            nb = nb_all.pop()
+            # cluster rows by table WITHIN each bucket file so a per-table
+            # read of a recent delta at least skips via row-group stats
+            src = src.withColumn(
+                "_bucket",
+                F.pmod(F.xxhash64(F.col(cfg.key[0])), F.lit(nb)).cast("int"),
+            ).sortWithinPartitions("_bucket", self.table_col)
+            pcols = ["_bucket"]
+        else:
+            pcols = [self.table_col]
+            if bucketed:
+                nb = nb_set.pop()
+                src = src.withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64(F.col(cfg.key[0])), F.lit(nb)).cast("int"),
                 )
-                out["events"] += sum(x["event_count"] for x in res.get("lineage", []))
-                out["merges"] += res["status"] == "committed"
-        finally:
-            _sh.rmtree(staging_root, ignore_errors=True)
+                pcols.append("_bucket")
+        seq, staging = self.journal.new_staging()
+        # THE one write job for all tables in this window
+        src.write.partitionBy(*pcols).parquet(staging)
+        # per-(table, source partition) lineage off the cached dedup:
+        # metadata-cardinality output, one small job for all tables
+        stats = (
+            deduped.filter(F.col(self.table_col).isin(*applying))
+            .groupBy(self.table_col, "partition_id")
+            .agg(F.sum("_n_events").alias("n"), F.max("_max_commit_ts").alias("mx"))
+            .collect()
+        )
+        by_table: dict = {}
+        for r in stats:
+            by_table.setdefault(r[self.table_col], []).append(r)
+        entry_tables: dict = {}
+        for name in sorted(applying):
+            t = applying[name]
+            feed = live[t]
+            batch_id = f"{feed.config.changefeed_id}:{lo}:{hi}"
+            rows = [
+                {"batch_id": batch_id, "partition_id": int(r["partition_id"]),
+                 "resolved_ts": hi, "event_count": int(r["n"]),
+                 "max_commit_ts": int(r["mx"])}
+                for r in by_table.get(name, [])
+            ]
+            entry_tables[t] = {"src": name, "path": feed.target.path,
+                               "bid": batch_id, "lineage": rows}
+            st = self._state[t]
+            st["ckpt"] = hi
+            st["depth"] += 1
+            out["events"] += sum(r["event_count"] for r in rows)
+            out["merges"] += 1
+        # the window's commit point: ONE durable append for all N tables
+        self.journal.append_window(seq, lo, hi, bucketed, entry_tables,
+                                   self.table_col, shared=shared)
         return True
+
+    def _fold_journal(self) -> None:
+        """Fold pending journal windows into per-table manifests: move each
+        table's staged partition dir into its own ``data_dir`` (same-fs
+        rename; deterministic ``jw<seq>`` names make a re-fold after a
+        crash idempotent) and GROUP-commit all of a table's pending batches
+        in one manifest rewrite. Amortization points: run start (crash
+        recovery), DDL barriers, compaction, run end."""
+        if self.feed_dir is None or (
+            self._journal is None and not os.path.isdir(self.feed_dir)
+        ):
+            return
+        j = self.journal
+        entries = j.pending()
+        if not entries:
+            return
+        def _list(dest: str, bucketed: bool) -> tuple:
+            files: list = []
+            buckets: dict | None = None
+            if os.path.isdir(dest):
+                if bucketed:
+                    buckets = {}
+                    for d in sorted(os.listdir(dest)):
+                        if d.startswith("_bucket="):
+                            bdir = os.path.join(dest, d)
+                            buckets[d.split("=", 1)[1]] = sorted(
+                                os.path.join(bdir, x)
+                                for x in os.listdir(bdir)
+                                if x.endswith(".parquet")
+                            )
+                    files = sorted(f for fl in buckets.values() for f in fl)
+                else:
+                    files = sorted(
+                        os.path.join(dest, x)
+                        for x in os.listdir(dest) if x.endswith(".parquet")
+                    )
+            return files, buckets
+
+        # shared windows: ONE listing serves every table in the window
+        shared_listing = {
+            e["seq"]: _list(os.path.join(j.root, e["dir"]), e.get("bucketed", False))
+            for e in entries if e.get("shared")
+        }
+        per_table: dict = {}
+        for e in entries:
+            for t, info in e["tables"].items():
+                per_table.setdefault(info["path"], []).append((e, info))
+        for path, items in sorted(per_table.items()):
+            table = LakeTable(self.spark, path)
+            group = []
+            for e, info in items:
+                if e.get("shared"):
+                    # fleet mode: files stay under the feed's journal dir
+                    # (every table references them; _gc_shared reclaims the
+                    # window once all references compact away)
+                    files, buckets = shared_listing[e["seq"]]
+                    group.append({
+                        "batch_id": info["bid"], "files": files,
+                        "buckets": buckets,
+                        "shared": (e["table_col"], info["src"]),
+                        "resolved_ts": e["hi"],
+                        "lineage_rows": info.get("lineage") or [],
+                    })
+                    continue
+                src = os.path.join(j.root, e["dir"], f"{e['table_col']}={info['src']}")
+                dest = os.path.join(table.data_dir, f"jw{e['seq']:08d}")
+                if os.path.isdir(src):
+                    os.makedirs(table.data_dir, exist_ok=True)
+                    try:
+                        os.rename(src, dest)
+                    except OSError:
+                        shutil.move(src, dest)
+                files, buckets = _list(dest, e.get("bucketed", False))
+                group.append({
+                    "batch_id": info["bid"], "files": files, "buckets": buckets,
+                    "resolved_ts": e["hi"],
+                    "lineage_rows": info.get("lineage") or [],
+                })
+            table.append_delta_files_group(group)
+        j.mark_folded(entries[-1]["seq"])
+        j.cleanup()
+
+    def _gc_shared(self) -> int:
+        """Reclaim SHARED window filesets no manifest references anymore
+        (after compaction folds a table's deltas into its base, the last
+        reference to a shared window dies). O(folded entries x referencing
+        tables) manifest checks — run at compaction points, not per
+        window."""
+        if self._journal is None:
+            return 0
+        j = self.journal
+        hwm = j.fold_hwm()
+        manifests: dict = {}
+        removed = 0
+        for e in j._entries():
+            if e["seq"] > hwm or not e.get("shared"):
+                continue
+            d = os.path.join(j.root, e["dir"])
+            if not os.path.isdir(d):
+                continue
+            prefix = os.path.realpath(d)
+            live = False
+            for info in e["tables"].values():
+                p = info["path"]
+                if p not in manifests:
+                    # every RETAINED manifest version counts — a time-travel
+                    # read of an un-expired snapshot must keep working
+                    tab = LakeTable(self.spark, p)
+                    ms = []
+                    for v in tab._versions():
+                        try:
+                            ms.append(tab.manifest(v))
+                        except FileNotFoundError:
+                            pass
+                    manifests[p] = ms
+                if any(
+                    os.path.realpath(f).startswith(prefix)
+                    for m in manifests[p]
+                    for dd in m.get("deltas", [])
+                    for f in dd["files"]
+                ):
+                    live = True
+                    break
+            if not live:
+                shutil.rmtree(d, ignore_errors=True)
+                removed += 1
+        return removed
 
 
 def route_tables(names: list, allow: tuple = (), block: tuple = ()) -> list:

@@ -68,6 +68,16 @@ class ChangefeedConfig:
     # "bucketed" = O(bucket delta) point reads between compactions (7.9x)
     # at ~1.7x ingest cost — measured trade-off, BENCH/OPERATORS.md
     delta_layout: str = "flat"
+    # multi-table homogeneous windows: at/above this many applying tables,
+    # the window's delta is written as ONE SHARED per-bucket fileset (all
+    # tables mixed, clustered by table within each bucket file) instead of
+    # per-table partition dirs. Per-window file count becomes
+    # O(tasks x buckets) — independent of table count — which is what keeps
+    # a 100k-table fleet from writing tasks x N tiny files per window; the
+    # trade is that per-table MOR reads before the next compaction scan the
+    # shared window files and filter (deltas are recent and small; the
+    # compactor re-splits per table). Measured: scripts/bench_commit_tail.py
+    shared_deltas_after: int = 32
     # snapshot expiry (W8): every N committed merges, expire snapshots older
     # than the newest `expire_keep_last`, except versions protected by the
     # GC safepoint (checkpoint >= gc_safepoint_ts is never expired). 0 = off.
