@@ -191,3 +191,81 @@ def test_resolved_broadcast_covers_all_topic_partitions(spark):
     assert {r["resolved_ts"] for r in out} == {10, 20}
     assert len(out) == 2 * 2 * 4  # steps x topics x partitions
     assert all(r["key"] == '{"ts":%d,"t":3}' % r["resolved_ts"] for r in out)
+
+
+def _lm_df(spark):
+    rows = ROWS + [
+        (1004, 1003, "I", "conv-c", 3, "x" * 500),   # oversized insert
+        (1005, 1004, "U", "conv-c", 3, "y" * 500),   # oversized update
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_large_message_handle_key_only(spark):
+    """pkg/config/large_message.go handle-key-only + integration test
+    open_protocol_handle_key_only: above max-message-bytes the message
+    degrades to handle-key columns and the key carries "ohk": true."""
+    import json
+
+    from ticdc_spark.sinks.mq import decode_open_protocol
+
+    enc = encode_open_protocol(
+        _lm_df(spark), "db", "transcripts", ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+        large_message_handle="handle-key-only", max_message_bytes=300,
+    )
+    r = {x["commit_ts"]: x for x in enc.collect()}
+    # small messages untouched (no "ohk" in the key at all)
+    assert "ohk" not in json.loads(r[1001]["key"])
+    assert json.loads(r[1001]["value"])["u"]["text"]["v"] == "hello"
+    # oversized: ohk=true, value reduced to handle columns only
+    k = json.loads(r[1004]["key"])
+    assert k["ohk"] is True and k["ts"] == 1004
+    v = json.loads(r[1004]["value"])
+    assert sorted(v["u"]) == ["conv_id", "turn_idx"]
+    dec = {x["ts"]: x for x in decode_open_protocol(
+        enc, ["conv_id", "turn_idx", "text"]).collect()}
+    assert dec[1004]["only_handle_key"] and dec[1004]["text"] is None
+    assert not dec[1001]["only_handle_key"] and dec[1001]["text"] == "hello"
+
+
+def test_large_message_claim_check_roundtrip(spark, tmp_path):
+    """claim-check (large_message.go + open_protocol_encoder.go:291-302):
+    oversized payloads ship to the claim-check store; the MQ message is a
+    location message (handle keys + "ccl"); the consumer resolves the
+    location back to the FULL row. Store writes are idempotent under
+    replay (digest locations)."""
+    import json
+
+    from ticdc_spark.sinks.mq import (
+        decode_open_protocol, resolve_claim_check, write_claim_check)
+
+    store = str(tmp_path / "claim")
+    enc = encode_open_protocol(
+        _lm_df(spark), "db", "transcripts", ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+        large_message_handle="claim-check", max_message_bytes=300,
+        claim_check_prefix=store,
+    )
+    write_claim_check(enc, store)
+    messages = enc.drop("_claim_location", "_claim_payload")
+    # pre-resolution: oversized rows are location messages
+    pre = {x["ts"]: x for x in decode_open_protocol(
+        messages, ["conv_id", "turn_idx", "text"]).collect()}
+    assert pre[1004]["claim_location"].startswith(store)
+    assert pre[1004]["text"] is None and pre[1001]["claim_location"] is None
+    # the location is resolvable: full payload comes back
+    resolved = resolve_claim_check(spark, messages, store)
+    post = {x["ts"]: x for x in decode_open_protocol(
+        resolved, ["conv_id", "turn_idx", "text"]).collect()}
+    assert post[1004]["text"] == "x" * 500 and post[1005]["text"] == "y" * 500
+    assert post[1001]["text"] == "hello"  # small rows untouched
+    # replay: a second identical batch writes identical digests — resolve
+    # still yields exactly one row per message
+    write_claim_check(enc, store)
+    again = resolve_claim_check(spark, messages, store)
+    assert again.count() == messages.count()
+    # key restored to the FULL original key (no ccl marker after resolve)
+    k = {json.loads(x["key"])["ts"]: json.loads(x["key"])
+         for x in again.collect()}
+    assert "ccl" not in k[1004]

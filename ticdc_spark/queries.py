@@ -1587,6 +1587,155 @@ FROM binlog
 """
 
 
+def q_mq_handle_key_only(spark, sf_dir):
+    """Large-message handle-key-only mode (pkg/config/large_message.go:22-27,
+    integration test open_protocol_handle_key_only): events whose encoded
+    message exceeds max-message-bytes degrade to handle-key columns with
+    "ohk": true in the key; everything else rides untouched. The payload
+    construction makes the size trigger a deterministic predicate
+    (turn_idx % 5 == 0 carries a 600-byte text) so the oracle can predict
+    exactly which rows degrade while Spark decides by ACTUAL byte size."""
+    from ticdc_spark.sinks.mq import decode_open_protocol, encode_open_protocol
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .when(F.col("turn_idx") % 5 == 0, F.rpad(F.lit("L"), 600, "x"))
+        .otherwise(F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))),
+    )
+    enc = encode_open_protocol(
+        b, "transcripts_db", "transcripts", ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+        large_message_handle="handle-key-only", max_message_bytes=400,
+    )
+    dec = decode_open_protocol(enc, ["conv_id", "turn_idx", "text"])
+    return dec.select(
+        "ts", "op_class", "only_handle_key",
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "text",
+    )
+
+
+SQL_MQ_HANDLE_KEY_ONLY = f"""
+WITH {BINLOG_CTE}
+SELECT commit_ts AS ts,
+       CASE WHEN op = 'D' THEN 'D' ELSE 'UI' END AS op_class,
+       (op <> 'D' AND turn_idx % 5 = 0) AS only_handle_key,
+       conv_id, turn_idx,
+       CASE WHEN op = 'D' OR turn_idx % 5 = 0 THEN NULL
+            ELSE 'p-' || CAST(commit_ts AS VARCHAR) END AS text
+FROM binlog
+"""
+
+
+def q_mq_claim_check(spark, sf_dir):
+    """Large-message claim-check mode (pkg/config/large_message.go +
+    open_protocol_encoder.go:291-302; integration test
+    open_protocol_claim_check): oversized payload envelopes ship to the
+    claim-check store, the MQ stream carries location messages ("ccl" in
+    the key), and the CONSUMER resolves locations back to full rows — this
+    query runs the whole producer->store->consumer loop and returns the
+    RESOLVED stream, which must equal the never-degraded roundtrip."""
+    import tempfile
+    import uuid
+
+    from ticdc_spark.sinks.mq import (
+        decode_open_protocol, encode_open_protocol, resolve_claim_check,
+        write_claim_check)
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .when(F.col("turn_idx") % 5 == 0, F.rpad(F.lit("L"), 600, "x"))
+        .otherwise(F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))),
+    )
+    store = os.path.join(tempfile.gettempdir(), f"ticdc_claim_{uuid.uuid4().hex}")
+    enc = encode_open_protocol(
+        b, "transcripts_db", "transcripts", ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+        large_message_handle="claim-check", max_message_bytes=400,
+        claim_check_prefix=store,
+    )
+    write_claim_check(enc, store)
+    messages = enc.drop("_claim_location", "_claim_payload")
+    # tag BEFORE resolution (the resolver restores the original key, which
+    # has no "ccl" marker), then decode the resolved stream
+    was_claimed = F.get_json_object("key", "$.ccl").isNotNull()
+    resolved = resolve_claim_check(
+        spark, messages.withColumn("from_claim_store", was_claimed), store
+    )
+    dec = decode_open_protocol(resolved, ["conv_id", "turn_idx", "text"])
+    return dec.select(
+        "ts", "op_class", "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"), "text",
+    ).join(
+        resolved.select(
+            F.get_json_object("key", "$.ts").cast("long").alias("ts"),
+            "from_claim_store",
+        ),
+        on="ts",
+    ).select(
+        "ts", "op_class", "from_claim_store",
+        "conv_id", "turn_idx", "text",
+    )
+
+
+SQL_MQ_CLAIM_CHECK = f"""
+WITH {BINLOG_CTE}
+SELECT commit_ts AS ts,
+       CASE WHEN op = 'D' THEN 'D' ELSE 'UI' END AS op_class,
+       (op <> 'D' AND turn_idx % 5 = 0) AS from_claim_store,
+       conv_id, turn_idx,
+       CASE WHEN op = 'D' THEN NULL
+            WHEN turn_idx % 5 = 0 THEN rpad('L', 600, 'x')
+            ELSE 'p-' || CAST(commit_ts AS VARCHAR) END AS text
+FROM binlog
+"""
+
+
+def q_mq_avro_roundtrip(spark, sf_dir):
+    """K5 avro codec (pkg/sink/codec/avro/avro.go + the
+    mock_schema_registry.go test pattern; avro_basic integration test):
+    register key/value record schemas with the in-repo registry, frame
+    every event as magic|schema_id|body (JSON-encoded Avro with nullable
+    unions), deletes as key-only tombstones — then decode THROUGH the
+    registry and return the recovered stream. Fresh registry => key
+    schema id 1, value schema id 2, deterministic for the oracle."""
+    from ticdc_spark.sinks.avro_registry import (
+        SchemaRegistry, decode_avro, encode_avro)
+
+    reg = SchemaRegistry()
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))),
+    )
+    enc = encode_avro(
+        b, reg, "transcripts_db", "transcripts",
+        ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+    )
+    _, vid = reg.latest("transcripts_db_transcripts-value")
+    dec = decode_avro(enc, reg, vid)
+    return dec.select(
+        F.col("commit_ts").alias("ts"), "key_schema_id", "value_schema_id",
+        "is_tombstone", "conv_id",
+        F.col("turn_idx").cast("int").alias("turn_idx"), "text",
+    )
+
+
+SQL_MQ_AVRO_ROUNDTRIP = f"""
+WITH {BINLOG_CTE}
+SELECT commit_ts AS ts,
+       1 AS key_schema_id,
+       CASE WHEN op = 'D' THEN NULL ELSE 2 END AS value_schema_id,
+       (op = 'D') AS is_tombstone,
+       conv_id, turn_idx,
+       CASE WHEN op = 'D' THEN NULL
+            ELSE 'p-' || CAST(commit_ts AS VARCHAR) END AS text
+FROM binlog
+"""
+
+
 def q_mq_event_router(spark, sf_dir):
     """X4 event router (cdc/sink/dmlsink/mq/dispatcher/event_router.go):
     first-matching-rule topic + partition routing with {schema}/{table}
@@ -2141,6 +2290,9 @@ QUERIES = {
     "mq_csv_encode": q_mq_csv_encode,
     "mq_canal_roundtrip": q_mq_canal_roundtrip,
     "mq_open_roundtrip": q_mq_open_roundtrip,
+    "mq_handle_key_only": q_mq_handle_key_only,
+    "mq_avro_roundtrip": q_mq_avro_roundtrip,
+    "mq_claim_check": q_mq_claim_check,
     "mq_maxwell_roundtrip": q_mq_maxwell_roundtrip,
     "mq_debezium_roundtrip": q_mq_debezium_roundtrip,
     "mq_simple_roundtrip": q_mq_simple_roundtrip,
@@ -2202,6 +2354,9 @@ ORACLES = {
     "mq_csv_encode": SQL_MQ_CSV_ENCODE,
     "mq_canal_roundtrip": SQL_MQ_CANAL_ROUNDTRIP,
     "mq_open_roundtrip": SQL_MQ_OPEN_ROUNDTRIP,
+    "mq_handle_key_only": SQL_MQ_HANDLE_KEY_ONLY,
+    "mq_avro_roundtrip": SQL_MQ_AVRO_ROUNDTRIP,
+    "mq_claim_check": SQL_MQ_CLAIM_CHECK,
     "mq_maxwell_roundtrip": SQL_MQ_MAXWELL_ROUNDTRIP,
     "mq_debezium_roundtrip": SQL_MQ_DEBEZIUM_ROUNDTRIP,
     "mq_simple_roundtrip": SQL_MQ_SIMPLE_ROUNDTRIP,
@@ -2264,7 +2419,9 @@ ORACLES = {
 #   doc_token_count_bpe -> doc_token_count (same tokenizer regex family);
 #   lww_dedup -> lww_final_state (same max_by aggregate);
 #   emb_sign_lsh -> emb_rp_lsh (same RP-plane bucketing);
-#   partition_resolved -> global_frontier (same per-partition max agg).
+#   partition_resolved -> global_frontier (same per-partition max agg);
+#   doc_stratified_sample -> corpus_prep_pipeline (same md5-threshold
+#     sampling expression, exercised inside the composed capstone oracle).
 _DEMOTED = [
     "mq_canal_roundtrip",
     "mq_maxwell_roundtrip",
@@ -2276,6 +2433,7 @@ _DEMOTED = [
     "lww_dedup",
     "emb_sign_lsh",
     "partition_resolved",
+    "doc_stratified_sample",
 ]
 
 DRIVER_CAP = 50

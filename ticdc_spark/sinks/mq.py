@@ -118,6 +118,9 @@ def encode_open_protocol(
     handle_cols: tuple = ("conv_id", "turn_idx"),
     col_types: dict | None = None,
     pre_cols: list | None = None,
+    large_message_handle: str = "none",
+    max_message_bytes: int | None = None,
+    claim_check_prefix: str | None = None,
 ) -> DataFrame:
     """Open protocol, TiCDC's default MQ codec
     (pkg/sink/codec/open/open_protocol_encoder.go):
@@ -129,17 +132,30 @@ def encode_open_protocol(
       when ``pre_cols`` given), {"d": cols} for delete
       (open_protocol_message.go:53-57 messageRow).
 
-    Pure Column expressions — the whole codec is one whole-stage-codegen
-    projection, no per-row Python."""
+    Large-message handling (pkg/config/large_message.go:22-27; size check
+    maxMessageBytes, open_protocol_encoder.go:101-140): when the encoded
+    (key + value) exceeds ``max_message_bytes``,
+
+    - ``handle-key-only``: re-encode with ONLY the handle-key columns and
+      set ``"ohk": true`` in the message key (internal/message_key.go:32);
+    - ``claim-check``: ship the FULL {key, value} envelope to the
+      claim-check store (see :func:`write_claim_check`) and emit a
+      LOCATION message — handle-key-only columns plus ``"ccl"`` in the key
+      (message_key.go:35; open_protocol_encoder.go:291-302). Locations are
+      a DETERMINISTIC digest of the payload, so a replayed batch
+      re-derives identical locations (idempotent store writes).
+
+    All of it stays pure Column expressions — the size check, the
+    degraded re-encode and the location digest are one codegen projection;
+    no per-row Python."""
     types = col_types or {}
-    key = F.to_json(
-        F.struct(
-            F.col("commit_ts").alias("ts"),
-            F.lit(schema).alias("scm"),
-            F.lit(table).alias("tbl"),
-            F.lit(1).alias("t"),
-        )
-    )
+    key_fields = [
+        F.col("commit_ts").alias("ts"),
+        F.lit(schema).alias("scm"),
+        F.lit(table).alias("tbl"),
+        F.lit(1).alias("t"),
+    ]
+    key = F.to_json(F.struct(*key_fields))
     row = _op_columns_entry(data_cols, types, handle_cols)
     handle_row = _op_columns_entry(
         [c for c in data_cols if c in handle_cols], types, handle_cols
@@ -158,17 +174,53 @@ def encode_open_protocol(
             ))
         )
     )
+    extra: list = []
+    if large_message_handle != "none":
+        if max_message_bytes is None:
+            raise ValueError("large_message_handle requires max_message_bytes")
+        oversized = (F.length(key) + F.length(value)) > F.lit(max_message_bytes)
+        degraded_value = F.when(
+            F.col("op") == "D", F.to_json(F.struct(handle_row.alias("d")))
+        ).otherwise(F.to_json(F.struct(handle_row.alias("u"))))
+        if large_message_handle == "handle-key-only":
+            ohk_key = F.to_json(F.struct(*key_fields, F.lit(True).alias("ohk")))
+            key = F.when(oversized, ohk_key).otherwise(key)
+            value = F.when(oversized, degraded_value).otherwise(value)
+        elif large_message_handle == "claim-check":
+            if not claim_check_prefix:
+                raise ValueError("claim-check requires claim_check_prefix")
+            location = F.concat(
+                F.lit(claim_check_prefix.rstrip("/") + "/"),
+                F.md5(F.concat_ws("\x1f", key, value)),
+                F.lit(".json"),
+            )
+            ccl_key = F.to_json(F.struct(*key_fields, location.alias("ccl")))
+            envelope = F.to_json(
+                F.struct(key.alias("key"), value.alias("value"))
+            )
+            extra = [
+                F.when(oversized, location).alias("_claim_location"),
+                F.when(oversized, envelope).alias("_claim_payload"),
+            ]
+            key = F.when(oversized, ccl_key).otherwise(key)
+            value = F.when(oversized, degraded_value).otherwise(value)
+        else:
+            raise ValueError(f"unknown large_message_handle: {large_message_handle!r}")
     return df.select(
         F.lit(f"{schema}_{table}").alias("topic"),
         key.alias("key"), value.alias("value"),
-        "commit_ts", "op", *handle_cols,
+        "commit_ts", "op", *handle_cols, *extra,
     )
 
 
 def decode_open_protocol(df: DataFrame, data_cols: list) -> DataFrame:
     """Consumer-side identity for the roundtrip oracle: re-extract ts /
     schema / table / op / column values FROM the encoded strings (the
-    decoder half, open_protocol_message.go:171-195)."""
+    decoder half, open_protocol_message.go:171-195). Surfaces the
+    large-message markers: ``only_handle_key`` (key "ohk",
+    open_protocol_decoder.go:210) and ``claim_location`` (key "ccl",
+    :204 — resolve with :func:`resolve_claim_check` BEFORE decoding to
+    recover the full row)."""
     op = (
         F.when(F.get_json_object("value", "$.d").isNotNull(), "D")
         .otherwise(F.lit("UI"))
@@ -178,6 +230,10 @@ def decode_open_protocol(df: DataFrame, data_cols: list) -> DataFrame:
         F.get_json_object("key", "$.scm").alias("schema_name"),
         F.get_json_object("key", "$.tbl").alias("table_name"),
         op.alias("op_class"),
+        F.coalesce(
+            F.get_json_object("key", "$.ohk").cast("boolean"), F.lit(False)
+        ).alias("only_handle_key"),
+        F.get_json_object("key", "$.ccl").alias("claim_location"),
         *[
             F.coalesce(
                 F.get_json_object("value", f"$.u.{c}.v"),
@@ -187,6 +243,48 @@ def decode_open_protocol(df: DataFrame, data_cols: list) -> DataFrame:
         ],
     )
     return out
+
+
+def write_claim_check(messages: DataFrame, path: str) -> None:
+    """Persist oversized payload envelopes to the claim-check store
+    (pkg/sink/kafka/claimcheck — its external storage writes one object
+    per message; the Spark-scale analog is ONE keyed dataset write per
+    batch, location -> envelope, instead of a per-row object PUT storm).
+    Locations are payload digests, so replaying a batch overwrites
+    identical content — idempotent."""
+    (
+        messages.filter(F.col("_claim_location").isNotNull())
+        .select(F.col("_claim_location").alias("location"),
+                F.col("_claim_payload").alias("payload"))
+        .write.mode("append").parquet(path)
+    )
+
+
+def resolve_claim_check(spark, messages: DataFrame, path: str) -> DataFrame:
+    """Consumer half (open_protocol_decoder.go:204-218 +
+    common.UnmarshalClaimCheckMessage): for messages whose key carries a
+    ``ccl`` location, fetch the stored {key, value} envelope and swap the
+    full pair back in; everything else passes through untouched."""
+    store = (
+        spark.read.parquet(path)
+        .withColumnRenamed("location", "_cc_loc")
+        .dropDuplicates(["_cc_loc"])  # replays write identical content
+    )
+    ccl = F.get_json_object("key", "$.ccl")
+    out = messages.withColumn("_cc_loc", ccl).join(
+        store, on="_cc_loc", how="left"
+    )
+    return (
+        out.withColumn(
+            "key",
+            F.coalesce(F.get_json_object("payload", "$.key"), F.col("key")),
+        )
+        .withColumn(
+            "value",
+            F.coalesce(F.get_json_object("payload", "$.value"), F.col("value")),
+        )
+        .drop("_cc_loc", "payload")
+    )
 
 
 # ---------------- partition dispatchers (X4) ----------------
