@@ -412,3 +412,72 @@ def test_shared_fleet_mode_correct_and_gc(spark, tmp_path):
             F.concat(F.lit("s"), F.pmod(F.xxhash64("conv_id"), F.lit(n)).cast("string")) == "s0"),
         mt.feeds["s0"].registry, spec.max_commit_ts, KEY)
     assert_df_equal(mt.read("s0"), want0, KEY)
+
+
+def test_partition_table_exchange(spark, tmp_path):
+    """Partitioned-table spans + exchange_table_partition
+    (snapshot.go:64,218-246; partition_table integration test): a logical
+    table pt with partitions p0/p1 replicates each partition as its own
+    span into its own target; an EXCHANGE with normal table nb at a
+    barrier swaps the partition's target with the table's — after it,
+    pt#p0's span applies onto what was nb's state and vice versa."""
+    X = 3_000
+    sp = BinlogSpec(n_events=4_000, n_convs=100, seed=21)
+    sn = BinlogSpec(n_events=4_000, n_convs=100, seed=22)
+    # pt events split between partitions by conv hash; nb its own stream
+    wp = gen_binlog(spark, sp).withColumn(
+        "table_name",
+        F.concat(F.lit("pt#p"), F.pmod(F.xxhash64("conv_id"), F.lit(2)).cast("string")),
+    )
+    wn = gen_binlog(spark, sn).withColumn("table_name", F.lit("nb"))
+    binlog = wp.unionByName(wn)
+    ddl_rows = [
+        {"commit_ts": X, "ddl_type": "exchange_table_partition",
+         "query": "ALTER TABLE pt EXCHANGE PARTITION p0 WITH TABLE nb",
+         "column": None, "old_column": "nb", "col_type": None,
+         "schema_version": X, "table_name": "pt#p0"},
+    ]
+    mt = MultiTableChangefeed(
+        spark, binlog, gen_resolved_log(spark, sp), ddl_rows,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t.replace('#', '_')}"),
+        config=ChangefeedConfig(changefeed_id="px", n_buckets=4),
+        tables=["pt", "nb"],
+        partitions={"pt": ["p0", "p1"]},
+    )
+    assert sorted(mt.feeds) == ["nb", "pt#p0", "pt#p1"]
+    mt.run()
+    part = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    ap = gen_binlog(spark, sp)  # pt stream
+    an = gen_binlog(spark, sn)  # nb stream
+    reg = mt.feeds["nb"].registry
+    # pt#p0's target after the exchange = nb's pre-X state + pt#p0's
+    # post-X events, LWW across BOTH (the span applies ONTO the swapped
+    # state)
+    want_p0 = expected_final_state(
+        an.filter(F.col("commit_ts") <= X).unionByName(
+            ap.filter((part == 0) & (F.col("commit_ts") > X))),
+        reg, sp.max_commit_ts, KEY)
+    assert_df_equal(mt.read("pt#p0"), want_p0, KEY)
+    # nb's target = pt#p0's pre-X state + nb's post-X events
+    want_nb = expected_final_state(
+        ap.filter((part == 0) & (F.col("commit_ts") <= X)).unionByName(
+            an.filter(F.col("commit_ts") > X)),
+        reg, sn.max_commit_ts, KEY)
+    assert_df_equal(mt.read("nb"), want_nb, KEY)
+    # untouched partition p1 replicated straight through
+    want_p1 = expected_final_state(ap.filter(part == 1), reg,
+                                   sp.max_commit_ts, KEY)
+    assert_df_equal(mt.read("pt#p1"), want_p1, KEY)
+    # logical read = union of the partition spans
+    assert mt.read_logical("pt").count() == want_p0.count() + want_p1.count()
+    # resume reconstructs the post-exchange association (replay the swap)
+    mt2 = MultiTableChangefeed(
+        spark, binlog, gen_resolved_log(spark, sp), ddl_rows,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t.replace('#', '_')}"),
+        config=ChangefeedConfig(changefeed_id="px", n_buckets=4),
+        tables=["pt", "nb"],
+        partitions={"pt": ["p0", "p1"]},
+    )
+    mt2.run()
+    assert_df_equal(mt2.read("pt#p0"), want_p0, KEY)
+    assert_df_equal(mt2.read("nb"), want_nb, KEY)

@@ -203,3 +203,103 @@ def test_configured_event_filters(spark, tmp_table_path):
     assert cf.target.read().filter(
         "CAST(regexp_extract(text, 'v(\\\\d+)$', 1) AS BIGINT) % 7 = 0"
     ).count() == 0
+
+
+def test_force_replicate_append_only(spark, tmp_table_path):
+    """force-replicate (replica_config.go:135): a keyless table replicates
+    as an APPEND-ONLY insert log — every event survives (no dedup, no
+    delete application), op/commit_ts are ordinary columns, replays are
+    still exactly-once, and the default F4 refusal stays for tables
+    created keyless without the opt-in."""
+    from ticdc_spark.sources.binlog_gen import gen_binlog
+
+    cfg = ChangefeedConfig(n_buckets=4, force_replicate=True)
+    spec = BinlogSpec(n_events=5_000, n_convs=150)
+    cf, stats = _run(spark, spec, tmp_table_path, cfg=cfg)
+    got = cf.target.read()
+    # the log keeps EVERY event — deletes and overwritten updates included
+    assert got.count() == spec.n_events
+    assert stats["events"] == spec.n_events
+    src = gen_binlog(spark, spec)
+    for op in ("I", "U", "D"):
+        assert got.filter(F.col("op") == op).count() == src.filter(F.col("op") == op).count()
+    # deletes carry NULL payload columns but real keys/commit_ts
+    d = got.filter("op = 'D'")
+    assert d.filter("text IS NOT NULL").count() == 0
+    assert d.filter("conv_id IS NULL OR commit_ts IS NULL").count() == 0
+    # re-run: all windows recognized, nothing re-appended
+    cf2, stats2 = _run(spark, spec, tmp_table_path, cfg=cfg)
+    assert stats2["merges"] == 0
+    assert cf2.target.read().count() == spec.n_events
+    # F4 default unchanged: keyless create without the opt-in refuses
+    t = LakeTable(spark, tmp_table_path + "_nokey")
+    with pytest.raises(ValueError, match="force-replicate"):
+        t.create(key=[], fields=[("a", "string")])
+    # merge paths refuse the append-only table
+    with pytest.raises(ValueError, match="append_log"):
+        cf.target.merge(cf.target.read().limit(1), "bx")
+
+
+def test_bdr_mode_drops_peer_origin_events(spark, tmp_table_path):
+    """BDR mode (replica_config.go:147): events applied by the PEER
+    cluster's changefeed (origin marker != ours) are dropped before the
+    sink — no replication loop — while local writes replicate in full."""
+    from ticdc_spark.sources.binlog_gen import gen_binlog, gen_resolved_log
+
+    spec = BinlogSpec(n_events=5_000, n_convs=150)
+    peer = F.col("commit_ts") % 4 == 0
+    binlog = gen_binlog(spark, spec).withColumn(
+        "origin", F.when(peer, "cluster-b").otherwise(F.lit(None).cast("string")))
+    cfg = ChangefeedConfig(n_buckets=4, bdr_mode=True, cluster_id="cluster-a")
+    cf = Changefeed(spark, binlog, gen_resolved_log(spark, spec), None,
+                    LakeTable(spark, tmp_table_path), cfg)
+    cf.run()
+    # final state = LWW over ONLY the locally-originated stream
+    want = expected_final_state(
+        gen_binlog(spark, spec).filter(~peer), cf.registry,
+        spec.max_commit_ts, KEY)
+    assert_df_equal(cf.target.read(), want, KEY)
+
+
+def test_batched_windows_preserve_per_window_commits(spark, tmp_table_path, tmp_path):
+    """DDL-free spans run as ONE Spark job (max_windows_per_job) but every
+    window still commits its OWN batch id + syncpoint + lineage, final
+    state matches the per-window execution bit-for-bit, and replays stay
+    exactly-once."""
+    spec = BinlogSpec(n_events=6_000, n_convs=150, block=1_000)  # 6 windows
+    cfg = ChangefeedConfig(n_buckets=4, sink_mode="mor", compact_every=100)
+    cf, stats = _run(spark, spec, tmp_table_path, cfg=cfg)
+    assert stats["merges"] == 6  # six windows, individually committed
+    # one syncpoint per window, monotone resolved_ts
+    sp = [p["primary_ts"] for p in cf.syncpoints()]
+    assert sp == sorted(sp) and len(sp) == 6
+    # all six windows share ONE group manifest commit (the whole point)
+    assert cf.target.manifest()["version"] <= 3
+    ids = cf.target.committed_batch_ids()
+    assert any(":0:" in b or ":1000" in b for b in ids) or len(ids) >= 1
+    _check_final(spark, spec, cf)
+    # identical final state to the per-window execution
+    cfg1 = ChangefeedConfig(n_buckets=4, sink_mode="mor", compact_every=100,
+                            max_windows_per_job=1)
+    cf1, stats1 = _run(spark, spec, str(tmp_path / "pw"), cfg=cfg1)
+    assert stats1["merges"] == 6
+    assert_df_equal(cf.target.read(), cf1.target.read(), KEY)
+    # replay: everything recognized
+    cf2, stats2 = _run(spark, spec, tmp_table_path, cfg=cfg)
+    assert stats2["merges"] == 0
+    _check_final(spark, spec, cf2)
+    # lineage rows survived per window
+    assert cf.target.lineage_df().select("resolved_ts").distinct().count() == 6
+
+
+def test_batched_windows_resume_mid_span(spark, tmp_table_path):
+    """max_merges stops inside a span; a fresh engine resumes from the
+    checkpoint and completes — per-window ids make the group atomic."""
+    spec = BinlogSpec(n_events=6_000, n_convs=150, block=1_000)
+    cfg = ChangefeedConfig(n_buckets=4, sink_mode="mor", compact_every=100)
+    cf1, s1 = _run(spark, spec, tmp_table_path, cfg=cfg, max_merges=2)
+    assert s1["merges"] == 2
+    assert cf1.target.checkpoint["resolved_ts"] == 3_000  # two windows in
+    cf2, s2 = _run(spark, spec, tmp_table_path, cfg=cfg)
+    assert s2["merges"] == 4
+    _check_final(spark, spec, cf2)

@@ -1184,6 +1184,76 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_force_replicate_e2e(spark, sf_dir):
+    """force-replicate mode e2e (replica_config.go:135;
+    force_replicate_table integration test): the KEYLESS degradation — no
+    dedup shuffle, no MERGE; every event (including deletes and
+    overwritten updates) lands as a row of an append-only insert log with
+    op and commit_ts as ordinary columns. The mid-stream add_column DDL
+    still applies (old rows NULL-backfill at read). Result = the full
+    event log, which is exactly the binlog with its payloads decoded."""
+    work = _work_dir("ticdc_force_")
+    cf = _run_engine(
+        spark, sf_dir, os.path.join(work, "t"), sink_mode="mor",
+        cfg_extra={"force_replicate": True},
+    )
+    return cf.target.read().select(
+        "conv_id", "turn_idx", "op", "commit_ts",
+        "role", "text", "tool", "ts", "tool_args",
+    )
+
+
+SQL_CDC_FORCE_REPLICATE_E2E = f"""
+WITH {BINLOG_CTE},
+ddl AS (SELECT 1000 + 3 * (count(*) // 5) AS ddl_ts FROM events)
+SELECT conv_id, turn_idx, op, commit_ts,
+       CASE WHEN op = 'D' THEN NULL
+            WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       CASE WHEN op = 'D' THEN NULL
+            ELSE 'txt-' || CAST(commit_ts AS VARCHAR) END AS text,
+       CASE WHEN op = 'D' THEN NULL
+            WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       CASE WHEN op = 'D' THEN NULL
+            ELSE make_timestamp((1700000000 + commit_ts) * 1000000) END AS ts,
+       CASE WHEN op <> 'D' AND commit_ts > (SELECT ddl_ts FROM ddl)
+            THEN 'ta-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool_args
+FROM binlog
+"""
+
+
+def q_cdc_bdr_filter(spark, sf_dir):
+    """BDR-mode replication-loop guard (replica_config.go:147; bdr_mode
+    integration test): events carrying the PEER cluster's origin marker —
+    rows this cluster's sink applied on behalf of the peer — are dropped
+    before the sink, while locally-originated writes (origin NULL or our
+    own cluster id) replicate. One pushed-down Column predicate."""
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig, apply_event_filters
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "origin",
+        F.when(F.col("commit_ts") % 5 == 0, F.lit("cluster-peer"))
+        .when(F.col("commit_ts") % 5 == 1, F.lit("cluster-a"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+    cfg = ChangefeedConfig(bdr_mode=True, cluster_id="cluster-a")
+    out = apply_event_filters(b, cfg)
+    return out.select("commit_ts", "op", "conv_id", "turn_idx", "origin")
+
+
+SQL_CDC_BDR_FILTER = f"""
+WITH {BINLOG_CTE}
+SELECT commit_ts, op, conv_id, turn_idx,
+       CASE WHEN commit_ts % 5 = 0 THEN 'cluster-peer'
+            WHEN commit_ts % 5 = 1 THEN 'cluster-a'
+            ELSE NULL END AS origin
+FROM binlog
+WHERE commit_ts % 5 <> 0
+"""
+
+
 def q_cdc_keychange_e2e(spark, sf_dir):
     """Full engine replay where every 7th update MOVED its row to a new
     handle key — exercises the D(old)+I(new) update split inside the
@@ -2122,6 +2192,131 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_partition_table_e2e(spark, sf_dir):
+    """Partitioned-table replication + EXCHANGE PARTITION e2e
+    (/root/reference/cdc/entry/schema/snapshot.go:64,218-246;
+    partition_table integration test): logical table pt has partition
+    spans pt#p0/pt#p1, each replicated as its own span into its own
+    target; normal table nb rides the same feed. At mid-stream barrier X,
+    ALTER TABLE pt EXCHANGE PARTITION p0 WITH TABLE nb swaps the
+    partition's target with the table's (the downstream half of the
+    upstream metadata swap) — so pt#p0's span applies ONTO what was nb's
+    state and vice versa. Result = all three spans' final states."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig
+
+    n = _events(spark, sf_dir).count()
+    X = 1000 + n // 2
+    e = _events(spark, sf_dir)
+    tbl = (
+        F.when(F.col("user_id") % 3 == 0, "pt#p0")
+        .when(F.col("user_id") % 3 == 1, "pt#p1")
+        .otherwise("nb")
+    )
+    b = e.select(
+        (F.lit(1000) + F.col("event_id")).alias("commit_ts"),
+        (F.lit(1000) + F.col("event_id") - 1 - (F.col("event_id") % 3)).alias("start_ts"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("click", "view"), "U")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("conv-"), F.lpad((F.col("user_id") % 40).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("event_id") % 8).cast("int").alias("turn_idx"),
+        (F.col("user_id") % 4).cast("int").alias("partition_id"),
+        tbl.alias("table_name"),
+    )
+    role = (
+        F.when(F.col("turn_idx") % 4 == 0, "user")
+        .when(F.col("turn_idx") % 4 == 1, "assistant")
+        .when(F.col("turn_idx") % 4 == 2, "system")
+        .otherwise("tool")
+    )
+    ct = F.col("commit_ts").cast("string")
+    payload = F.to_json(F.struct(
+        role.alias("role"), F.concat(F.lit("txt-"), ct).alias("text"),
+        F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string")).alias("tool"),
+        ((F.lit(1_700_000_000) + F.col("commit_ts")) * F.lit(1_000_000)).alias("ts"),
+    ))
+    binlog = b.select(
+        "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(payload).alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        F.lit(0).cast("long").alias("schema_version"), "partition_id", "table_name",
+    )
+    max_ts = 1000 + n
+    bounds = sorted({X} | {max_ts * i // 3 for i in range(1, 4)} | {max_ts})
+    resolved = spark.createDataFrame(
+        [(p, r, i) for p in range(4) for i, r in enumerate(bounds)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    ddl_rows = [
+        {"commit_ts": X, "ddl_type": "exchange_table_partition",
+         "query": "ALTER TABLE pt EXCHANGE PARTITION p0 WITH TABLE nb",
+         "column": None, "old_column": "nb", "col_type": None,
+         "schema_version": X, "table_name": "pt#p0"},
+    ]
+    work = _work_dir("ticdc_px_")
+    mt = MultiTableChangefeed(
+        spark, binlog, resolved, ddl_rows,
+        table_factory=lambda t: LakeTable(spark, os.path.join(work, t.replace("#", "_"))),
+        config=ChangefeedConfig(changefeed_id="px-e2e", n_buckets=4,
+                                sink_mode="mor", compact_every=2),
+        tables=["pt", "nb"],
+        partitions={"pt": ["p0", "p1"]},
+    )
+    mt.run()
+    parts = []
+    for span in ["pt#p0", "pt#p1", "nb"]:
+        parts.append(mt.read(span).withColumn("span", F.lit(span)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("span", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+SQL_CDC_PARTITION_TABLE_E2E = """
+WITH pxbin AS (
+  SELECT 1000 + event_id AS commit_ts,
+         1000 + event_id - 1 - (event_id % 3) AS start_ts,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type IN ('click','view') THEN 'U'
+              ELSE 'I' END AS op,
+         'conv-' || lpad(CAST(user_id % 40 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 8 AS INT) AS turn_idx,
+         CASE WHEN user_id % 3 = 0 THEN 'pt#p0'
+              WHEN user_id % 3 = 1 THEN 'pt#p1'
+              ELSE 'nb' END AS src
+  FROM events),
+x AS (SELECT 1000 + count(*) // 2 AS ts FROM events),
+-- the exchange swaps the two spans' TARGETS at X: each event lands in the
+-- physical store its span routes to at that moment
+routed AS (
+  SELECT *, CASE
+      WHEN src = 'pt#p1' THEN 'P1'
+      WHEN (src = 'nb'    AND commit_ts <= (SELECT ts FROM x))
+        OR (src = 'pt#p0' AND commit_ts >  (SELECT ts FROM x)) THEN 'B'
+      ELSE 'P' END AS store
+  FROM pxbin),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY store, conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC) AS rn
+  FROM routed)
+SELECT CASE store WHEN 'B' THEN 'pt#p0' WHEN 'P' THEN 'nb' ELSE 'pt#p1' END AS span,
+       conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_cdc_batch_add_table_e2e(spark, sf_dir):
     """Mid-stream table lifecycle (batch_add_table analog,
     /root/reference/tests/integration_tests/batch_add_table/): a feed over
@@ -2282,9 +2477,12 @@ QUERIES = {
     "cdc_filtered_e2e": q_cdc_filtered_e2e,
     "cdc_multi_table_e2e": q_cdc_multi_table_e2e,
     "cdc_batch_add_table_e2e": q_cdc_batch_add_table_e2e,
+    "cdc_partition_table_e2e": q_cdc_partition_table_e2e,
     "cdc_drop_readd_e2e": q_cdc_drop_readd_e2e,
     "cdc_truncate_e2e": q_cdc_truncate_e2e,
     "cdc_modify_column_e2e": q_cdc_modify_column_e2e,
+    "cdc_force_replicate_e2e": q_cdc_force_replicate_e2e,
+    "cdc_bdr_filter": q_cdc_bdr_filter,
     "bank_conservation": q_bank_conservation,
     "checksum_quarantine": q_checksum_quarantine,
     "mq_csv_encode": q_mq_csv_encode,
@@ -2346,9 +2544,12 @@ ORACLES = {
     "cdc_filtered_e2e": SQL_CDC_FILTERED_E2E,
     "cdc_multi_table_e2e": SQL_CDC_MULTI_TABLE_E2E,
     "cdc_batch_add_table_e2e": SQL_CDC_BATCH_ADD_TABLE_E2E,
+    "cdc_partition_table_e2e": SQL_CDC_PARTITION_TABLE_E2E,
     "cdc_drop_readd_e2e": SQL_CDC_DROP_READD_E2E,
     "cdc_truncate_e2e": SQL_CDC_TRUNCATE_E2E,
     "cdc_modify_column_e2e": SQL_CDC_MODIFY_COLUMN_E2E,
+    "cdc_force_replicate_e2e": SQL_CDC_FORCE_REPLICATE_E2E,
+    "cdc_bdr_filter": SQL_CDC_BDR_FILTER,
     "bank_conservation": SQL_BANK_CONSERVATION,
     "checksum_quarantine": SQL_CHECKSUM_QUARANTINE,
     "mq_csv_encode": SQL_MQ_CSV_ENCODE,
@@ -2421,7 +2622,13 @@ ORACLES = {
 #   emb_sign_lsh -> emb_rp_lsh (same RP-plane bucketing);
 #   partition_resolved -> global_frontier (same per-partition max agg);
 #   doc_stratified_sample -> corpus_prep_pipeline (same md5-threshold
-#     sampling expression, exercised inside the composed capstone oracle).
+#     sampling expression, exercised inside the composed capstone oracle);
+#   table_router -> cdc_multi_table_e2e + mq_event_router (same allow/block
+#     matcher, exercised inside both);
+#   event_filter_expr -> cdc_filtered_e2e (same pushed-down expr filter,
+#     exercised end-to-end) ;
+#   cdc_truncate_e2e -> drop_readd/modify/batch_add e2e queries + the
+#     truncate pytest scenarios (same DDL-barrier machinery).
 _DEMOTED = [
     "mq_canal_roundtrip",
     "mq_maxwell_roundtrip",
@@ -2434,6 +2641,9 @@ _DEMOTED = [
     "emb_sign_lsh",
     "partition_resolved",
     "doc_stratified_sample",
+    "table_router",
+    "event_filter_expr",
+    "cdc_truncate_e2e",
 ]
 
 DRIVER_CAP = 50

@@ -125,7 +125,7 @@ class LakeTable:
 
     def create(self, key: list, fields: list, n_buckets: int = 16,
                schema_version: int = 0, with_order_cols: bool = False,
-               delta_layout: str = "flat") -> None:
+               delta_layout: str = "flat", append_only: bool = False) -> None:
         """``fields`` = full table columns [(name, type_str)...] including
         the key; merge key must exist (ineligible-table rule F4,
         cdc/entry/schema_storage.go:297-333).
@@ -145,6 +145,14 @@ class LakeTable:
         Pick bucketed for read-heavy serving tables."""
         if delta_layout not in ("flat", "bucketed"):
             raise ValueError(f"delta_layout must be flat|bucketed, got {delta_layout!r}")
+        if not key and not append_only:
+            # ineligible-table rule F4 (cdc/entry/schema_storage.go:297-333):
+            # a keyless table cannot be merged; replicating it requires the
+            # EXPLICIT force-replicate opt-in (replica_config.go:135), which
+            # degrades to an append-only insert log
+            raise ValueError(
+                "table has no merge key (F4 ineligible); pass append_only=True "
+                "(force-replicate mode) to replicate it as an insert log")
         if with_order_cols:
             fields = list(fields) + [
                 ("_commit_ts", "long"), ("_start_ts", "long"),
@@ -169,6 +177,7 @@ class LakeTable:
             "schema": triples,
             "schemas": {str(schema_version): triples},
             "delta_layout": delta_layout,
+            "append_only": bool(append_only),
             "truncate_ts": 0,
             "buckets": {str(b): {"files": [], "written_version": schema_version}
                         for b in range(n_buckets)},
@@ -535,6 +544,8 @@ class LakeTable:
         WHEN MATCHED THEN UPDATE; WHEN NOT MATCHED AND op!='D' THEN INSERT.
         """
         m = self.manifest()
+        if m.get("append_only"):
+            raise ValueError("append-only (force-replicate) table: use append_log")
         if self._recognized(m, batch_id, resolved_ts, epoch):
             return {"status": "skipped", "batch_id": batch_id}
         if m.get("deltas"):
@@ -624,6 +635,8 @@ class LakeTable:
         from ticdc_spark.operators.sortdedup import lww_dedup
 
         m = self.manifest()
+        if m.get("append_only"):
+            raise ValueError("append-only (force-replicate) table: use append_log")
         if self._recognized(m, batch_id, resolved_ts, epoch):
             return {"status": "skipped", "batch_id": batch_id}
         if m.get("deltas"):
@@ -861,6 +874,42 @@ class LakeTable:
         return {"status": "committed", "batches": len(applied), "rows": n_total,
                 "version": m["version"], "lineage": all_rows}
 
+    def append_log(
+        self,
+        src: DataFrame,
+        batch_id: str,
+        lineage_rows: list | None = None,
+        resolved_ts: int | None = None,
+        epoch: int | None = None,
+    ) -> dict:
+        """Force-replicate sink (replica_config.go:135 +
+        force_replicate_table integration test): a keyless table's events
+        land as an APPEND-ONLY insert log — no dedup, no MERGE, no LWW
+        resolution at read time; every committed batch is a new fileset.
+        Exactly-once recognition is identical to every other entry point
+        (the batch id + monotone-window rules), so replays stay no-ops even
+        without a key to dedup on."""
+        m = self.manifest()
+        if not m.get("append_only"):
+            raise ValueError("append_log requires a table created append_only=True")
+        if self._recognized(m, batch_id, resolved_ts, epoch):
+            return {"status": "skipped", "batch_id": batch_id}
+        cur_names = [x[0] for x in m["schema"]]
+        commit_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        src.select(*cur_names).write.parquet(commit_dir)
+        m.setdefault("deltas", []).append({
+            "files": sorted(
+                os.path.join(commit_dir, f)
+                for f in os.listdir(commit_dir) if f.endswith(".parquet")
+            ),
+            "written_version": m["schema_version"],
+        })
+        rows = lineage_rows() if callable(lineage_rows) else (lineage_rows or [])
+        n_src = sum(r.get("event_count", 0) for r in rows)
+        self._commit_batch(m, batch_id, resolved_ts, n_src, rows, mode="append", epoch=epoch)
+        return {"status": "committed", "batch_id": batch_id, "version": m["version"],
+                "lineage": rows}
+
     def delta_depth(self) -> int:
         return len(self.manifest().get("deltas", []))
 
@@ -876,6 +925,9 @@ class LakeTable:
         can still arrive (the resolved-ts driver mode guarantees that; keep
         tombstones in arrival-ordered mode)."""
         m = self.manifest()
+        if m.get("append_only"):
+            # an insert log has no LWW to fold; filesets are already final
+            return {"status": "noop"}
         key = m["key"]
         n_buckets = m["n_buckets"]
         if not m.get("deltas"):

@@ -54,7 +54,16 @@ from ticdc_spark.sinks.lake import LakeTable
 from ticdc_spark.sources.frontier import frontier_steps
 from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig, table_matches
 
-_LIFECYCLE = ("create_table", "drop_table", "rename_table")
+_LIFECYCLE = ("create_table", "drop_table", "rename_table",
+              "exchange_table_partition")
+
+
+def _logical(name: str) -> str:
+    """Logical table of a feed key: partition feeds are keyed
+    ``<table>#<partition>`` (each upstream partition is its own
+    replication span, /root/reference/cdc/entry/schema/snapshot.go:64 —
+    partition ids are first-class physical tables there)."""
+    return name.split("#", 1)[0]
 
 
 def write_wal_partitioned(df: DataFrame, path: str, table_col: str = "table_name") -> None:
@@ -75,12 +84,24 @@ class MultiTableChangefeed:
         config: ChangefeedConfig | None = None,
         tables: list | None = None,
         table_col: str = "table_name",
+        partitions: dict | None = None,
     ):
         """``binlog`` carries a ``table_col`` column; ``ddl_log`` rows carry
         one too (NULL = global DDL, applied to every table). ``tables``
         skips the discovery scan when the table set is known. Tables with a
         ``create_table`` DDL activate at that barrier even if absent from
-        ``tables``/discovery."""
+        ``tables``/discovery.
+
+        ``partitions`` maps a LOGICAL table to its partition names
+        (snapshot.go:64,218-246 — each upstream partition is its own
+        replication span): ``{"pt": ["p0", "p1"]}`` expands to feed keys
+        ``pt#p0``/``pt#p1``, whose WAL events arrive under those physical
+        names. Column DDLs scoped to the logical name apply to every
+        partition feed; :meth:`read_logical` unions the partition targets;
+        ``exchange_table_partition`` (ddl row: table_name = partition feed
+        key, old_column = the normal table) swaps the partition's target
+        with the normal table's at the barrier — the downstream half of
+        the upstream metadata swap, O(1) metadata, no data movement."""
         self.spark = spark
         self.binlog = binlog
         self.resolved_log = resolved_log
@@ -101,9 +122,19 @@ class MultiTableChangefeed:
             # original (pre-rename) name is a table of its own at start
             renamed_to = {r[table_col] for r in self.lifecycle if r["ddl_type"] == "rename_table"}
             tables = [t for t in tables if t not in renamed_to]
-        # allow/block routing decides the replicated set (filter.go:95-235);
+        # partitioned tables: expand each logical table into its spans
+        self.partitions = dict(partitions or {})
+        expanded = []
+        for t in tables:
+            for p in self.partitions.get(t, [None]):
+                expanded.append(t if p is None else f"{t}#{p}")
+        # allow/block routing decides the replicated set (filter.go:95-235),
+        # matched on the LOGICAL name for partition spans;
         # mid-stream creates start INACTIVE and activate at their barrier
-        self.tables = [t for t in tables if table_matches(t, self.config) and t not in created]
+        self.tables = [
+            t for t in expanded
+            if table_matches(_logical(t), self.config) and t not in created
+        ]
         self.feeds: dict = {}
         # current WAL source name per feed key (diverges on rename)
         self._source_name: dict = {}
@@ -137,11 +168,13 @@ class MultiTableChangefeed:
         return self._journal
 
     def _table_ddls(self, t: str) -> list:
-        """Column-DDL rows scoped to table t (global rows included)."""
+        """Column-DDL rows scoped to table t (global rows included; a row
+        scoped to a LOGICAL table covers every partition span of it)."""
         return [
             r for r in self.ddl_rows
             if r["ddl_type"] not in _LIFECYCLE
-            and (r[self.table_col] is None or r[self.table_col] == t)
+            and (r[self.table_col] is None or r[self.table_col] == t
+                 or r[self.table_col] == _logical(t))
         ]
 
     def _add_feed(self, t: str, start_ts: int) -> None:
@@ -169,6 +202,22 @@ class MultiTableChangefeed:
 
     def read(self, table: str) -> DataFrame:
         return self.feeds[table].target.read()
+
+    def read_logical(self, logical: str) -> DataFrame:
+        """A partitioned table's LOGICAL state: union of its partition
+        spans' targets (partition pruning on the physical span is free —
+        each partition is its own storage unit)."""
+        keys = sorted(
+            t for t in self.feeds
+            if t == logical or _logical(t) == logical
+        )
+        if not keys:
+            raise KeyError(f"no feeds for logical table {logical!r}")
+        out = self.feeds[keys[0]].target.read()
+        for t in keys[1:]:
+            out = out.unionByName(self.feeds[t].target.read(),
+                                  allowMissingColumns=True)
+        return out
 
     def read_union(self) -> DataFrame:
         """All tables' final states as one DataFrame (schemas reconciled by
@@ -231,6 +280,20 @@ class MultiTableChangefeed:
                 del self._source_name[old]
                 if old in self._state:
                     self._state[t] = self._state.pop(old)
+        elif d["ddl_type"] == "exchange_table_partition":
+            # ALTER TABLE <logical> EXCHANGE PARTITION p WITH TABLE <nt>
+            # (snapshot.go:218-246 swaps the physical ids): upstream swaps
+            # DATA by metadata, so downstream swaps the two spans' targets.
+            # Replay-safe: the feed->target map is rebuilt from the factory
+            # at construction, so re-applying the barrier on resume
+            # reconstructs the same post-exchange association.
+            pk, nt = t, d["old_column"]
+            if pk in self.feeds and nt in self.feeds:
+                fp, fn = self.feeds[pk], self.feeds[nt]
+                fp.target, fn.target = fn.target, fp.target
+                if pk in self._state and nt in self._state:
+                    self._state[pk], self._state[nt] = (
+                        self._state[nt], self._state[pk])
 
     def _replay_lifecycle_below(self, ckpt: int) -> None:
         """Resume: re-apply lifecycle barriers at/below the checkpoint so a
@@ -244,7 +307,8 @@ class MultiTableChangefeed:
         ts = int(d["commit_ts"])
         scope = (
             list(self.feeds) if d[self.table_col] is None else
-            [t for t in self.feeds if t == d[self.table_col]]
+            [t for t in self.feeds
+             if t == d[self.table_col] or _logical(t) == d[self.table_col]]
         )
         for t in scope:
             self.feeds[t].target.alter(
@@ -554,6 +618,24 @@ class MultiTableChangefeed:
                     )
             return files, buckets
 
+        from urllib.parse import unquote
+
+        def _part_dirs(window_dir: str, col: str) -> dict:
+            """Partition value -> dir, UNESCAPING Hive's %-hex encoding of
+            special chars in partition paths (a span named ``pt#p0`` is
+            staged as ``table_name=pt%23p0`` — a literal join would miss
+            it and silently commit an empty window)."""
+            out = {}
+            if os.path.isdir(window_dir):
+                for d in os.listdir(window_dir):
+                    if d.startswith(col + "="):
+                        out[unquote(d.split("=", 1)[1])] = os.path.join(window_dir, d)
+            return out
+
+        part_dirs = {
+            e["seq"]: _part_dirs(os.path.join(j.root, e["dir"]), e["table_col"])
+            for e in entries if not e.get("shared")
+        }
         # shared windows: ONE listing serves every table in the window
         shared_listing = {
             e["seq"]: _list(os.path.join(j.root, e["dir"]), e.get("bucketed", False))
@@ -580,9 +662,9 @@ class MultiTableChangefeed:
                         "lineage_rows": info.get("lineage") or [],
                     })
                     continue
-                src = os.path.join(j.root, e["dir"], f"{e['table_col']}={info['src']}")
+                src = part_dirs[e["seq"]].get(info["src"], "")
                 dest = os.path.join(table.data_dir, f"jw{e['seq']:08d}")
-                if os.path.isdir(src):
+                if src and os.path.isdir(src):
                     os.makedirs(table.data_dir, exist_ok=True)
                     try:
                         os.rename(src, dest)

@@ -68,6 +68,19 @@ class ChangefeedConfig:
     # "bucketed" = O(bucket delta) point reads between compactions (7.9x)
     # at ~1.7x ingest cost — measured trade-off, BENCH/OPERATORS.md
     delta_layout: str = "flat"
+    # force-replicate (replica_config.go:135; force_replicate_table
+    # integration test): replicate a KEYLESS table append-only — no dedup,
+    # no MERGE; every event lands as a row of an insert log (op and
+    # commit_ts become ordinary columns). The F4 default (refuse keyless
+    # tables) stays; this is the explicit opt-in degradation.
+    force_replicate: bool = False
+    # DDL-free spans of resolved windows are executed as ONE Spark job
+    # (window-id partitioned write; each window still commits its OWN
+    # fileset/batch-id/syncpoint/lineage via one group manifest rewrite).
+    # This amortizes the per-job serial constant (~1s of plan/codegen/
+    # commit) across up to this many windows — the single-table twin of
+    # the multi-table feed journal. 1 disables batching.
+    max_windows_per_job: int = 16
     # multi-table homogeneous windows: at/above this many applying tables,
     # the window's delta is written as ONE SHARED per-bucket fileset (all
     # tables mixed, clustered by table within each bucket file) instead of
@@ -102,6 +115,14 @@ class ChangefeedConfig:
     ignore_event_expr: str | None = None
     # transactions to skip by start_ts (filter.go:159-184 ignore-txn-start-ts)
     ignore_start_ts: tuple = ()
+    # BDR mode (replica_config.go:147; bdr_mode integration test): in a
+    # bidirectional-replication pair, events the PEER cluster's changefeed
+    # applied here carry its origin marker — re-replicating them back would
+    # loop forever. With bdr_mode on, events whose `origin` column names a
+    # different cluster are dropped before the sink; locally-originated
+    # writes (origin NULL or == cluster_id) replicate normally.
+    bdr_mode: bool = False
+    cluster_id: str = "cluster-1"
     # P3 integrity verification: when the binlog carries a `checksum`
     # column, recompute it over the payload and QUARANTINE mismatches
     # (dropped from the merge; surfaced via quarantine_count in run stats —
@@ -120,6 +141,13 @@ def apply_event_filters(df: DataFrame, config: "ChangefeedConfig") -> DataFrame:
         df = df.filter(~F.col("start_ts").isin(*[int(t) for t in config.ignore_start_ts]))
     if config.ignore_event_expr:
         df = df.filter(~F.expr(config.ignore_event_expr))
+    if config.bdr_mode and "origin" in df.columns:
+        # replication-loop guard (BDR, replica_config.go:147): drop events
+        # the peer cluster originated; pushed into the WAL scan like every
+        # other filter
+        df = df.filter(
+            F.col("origin").isNull() | (F.col("origin") == config.cluster_id)
+        )
     return df
 
 
@@ -172,15 +200,27 @@ class Changefeed:
     # -------------- lifecycle --------------
 
     def ensure_target(self) -> None:
-        if not self.target.exists():
+        if self.target.exists():
+            return
+        if self.config.force_replicate:
+            tf = table_fields(self.registry, 0, self.config.key)
+            nk = len(self.config.key)
             self.target.create(
-                key=list(self.config.key),
-                fields=table_fields(self.registry, 0, self.config.key),
+                key=[],
+                fields=tf[:nk] + [("op", "string"), ("commit_ts", "long")] + tf[nk:],
                 n_buckets=self.config.n_buckets,
                 schema_version=0,
-                with_order_cols=(self.config.sink_mode == "mor"),
-                delta_layout=self.config.delta_layout,
+                append_only=True,
             )
+            return
+        self.target.create(
+            key=list(self.config.key),
+            fields=table_fields(self.registry, 0, self.config.key),
+            n_buckets=self.config.n_buckets,
+            schema_version=0,
+            with_order_cols=(self.config.sink_mode == "mor"),
+            delta_layout=self.config.delta_layout,
+        )
 
     def _reconcile_ddl(self, ckpt: int) -> None:
         """Idempotently re-apply any DDL at or below the checkpoint that the
@@ -234,7 +274,164 @@ class Changefeed:
             F.when(F.col("op_rank") == 1, "D").when(F.col("op_rank") == 2, "U").otherwise("I"),
         )
 
+    def _append_window(self, lo: int, hi: int) -> dict:
+        """Force-replicate window: filters + mount, NO dedup shuffle and no
+        merge — the whole window appends as insert-log rows in one narrow
+        write (the cheapest possible sink; the degradation the reference
+        applies to no-PK tables)."""
+        from pyspark.sql import Observation
+
+        batch_id = f"{self.config.changefeed_id}:{lo}:{hi}"
+        if hi <= max(self.target.checkpoint["resolved_ts"], self.config.start_ts) or (
+            batch_id in self.target.committed_batch_ids()
+        ):
+            return {"status": "skipped", "batch_id": batch_id}
+        df = self.binlog.filter((F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi))
+        df, qobs = self._prepare_window(df, batch_id)
+        df = df.withColumn(
+            "op",
+            F.when(F.col("op_rank") == 1, "D").when(F.col("op_rank") == 2, "U").otherwise("I"),
+        )
+        obs = Observation(f"lineage-{batch_id}")
+        aggs = []
+        for p in self._partitions:
+            aggs.append(F.sum(F.when(F.col("partition_id") == p, 1)).alias(f"n_{p}"))
+            aggs.append(F.max(F.when(F.col("partition_id") == p, F.col("commit_ts"))).alias(f"mx_{p}"))
+        df = df.observe(obs, F.count(F.lit(1)).alias("n_rows"), *aggs)
+        # DML at a DDL's commit-ts decodes against the PRE-DDL snapshot
+        # (mounter.go:173), same as the merge path
+        as_of = lo if self._ddl_at(hi) else hi
+        mounted = mount(df, self.registry, as_of_ts=as_of, defaults=self.config.defaults)
+        payload_cols = mounted_columns(self.registry, as_of)
+        src = mounted.select(*self.config.key, "op", "commit_ts", *payload_cols)
+
+        def lineage_rows():
+            try:
+                vals = obs.get
+            except Exception:
+                return []
+            return [
+                {"batch_id": batch_id, "partition_id": int(p), "resolved_ts": hi,
+                 "event_count": int(vals[f"n_{p}"]), "max_commit_ts": int(vals[f"mx_{p}"])}
+                for p in self._partitions
+                if vals.get(f"n_{p}") is not None
+            ]
+
+        res = self.target.append_log(src, batch_id, lineage_rows=lineage_rows,
+                                     resolved_ts=hi)
+        res["events"] = sum(r["event_count"] for r in res.get("lineage", []))
+        return res
+
+    def _apply_windows_batched(self, lo: int, uppers: list) -> dict:
+        """Execute a DDL-free SPAN of resolved windows as ONE Spark job:
+        filter once, dedup once per (window, key), mount once, write once
+        partitioned by window id — then commit every window's fileset,
+        batch id, syncpoint and lineage in ONE group manifest rewrite
+        (:meth:`LakeTable.append_delta_files_group`). Per-window cost
+        collapses from ~1 s of plan/codegen/commit serial constant to a
+        partition dir listing; semantics are bit-identical to the
+        per-window path (windows dedup independently; the LWW read
+        re-resolves across them, exactly as with separate batches).
+
+        Crash contract: the group commit is atomic — a crash before it
+        leaves only unreferenced staged files (reaped by snapshot expiry),
+        after it every window is durable with its own batch id."""
+        hi = uppers[-1]
+        span_id = f"{self.config.changefeed_id}:{lo}:{hi}:span"
+        df = self.binlog.filter((F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi))
+        df, qobs = self._prepare_window(df, span_id)
+        # window id = index of the first upper bound >= commit_ts
+        wexpr = F.lit(len(uppers) - 1)
+        for i in range(len(uppers) - 2, -1, -1):
+            wexpr = F.when(F.col("commit_ts") <= uppers[i], i).otherwise(wexpr)
+        df = df.withColumn("_win", wexpr.cast("int"))
+        deduped = self._dedup_window(df, ["_win", *self.config.key]).persist()
+        try:
+            mounted = mount(deduped, self.registry, as_of_ts=hi,
+                            defaults=self.config.defaults)
+            payload_cols = mounted_columns(self.registry, hi)
+            m = self.target.manifest()
+            bucketed = m.get("delta_layout", "flat") == "bucketed"
+            src = mounted.select(
+                "_win", *self.config.key, *payload_cols,
+                F.col("commit_ts").alias("_commit_ts"),
+                F.col("start_ts").alias("_start_ts"),
+                F.col("op_rank").alias("_op_rank"),
+                (F.col("op") == "D").cast("int").alias("_deleted"),
+            )
+            pcols = ["_win"]
+            if bucketed:
+                src = src.withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64(F.col(self.config.key[0])),
+                           F.lit(m["n_buckets"])).cast("int"),
+                )
+                pcols.append("_bucket")
+            import os as _os
+            import uuid as _uuid
+
+            staging = _os.path.join(self.target.data_dir, _uuid.uuid4().hex)
+            src.write.partitionBy(*pcols).parquet(staging)
+            # per-(window, source partition) lineage off the cached dedup:
+            # one metadata-cardinality job amortized over the whole span
+            stats = (
+                deduped.groupBy("_win", "partition_id")
+                .agg(F.sum("_n_events").alias("n"),
+                     F.max("_max_commit_ts").alias("mx"))
+                .collect()
+            )
+            by_win: dict = {}
+            for r in stats:
+                by_win.setdefault(int(r["_win"]), []).append(r)
+            batches = []
+            prev = lo
+            for i, u in enumerate(uppers):
+                batch_id = f"{self.config.changefeed_id}:{prev}:{u}"
+                wdir = _os.path.join(staging, f"_win={i}")
+                files: list = []
+                buckets: dict | None = None
+                if _os.path.isdir(wdir):
+                    if bucketed:
+                        buckets = {}
+                        for d in sorted(_os.listdir(wdir)):
+                            if d.startswith("_bucket="):
+                                bdir = _os.path.join(wdir, d)
+                                buckets[d.split("=", 1)[1]] = sorted(
+                                    _os.path.join(bdir, x)
+                                    for x in _os.listdir(bdir)
+                                    if x.endswith(".parquet")
+                                )
+                        files = sorted(f for fl in buckets.values() for f in fl)
+                    else:
+                        files = sorted(
+                            _os.path.join(wdir, x)
+                            for x in _os.listdir(wdir) if x.endswith(".parquet")
+                        )
+                rows = [
+                    {"batch_id": batch_id, "partition_id": int(r["partition_id"]),
+                     "resolved_ts": u, "event_count": int(r["n"]),
+                     "max_commit_ts": int(r["mx"])}
+                    for r in by_win.get(i, [])
+                ]
+                batches.append({"batch_id": batch_id, "files": files,
+                                "buckets": buckets, "resolved_ts": u,
+                                "lineage_rows": rows})
+            res = self.target.append_delta_files_group(batches)
+        finally:
+            deduped.unpersist()
+        out = {"status": "committed" if res["status"] == "committed" else "skipped",
+               "windows": res.get("batches", 0),
+               "events": sum(r["event_count"] for r in res.get("lineage", []))}
+        if qobs is not None:
+            try:
+                out["quarantined"] = int(qobs.get.get("quarantined") or 0)
+            except Exception:
+                out["quarantined"] = 0
+        return out
+
     def _apply_window(self, lo: int, hi: int) -> dict:
+        if self.config.force_replicate:
+            return self._append_window(lo, hi)
         batch_id = f"{self.config.changefeed_id}:{lo}:{hi}"
         # recognition is two-tier: the monotone-window rule (a window whose
         # upper bound is at/below the checkpoint was already applied — lets
@@ -382,10 +579,61 @@ class Changefeed:
         merges = 0
         events = 0
         quarantined = 0
-        for r in uppers:
+
+        def _ticks():
+            if (
+                self.config.sink_mode == "mor"
+                and not self.config.force_replicate
+                and self.target.delta_depth() >= self.config.compact_every
+            ):
+                # resolved-ts mode: nothing older than the checkpoint can
+                # arrive → tombstones are droppable at compaction
+                self.target.compact(drop_tombstones=True)
+            if self.config.expire_every and merges and merges % self.config.expire_every == 0:
+                self.target.expire_snapshots(
+                    keep_last=self.config.expire_keep_last,
+                    safepoint_ts=self.config.gc_safepoint_ts,
+                )
+
+        i = 0
+        while i < len(uppers):
+            r = uppers[i]
             # barrier boundaries inside (ckpt, r]
             bounds = [d for d in self.ddl_rows if ckpt < int(d["commit_ts"]) <= r]
+            if (
+                not bounds
+                and self.config.sink_mode == "mor"
+                and not self.config.force_replicate
+                and self.config.max_windows_per_job > 1
+            ):
+                # DDL-free span: schedule up to max_windows_per_job windows
+                # as ONE Spark job with per-window group commits — the
+                # per-batch serial constant amortizes across the span
+                cap = self.config.max_windows_per_job
+                if max_merges:
+                    cap = min(cap, max_merges - merges)
+                j = i
+                while (
+                    j + 1 < len(uppers) and (j + 1 - i) < cap
+                    and not any(
+                        uppers[j] < int(d["commit_ts"]) <= uppers[j + 1]
+                        for d in self.ddl_rows
+                    )
+                ):
+                    j += 1
+                if j > i:
+                    res = self._apply_windows_batched(ckpt, uppers[i:j + 1])
+                    events += res.get("events", 0)
+                    quarantined += res.get("quarantined", 0)
+                    merges += res.get("windows", 0)
+                    ckpt = uppers[j]
+                    i = j + 1
+                    _ticks()
+                    if max_merges and merges >= max_merges:
+                        break
+                    continue
             lo = ckpt
+            stop = False
             for d in bounds:
                 hi = int(d["commit_ts"])
                 res = self._apply_window(lo, hi)
@@ -407,19 +655,11 @@ class Changefeed:
                 quarantined += res.get("quarantined", 0)
                 merges += res["status"] == "committed"
             ckpt = r
-            if (
-                self.config.sink_mode == "mor"
-                and self.target.delta_depth() >= self.config.compact_every
-            ):
-                # resolved-ts mode: nothing older than the checkpoint can
-                # arrive → tombstones are droppable at compaction
-                self.target.compact(drop_tombstones=True)
-            if self.config.expire_every and merges and merges % self.config.expire_every == 0:
-                self.target.expire_snapshots(
-                    keep_last=self.config.expire_keep_last,
-                    safepoint_ts=self.config.gc_safepoint_ts,
-                )
+            _ticks()
             if max_merges and merges >= max_merges:
+                stop = True
+            i += 1
+            if stop:
                 break
         return {"merges": merges, "events": events, "checkpoint": ckpt,
                 "quarantined": quarantined}
