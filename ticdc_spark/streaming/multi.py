@@ -364,8 +364,58 @@ class MultiTableChangefeed:
         stats = {"tables": len(self.feeds), "merges": 0, "events": 0,
                  "windows": 0, "wal_scans_per_window": 1}
         merged_windows = 0
-        for r in uppers:
+
+        def _ticks():
+            due = [
+                t for t, f in self.feeds.items()
+                if f.config.sink_mode == "mor"
+                and self._state[t]["depth"] >= f.config.compact_every
+            ]
+            if due:
+                self._fold_journal()
+                for t in due:
+                    self.feeds[t].target.compact(drop_tombstones=True)
+                    self._load_state(t)
+                self._gc_shared()
+
+        i = 0
+        while i < len(uppers):
+            r = uppers[i]
             bounds = [d for d in self.ddl_rows if ckpt < int(d["commit_ts"]) <= r]
+            if (
+                not bounds
+                and self.config.sink_mode == "mor"
+                and self.config.max_windows_per_job > 1
+            ):
+                # DDL-free span: schedule up to max_windows_per_job windows
+                # x all tables as ONE job (the span twin of the single-table
+                # batched path; each (window, table) still commits its own
+                # batch id through the journal)
+                cap = self.config.max_windows_per_job
+                if max_merges_per_table:
+                    cap = min(cap, max_merges_per_table - merged_windows)
+                j = i
+                while (
+                    j + 1 < len(uppers) and (j + 1 - i) < cap
+                    and not any(
+                        uppers[j] < int(d["commit_ts"]) <= uppers[j + 1]
+                        for d in self.ddl_rows
+                    )
+                ):
+                    j += 1
+                if j > i:
+                    span = uppers[i:j + 1]
+                    s = self._apply_span_all(ckpt, span)
+                    stats["merges"] += s["merges"]
+                    stats["events"] += s["events"]
+                    stats["windows"] += len(span)
+                    merged_windows += s.get("windows_merged", 0)
+                    ckpt = uppers[j]
+                    i = j + 1
+                    _ticks()
+                    if max_merges_per_table and merged_windows >= max_merges_per_table:
+                        break
+                    continue
             lo = ckpt
             for d in bounds + [None]:
                 hi = r if d is None else int(d["commit_ts"])
@@ -386,17 +436,8 @@ class MultiTableChangefeed:
                         self._apply_column_ddl(d)
                 lo = hi
             ckpt = r
-            due = [
-                t for t, f in self.feeds.items()
-                if f.config.sink_mode == "mor"
-                and self._state[t]["depth"] >= f.config.compact_every
-            ]
-            if due:
-                self._fold_journal()
-                for t in due:
-                    self.feeds[t].target.compact(drop_tombstones=True)
-                    self._load_state(t)
-                self._gc_shared()
+            _ticks()
+            i += 1
             if max_merges_per_table and merged_windows >= max_merges_per_table:
                 break
         # end-of-run fold: manifests catch up with the journal so external
@@ -408,25 +449,43 @@ class MultiTableChangefeed:
         return stats
 
     def _apply_window_all(self, lo: int, hi: int) -> dict:
-        """One window, all tables: ONE WAL scan + ONE dedup exchange, and
-        (homogeneous fast path) ONE journal append — zero per-table driver
-        I/O per window."""
+        return self._apply_span_all(lo, [hi])
+
+    def _apply_span_all(self, lo: int, uppers: list) -> dict:
+        """A DDL-free SPAN of windows, all tables: ONE WAL scan + ONE dedup
+        exchange + (homogeneous fast path) ONE write job for the whole
+        span x table cross-product — each (window, table) still commits
+        its own batch id through the journal. A single-window call is the
+        degenerate span."""
+        hi = uppers[-1]
         live = {
             t: f for t, f in self.feeds.items() if hi > self._state[t]["ckpt"]
         }
-        out = {"merges": 0, "events": 0}
+        out = {"merges": 0, "events": 0, "windows_merged": 0}
         if not live:
             return out
         wal = self.binlog.filter(
             (F.col("commit_ts") > lo) & (F.col("commit_ts") <= hi)
         )
         # source-name routing: each live feed reads exactly one WAL name in
-        # this window (windows split at rename barriers)
+        # this span (spans never cross rename barriers)
         names = {self._source_name[t]: t for t in live}
         wal = wal.filter(F.col(self.table_col).isin(*names))
         probe = next(iter(live.values()))
         df, qobs = probe._prepare_window(wal, f"{self.config.changefeed_id}:{lo}:{hi}")
-        deduped = probe._dedup_window(df, [self.table_col, *self.config.key])
+        span = len(uppers) > 1
+        if span:
+            # window id = index of the first upper bound >= commit_ts;
+            # dedup stays PER WINDOW (the LWW read re-resolves across
+            # windows, exactly as with separate batches)
+            wexpr = F.lit(len(uppers) - 1)
+            for i in range(len(uppers) - 2, -1, -1):
+                wexpr = F.when(F.col("commit_ts") <= uppers[i], i).otherwise(wexpr)
+            df = df.withColumn("_win", wexpr.cast("int"))
+            dkey = ["_win", self.table_col, *self.config.key]
+        else:
+            dkey = [self.table_col, *self.config.key]
+        deduped = probe._dedup_window(df, dkey)
         # cluster the cached dedup output by table WITHIN partitions (no
         # extra exchange): cache batches become single-table runs, so each
         # table's slice filter prunes other tables' batches via the
@@ -434,24 +493,37 @@ class MultiTableChangefeed:
         # whole cache N times
         deduped = deduped.sortWithinPartitions(self.table_col).persist()
         try:
-            if not self._apply_homogeneous(live, names, deduped, lo, hi, out):
-                # heterogeneous window (diverged schema chains, a DDL
-                # barrier, truncate, CoW mode): per-table mount + sink off
-                # the shared cache. Manifests must be CURRENT first — a
-                # direct per-table commit advances the manifest checkpoint
-                # past any unfolded journal window, whose later fold would
-                # then be wrongly recognized as replay and dropped.
+            if not self._apply_homogeneous(live, names, deduped, lo, uppers, out):
+                # heterogeneous (diverged schema chains, truncate, CoW
+                # mode): per-table mount + sink off the shared cache, in
+                # window order. Manifests must be CURRENT first — a direct
+                # per-table commit advances the manifest checkpoint past
+                # any unfolded journal window, whose later fold would then
+                # be wrongly recognized as replay and dropped.
                 self._fold_journal()
-                for name, t in sorted(names.items()):
-                    feed = live[t]
-                    sliced = deduped.filter(F.col(self.table_col) == name).drop(self.table_col)
-                    res = feed._sink_deduped(sliced, lo, hi)
-                    out["events"] += res.get("events", 0)
-                    out["merges"] += res["status"] == "committed"
-                    st = self._state[t]
-                    st["ckpt"] = max(st["ckpt"], hi)
-                    if res["status"] == "committed" and feed.config.sink_mode == "mor":
-                        st["depth"] += 1
+                prev = lo
+                for i, u in enumerate(uppers):
+                    wdf = (
+                        deduped.filter(F.col("_win") == i).drop("_win")
+                        if span else deduped
+                    )
+                    w_merged = 0
+                    for name, t in sorted(names.items()):
+                        feed = live[t]
+                        sliced = wdf.filter(
+                            F.col(self.table_col) == name
+                        ).drop(self.table_col)
+                        res = feed._sink_deduped(sliced, prev, u)
+                        out["events"] += res.get("events", 0)
+                        committed = res["status"] == "committed"
+                        out["merges"] += committed
+                        w_merged += committed
+                        st = self._state[t]
+                        st["ckpt"] = max(st["ckpt"], u)
+                        if committed and feed.config.sink_mode == "mor":
+                            st["depth"] += 1
+                    out["windows_merged"] += w_merged > 0
+                    prev = u
         finally:
             deduped.unpersist()
         if qobs is not None:
@@ -462,7 +534,7 @@ class MultiTableChangefeed:
         return out
 
     def _apply_homogeneous(self, live: dict, names: dict, deduped, lo: int,
-                           hi: int, out: dict) -> bool:
+                           uppers: list, out: dict) -> bool:
         """HOMOGENEOUS-window fast path: when every live table shares the
         SAME schema chain up to ``hi`` (the 100k-table fleet case — one
         transcript schema, global DDLs only), mount ONCE, write every
@@ -477,6 +549,8 @@ class MultiTableChangefeed:
         barrier at ``hi``, truncate incarnations, mixed bucket counts, or
         CoW mode."""
         cfg = self.config
+        hi = uppers[-1]
+        span = len(uppers) > 1
         if cfg.sink_mode != "mor":
             return False
         applying: dict = {}
@@ -515,10 +589,15 @@ class MultiTableChangefeed:
         from ticdc_spark.functions.mount import mount, mounted_columns
 
         probe = live[next(iter(applying.values()))]
+        # per-table checkpoint snapshot BEFORE updates: a table resuming
+        # mid-span applies only windows above its own mark (the others'
+        # batches are recognized as replays at fold anyway)
+        ckpt0 = {t: self._state[t]["ckpt"] for t in applying.values()}
         sliced = deduped.filter(F.col(self.table_col).isin(*applying))
         mounted = mount(sliced, probe.registry, as_of_ts=hi, defaults=cfg.defaults)
         payload_cols = mounted_columns(probe.registry, hi)
         src = mounted.select(
+            *(["_win"] if span else []),
             self.table_col, *cfg.key, *payload_cols,
             F.col("commit_ts").alias("_commit_ts"),
             F.col("start_ts").alias("_start_ts"),
@@ -533,7 +612,9 @@ class MultiTableChangefeed:
             src = src.withColumn(
                 "_bucket",
                 F.pmod(F.xxhash64(F.col(cfg.key[0])), F.lit(nb)).cast("int"),
-            ).sortWithinPartitions("_bucket", self.table_col)
+            ).sortWithinPartitions(
+                *(["_win"] if span else []), "_bucket", self.table_col
+            )
             pcols = ["_bucket"]
         else:
             pcols = [self.table_col]
@@ -544,41 +625,68 @@ class MultiTableChangefeed:
                     F.pmod(F.xxhash64(F.col(cfg.key[0])), F.lit(nb)).cast("int"),
                 )
                 pcols.append("_bucket")
-        seq, staging = self.journal.new_staging()
-        # THE one write job for all tables in this window
+        if span:
+            pcols = ["_win", *pcols]
+        seq0, staging = self.journal.new_staging()
+        # THE one write job for all tables in the whole span
         src.write.partitionBy(*pcols).parquet(staging)
-        # per-(table, source partition) lineage off the cached dedup:
-        # metadata-cardinality output, one small job for all tables
+        # per-(window, table, source partition) lineage off the cached
+        # dedup: metadata-cardinality output, one small job for the span
+        gcols = ([F.col("_win")] if span else []) + [
+            F.col(self.table_col), F.col("partition_id")]
         stats = (
             deduped.filter(F.col(self.table_col).isin(*applying))
-            .groupBy(self.table_col, "partition_id")
+            .groupBy(*gcols)
             .agg(F.sum("_n_events").alias("n"), F.max("_max_commit_ts").alias("mx"))
             .collect()
         )
-        by_table: dict = {}
+        by_key: dict = {}
         for r in stats:
-            by_table.setdefault(r[self.table_col], []).append(r)
-        entry_tables: dict = {}
-        for name in sorted(applying):
-            t = applying[name]
-            feed = live[t]
-            batch_id = f"{feed.config.changefeed_id}:{lo}:{hi}"
-            rows = [
-                {"batch_id": batch_id, "partition_id": int(r["partition_id"]),
-                 "resolved_ts": hi, "event_count": int(r["n"]),
-                 "max_commit_ts": int(r["mx"])}
-                for r in by_table.get(name, [])
-            ]
-            entry_tables[t] = {"src": name, "path": feed.target.path,
-                               "bid": batch_id, "lineage": rows}
-            st = self._state[t]
-            st["ckpt"] = hi
-            st["depth"] += 1
-            out["events"] += sum(r["event_count"] for r in rows)
-            out["merges"] += 1
-        # the window's commit point: ONE durable append for all N tables
-        self.journal.append_window(seq, lo, hi, bucketed, entry_tables,
-                                   self.table_col, shared=shared)
+            w = int(r["_win"]) if span else 0
+            by_key.setdefault((w, r[self.table_col]), []).append(r)
+        prev = lo
+        for i, u in enumerate(uppers):
+            if span:
+                # carve the window's partition dir out as its own journal
+                # staging (cheap rename; a crash before the appends leaves
+                # orphan dirs above the newest journal seq — reaped)
+                seq_i, wpath = self.journal.new_staging()
+                wsrc = os.path.join(staging, f"_win={i}")
+                if os.path.isdir(wsrc):
+                    os.rename(wsrc, wpath)
+            else:
+                seq_i = seq0
+            entry_tables: dict = {}
+            w_merged = 0
+            for name in sorted(applying):
+                t = applying[name]
+                if u <= ckpt0[t]:
+                    continue  # this table already has this window
+                feed = live[t]
+                batch_id = f"{feed.config.changefeed_id}:{prev}:{u}"
+                rows = [
+                    {"batch_id": batch_id, "partition_id": int(r["partition_id"]),
+                     "resolved_ts": u, "event_count": int(r["n"]),
+                     "max_commit_ts": int(r["mx"])}
+                    for r in by_key.get((i, name), [])
+                ]
+                entry_tables[t] = {"src": name, "path": feed.target.path,
+                                   "bid": batch_id, "lineage": rows}
+                st = self._state[t]
+                st["ckpt"] = u
+                st["depth"] += 1
+                out["events"] += sum(r["event_count"] for r in rows)
+                out["merges"] += 1
+                w_merged += 1
+            out["windows_merged"] += w_merged > 0
+            if entry_tables:
+                # the window's commit point: ONE durable append for all N
+                self.journal.append_window(seq_i, prev, u, bucketed,
+                                           entry_tables, self.table_col,
+                                           shared=shared)
+            prev = u
+        if span:
+            shutil.rmtree(staging, ignore_errors=True)
         return True
 
     def _fold_journal(self) -> None:
