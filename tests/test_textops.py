@@ -249,3 +249,45 @@ def test_stratified_sample_deterministic_and_stable_under_append(spark):
     n_a = sum(1 for x in s1 if x % 2 == 0)
     n_b = len(s1) - n_a
     assert abs(n_a / 2000 - 0.25) < 0.05 and abs(n_b / 2000 - 0.75) < 0.05
+
+
+def test_pack_sequences_invariants(spark):
+    """Sequence packing: whole docs, budget-aligned streaming bins —
+    a pack minus its final doc stays under budget, no pack exceeds
+    budget + max doc length, overall fill ~1.0, and assignment is
+    deterministic and append-stable within a shard prefix."""
+    from ticdc_spark.functions.textops import pack_sequences, pack_stats
+
+    rows = [(i, " ".join(["w"] * ((i * 37) % 90 + 10))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    budget = 128
+    packed = pack_sequences(docs, budget=budget, n_shards=4)
+    got = packed.collect()
+    # every document assigned exactly once
+    assert len(got) == 200 and len({r["doc_id"] for r in got}) == 200
+    # overflow rule: a pack's tokens EXCLUDING its last doc stay < budget
+    import collections
+    by_pack = collections.defaultdict(list)
+    for r in sorted(got, key=lambda r: (r["shard"], r["doc_id"])):
+        by_pack[(r["shard"], r["pack_seq"])].append(r["n_tokens"])
+    for toks in by_pack.values():
+        assert sum(toks[:-1]) < budget
+    st = {(r["shard"], r["pack_seq"]): r for r in pack_stats(packed, budget).collect()}
+    assert st[(0, 0)]["pack_tokens"] == sum(by_pack[(0, 0)])
+    # bounded overflow: budget + max doc length caps every pack
+    max_len = max(r["n_tokens"] for r in got)
+    for r in st.values():
+        assert r["pack_tokens"] < budget + max_len
+    # OVERALL fill ~1.0 per shard (individual packs wobble by < max_len)
+    import collections as _c
+    per_shard = _c.defaultdict(lambda: [0, 0])
+    for (sh, p), r in st.items():
+        per_shard[sh][0] += r["pack_tokens"]
+        per_shard[sh][1] += 1
+    for sh, (tok, n) in per_shard.items():
+        assert 0.75 <= tok / (n * budget) <= 1.25
+    # append-stability: packing a prefix yields identical assignments
+    prefix = pack_sequences(docs.filter("doc_id < 100"), budget=budget, n_shards=4)
+    pre = {r["doc_id"]: (r["shard"], r["pack_seq"]) for r in prefix.collect()}
+    full = {r["doc_id"]: (r["shard"], r["pack_seq"]) for r in got}
+    assert all(full[d] == pre[d] for d in pre)

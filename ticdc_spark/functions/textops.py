@@ -374,3 +374,51 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("top_gram_frac"),
     )
     return out
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 8,
+                   text_col: str = "text") -> DataFrame:
+    """Sequence packing for training: fill fixed-token-budget training
+    sequences with whole documents, SHARDED so no global order exists.
+
+    The scale-honest layout: a global greedy packer needs a total order
+    (one giant sort + a serial scan); instead docs shard by
+    ``doc_id % n_shards`` and pack WITHIN shards — embarrassingly
+    parallel, one hash exchange + one window per shard, and the pack key
+    (shard, pack_seq) is deterministic and append-stable. Within a shard
+    the rule is BUDGET-ALIGNED STREAMING packing: a doc joins the pack
+    whose budget bin its stream offset starts in (``floor((cumsum - n) /
+    budget)``). Documents are never split; a pack exceeds the budget by
+    less than one document (its last), and the pack after an overflow
+    runs correspondingly short — per-pack fill deviates from the budget
+    by < max doc length both ways while the OVERALL fill stays ~1.0
+    (total tokens / packs*budget). That is the vectorizable trade: exact
+    greedy first-fit needs a serial scan per shard; this rule is one
+    window expression. At 100 TB pick n_shards ~ cluster parallelism."""
+    from pyspark.sql import Window
+
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    d = docs.select(
+        "doc_id", n.alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    return d.select(
+        "doc_id", "n_tokens", "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget)).cast("long").alias("pack_seq"),
+        cum.alias("shard_cum_tokens"),
+    )
+
+
+def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
+    """Per-pack roll-up of :func:`pack_sequences`: docs per pack, token
+    fill, and utilization vs the budget (can exceed 1.0 by the overflow
+    document — the quantity a packing dashboard watches)."""
+    return (
+        packed.groupBy("shard", "pack_seq")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("pack_tokens"))
+        .withColumn("utilization",
+                    F.round(F.col("pack_tokens") / F.lit(budget), 4))
+    )

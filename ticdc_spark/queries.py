@@ -479,6 +479,46 @@ FROM documents
 """
 
 
+def q_doc_pack_sequences(spark, sf_dir):
+    """Sequence packing (training-data prep): fill 2048-token training
+    sequences with whole documents, sharded by doc_id % 8 so no global
+    order exists — one hash exchange + per-shard window, the layout that
+    packs a 100-TB corpus in parallel. Output = per-doc pack assignment
+    joined with its pack's fill/utilization (budget-aligned streaming
+    bins: per-pack fill wobbles by < one doc length around the budget;
+    overall fill ~1.0)."""
+    from ticdc_spark.functions.textops import pack_sequences, pack_stats
+
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences(docs, budget=2048, n_shards=8)
+    stats = pack_stats(packed, budget=2048)
+    return packed.join(stats, on=["shard", "pack_seq"]).select(
+        "doc_id", "n_tokens", "shard", "pack_seq",
+        "n_docs", "pack_tokens", "utilization",
+    )
+
+
+SQL_DOC_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS INT) AS shard
+  FROM documents),
+packed AS (
+  SELECT *,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                     - n_tokens) / 2048.0) AS BIGINT) AS pack_seq
+  FROM t),
+stats AS (
+  SELECT shard, pack_seq, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+         ROUND(SUM(n_tokens) / 2048.0, 4) AS utilization
+  FROM packed GROUP BY shard, pack_seq)
+SELECT p.doc_id, p.n_tokens, p.shard, p.pack_seq,
+       s.n_docs, s.pack_tokens, s.utilization
+FROM packed p JOIN stats s USING (shard, pack_seq)
+"""
+
+
 def q_doc_token_count_bpe(spark, sf_dir):
     """BPE-style pre-tokenizer counts (alphanumeric runs + single symbols —
     the GPT-2 pre-split); upper-bounds the true BPE token count."""
@@ -2516,6 +2556,7 @@ QUERIES = {
     "stream_window_counts": q_stream_window_counts,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
+    "doc_pack_sequences": q_doc_pack_sequences,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
@@ -2583,6 +2624,7 @@ ORACLES = {
     "stream_window_counts": SQL_STREAM_WINDOW,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
+    "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
     "doc_token_count_bpe": SQL_DOC_TOKEN_COUNT_BPE,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
@@ -2628,7 +2670,9 @@ ORACLES = {
 #   event_filter_expr -> cdc_filtered_e2e (same pushed-down expr filter,
 #     exercised end-to-end) ;
 #   cdc_truncate_e2e -> drop_readd/modify/batch_add e2e queries + the
-#     truncate pytest scenarios (same DDL-barrier machinery).
+#     truncate pytest scenarios (same DDL-barrier machinery);
+#   mq_resolved_broadcast -> global_frontier (same achievable-frontier
+#     semantics) + the mq roundtrip family (same encode surface).
 _DEMOTED = [
     "mq_canal_roundtrip",
     "mq_maxwell_roundtrip",
@@ -2644,6 +2688,7 @@ _DEMOTED = [
     "table_router",
     "event_filter_expr",
     "cdc_truncate_e2e",
+    "mq_resolved_broadcast",
 ]
 
 DRIVER_CAP = 50
