@@ -291,3 +291,28 @@ def test_pack_sequences_invariants(spark):
     pre = {r["doc_id"]: (r["shard"], r["pack_seq"]) for r in prefix.collect()}
     full = {r["doc_id"]: (r["shard"], r["pack_seq"]) for r in got}
     assert all(full[d] == pre[d] for d in pre)
+
+
+def test_contamination_check(spark):
+    """Decontamination: docs sharing an 8-gram with the benchmark are
+    flagged (including partial overlap), clean docs are not, and the
+    benchmark side rides a BROADCAST join (the corpus is never shuffled
+    on the gram key)."""
+    from ticdc_spark.functions.textops import contamination_check
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(0, base),                                      # exact benchmark text
+         (1, "prefix words " + base + " suffix words"),  # contains it
+         (2, "completely different content with many unique words here today"),
+         (3, "short doc")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame([(100, base)], "bench_id long, text string")
+    out = contamination_check(docs, bench, n=8)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[0]["contaminated"] and got[1]["contaminated"]
+    assert not got[2]["contaminated"] and not got[3]["contaminated"]
+    assert got[1]["n_contaminated_grams"] >= got[0]["n_contaminated_grams"] - 1
+    assert len(got) == 4  # every doc reported, clean ones with 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

@@ -422,3 +422,43 @@ def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
         .withColumn("utilization",
                     F.round(F.col("pack_tokens") / F.lit(budget), 4))
     )
+
+
+def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a held-out evaluation set (the standard n-gram-overlap
+    rule training pipelines run before a corpus ships; n=8..13 in
+    practice).
+
+    Scale shape: the BENCHMARK side is tiny (eval sets are thousands of
+    documents) — its distinct n-gram set broadcasts; the corpus side is
+    one explode + one broadcast semi-ish join + one keyed aggregate. The
+    100-TB corpus is never shuffled on the gram key; nothing Python."""
+    def grams(df, id_col):
+        return df.select(
+            id_col, F.split(F.trim(F.col(text_col)), r"\s+").alias("tk")
+        ).select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tk) - {n - 1}, 1)), "
+                    f"i -> concat_ws(' ', slice(tk, i, {n})))"
+                )
+            ).alias("g"),
+        ).distinct()
+
+    bench = F.broadcast(grams(benchmark, "bench_id").select("g").distinct())
+    doc_grams = grams(docs, "doc_id")
+    hits = doc_grams.join(bench, on="g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_grams")
+    )
+    totals = doc_grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias("n_contaminated_grams"),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

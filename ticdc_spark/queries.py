@@ -519,6 +519,42 @@ FROM packed p JOIN stats s USING (shard, pack_seq)
 """
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark decontamination (training-data prep): flag corpus docs
+    sharing any word-8-gram with a held-out eval set. The eval set here is
+    a deterministic corpus sample (doc_id % 97 == 0) so contamination is
+    exactly predictable: the sampled docs themselves plus their
+    near-duplicates (the documents table contains dups by construction).
+    Benchmark gram set broadcasts; the corpus is never shuffled on the
+    gram key."""
+    from ticdc_spark.functions.textops import contamination_check
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_check(docs, bench, n=8)
+
+
+SQL_DOC_CONTAMINATION = r"""
+WITH tk AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+dg AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, greatest(len(tk) - 7, 1)),
+                                 i -> array_to_string(tk[i:i+7], ' '))) AS g
+    FROM tk)),
+bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 97 = 0),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM dg GROUP BY doc_id),
+hit AS (SELECT doc_id, COUNT(*) AS nc FROM dg JOIN bg USING (g) GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams,
+       COALESCE(h.nc, 0) AS n_contaminated_grams,
+       COALESCE(h.nc, 0) > 0 AS contaminated
+FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+
 def q_doc_token_count_bpe(spark, sf_dir):
     """BPE-style pre-tokenizer counts (alphanumeric runs + single symbols —
     the GPT-2 pre-split); upper-bounds the true BPE token count."""
@@ -2557,6 +2593,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_contamination": q_doc_contamination,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
@@ -2625,6 +2662,7 @@ ORACLES = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
+    "doc_contamination": SQL_DOC_CONTAMINATION,
     "doc_token_count_bpe": SQL_DOC_TOKEN_COUNT_BPE,
     "doc_quality": SQL_DOC_QUALITY,
     "doc_lang_id": SQL_DOC_LANG_ID,
@@ -2672,7 +2710,9 @@ ORACLES = {
 #   cdc_truncate_e2e -> drop_readd/modify/batch_add e2e queries + the
 #     truncate pytest scenarios (same DDL-barrier machinery);
 #   mq_resolved_broadcast -> global_frontier (same achievable-frontier
-#     semantics) + the mq roundtrip family (same encode surface).
+#     semantics) + the mq roundtrip family (same encode surface);
+#   doc_minhash_bands -> doc_neardup_pairs + doc_neardup_clusters (the
+#     banding intermediate, exercised inside both downstream oracles).
 _DEMOTED = [
     "mq_canal_roundtrip",
     "mq_maxwell_roundtrip",
@@ -2689,6 +2729,7 @@ _DEMOTED = [
     "event_filter_expr",
     "cdc_truncate_e2e",
     "mq_resolved_broadcast",
+    "doc_minhash_bands",
 ]
 
 DRIVER_CAP = 50
