@@ -94,3 +94,29 @@ def test_mq_codec_has_no_python_eval(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert bad not in plan
     assert "*(1)" in plan  # whole-stage-codegen'd (the starred stage marker)
+
+
+def test_span_execution_single_exchange(spark, tmp_path):
+    """Span execution (Changefeed.max_windows_per_job): the whole DDL-free
+    span's dedup output — every window's rows, window id in the dedup
+    key — must still compile to exactly ONE exchange (the window-id CASE
+    is a narrow projection, not a second shuffle), with the span's
+    commit_ts range pushed into the scan."""
+    from ticdc_spark.operators.sortdedup import lww_dedup, with_op_rank
+
+    wal = str(tmp_path / "wal")
+    gen_binlog(spark, BinlogSpec(n_events=5_000)).write.parquet(wal)
+    uppers = [2_000, 3_000, 4_000]
+    df = spark.read.parquet(wal).filter(
+        (F.col("commit_ts") > 1_000) & (F.col("commit_ts") <= uppers[-1])
+    )
+    wexpr = F.lit(len(uppers) - 1)
+    for i in range(len(uppers) - 2, -1, -1):
+        wexpr = F.when(F.col("commit_ts") <= uppers[i], i).otherwise(wexpr)
+    df = with_op_rank(df.withColumn("_win", wexpr.cast("int")))
+    deduped = lww_dedup(df.drop("pre_payload", "op"), ["_win", *KEY], stats=True)
+    plan = _plan(deduped)
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan or "partial" in plan.lower()
+    pushed = plan.split("PushedFilters:")[1][:200]
+    assert "GreaterThan(commit_ts" in pushed
