@@ -198,7 +198,19 @@ class MultiTableChangefeed:
         return min(vals) if vals else 0
 
     def is_synced(self) -> bool:
-        return all(f.is_synced() for f in self.feeds.values())
+        """Synced when every table's checkpoint reached the shared global
+        frontier — computed ONCE (the per-feed form would run one frontier
+        job per table; at fleet scale that is N jobs for one boolean)."""
+        from ticdc_spark.sources.frontier import global_frontier
+
+        if not self.feeds:
+            return True
+        gf = global_frontier(self.resolved_log,
+                             self.config.expected_partitions)
+        return all(
+            f.target.checkpoint["resolved_ts"] >= gf
+            for f in self.feeds.values()
+        )
 
     def read(self, table: str) -> DataFrame:
         return self.feeds[table].target.read()
