@@ -75,7 +75,7 @@ def test_simhash_similar_docs_close(spark):
 def test_ngram_jaccard_bounds(spark):
     j = ngram_jaccard_adjacent(_docs(spark).limit(50))
     rows = j.collect()
-    assert all(0.0 <= r["jaccard"] <= 1.0 for r in rows)
+    assert all(0 <= r["jaccard_bp"] <= 10000 for r in rows)
 
 
 def test_token_count_positive(spark):

@@ -68,22 +68,34 @@ def token_count_bpe(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: length, mean token length, stopword
-    density proxy; label = short/low_stop/ok."""
+    density proxy; label = short/low_stop/ok.
+
+    Ratios are emitted as INTEGER BASIS POINTS (``(num * 10000) div den``,
+    exact integer arithmetic end to end) rather than ROUND over a double
+    quotient — double rounding near ties is environment-dependent and
+    broke a sibling oracle's hash check; integers hash identically
+    everywhere."""
     t = F.trim(F.col(text_col))
     n_tokens = F.size(F.split(t, r"\s+")).cast("long")
     n_chars = F.length(t).cast("long")
-    the_hits = (F.length(t) - F.length(F.regexp_replace(t, "the", ""))) / 3
+    the_hits = ((F.length(t) - F.length(F.regexp_replace(t, "the", ""))) / 3).cast("long")
     out = docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
-        F.round((n_chars - (n_tokens - 1)) / n_tokens, 4).alias("avg_token_len"),
-        F.round(the_hits / n_tokens, 4).alias("stop_density"),
+        ((n_chars - (n_tokens - F.lit(1))) * 10000)
+        .cast("long").alias("_atl_num"),
+        (the_hits * 10000).alias("_sd_num"),
+        n_tokens.alias("_den"),
+    ).select(
+        "doc_id", "n_chars", "n_tokens",
+        F.expr("_atl_num div _den").alias("avg_token_len_bp"),
+        F.expr("_sd_num div _den").alias("stop_density_bp"),
     )
     return out.withColumn(
         "quality_label",
         F.when(F.col("n_tokens") < 20, "short")
-        .when(F.col("stop_density") < 0.01, "low_stop")
+        .when(F.col("stop_density_bp") < 100, "low_stop")
         .otherwise("ok"),
     )
 
@@ -225,11 +237,10 @@ def ngram_jaccard_adjacent(docs: DataFrame, text_col: str = "text") -> DataFrame
         .select(
             F.col("doc_id").alias("doc_id_a"),
             (F.col("doc_id") + 1).alias("doc_id_b"),
-            F.round(
-                F.coalesce(F.col("ni"), F.lit(0)).cast("double")
-                / (F.col("n") + F.col("nb") - F.coalesce(F.col("ni"), F.lit(0))),
-                4,
-            ).alias("jaccard"),
+            # basis points via exact integer div — hash-stable everywhere
+            F.expr(
+                "(coalesce(ni, 0) * 10000) div (n + nb - coalesce(ni, 0))"
+            ).cast("long").alias("jaccard_bp"),
         )
     )
     return out
@@ -360,18 +371,17 @@ def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("c").alias("top_c"),
     )
+    # ratios as integer basis points (exact int arithmetic, hash-stable
+    # across environments — see quality_score docstring)
     out = docs.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
-        F.round(
-            F.when(F.col("n_grams") > 0,
-                   (F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams"))
-            .otherwise(F.lit(0.0)), 4
-        ).alias("dup_gram_frac"),
-        F.round(
-            F.when(F.col("n_grams") > 0, F.col("top_c") / F.col("n_grams"))
-            .otherwise(F.lit(0.0)), 4
-        ).alias("top_gram_frac"),
+        F.coalesce(
+            F.expr("((n_grams - n_distinct) * 10000) div n_grams"), F.lit(0)
+        ).cast("long").alias("dup_gram_bp"),
+        F.coalesce(
+            F.expr("(top_c * 10000) div n_grams"), F.lit(0)
+        ).cast("long").alias("top_gram_bp"),
     )
     return out
 
@@ -413,14 +423,19 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 8,
 
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-pack roll-up of :func:`pack_sequences`: docs per pack, token
-    fill, and utilization vs the budget (can exceed 1.0 by the overflow
-    document — the quantity a packing dashboard watches)."""
+    fill, and utilization vs the budget in integer BASIS POINTS (10000 =
+    exactly full; can exceed 10000 by the overflow document — the quantity
+    a packing dashboard watches). Integer div, not ROUND over a double
+    quotient: ``n/2048 * 10^4 = n*625/128`` ties at the 4th digit
+    constantly and double-ROUND tie behavior is environment-dependent
+    (it failed the round-4 driver hash check); ``(x*10000) div budget``
+    hashes identically everywhere."""
     return (
         packed.groupBy("shard", "pack_seq")
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.sum("n_tokens").alias("pack_tokens"))
-        .withColumn("utilization",
-                    F.round(F.col("pack_tokens") / F.lit(budget), 4))
+        .withColumn("util_bp",
+                    F.expr(f"(pack_tokens * 10000) div {int(budget)}").cast("long"))
     )
 
 

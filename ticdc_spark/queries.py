@@ -494,7 +494,7 @@ def q_doc_pack_sequences(spark, sf_dir):
     stats = pack_stats(packed, budget=2048)
     return packed.join(stats, on=["shard", "pack_seq"]).select(
         "doc_id", "n_tokens", "shard", "pack_seq",
-        "n_docs", "pack_tokens", "utilization",
+        "n_docs", "pack_tokens", "util_bp",
     )
 
 
@@ -511,10 +511,10 @@ packed AS (
   FROM t),
 stats AS (
   SELECT shard, pack_seq, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
-         ROUND(SUM(n_tokens) / 2048.0, 4) AS utilization
+         CAST((SUM(n_tokens) * 10000) // 2048 AS BIGINT) AS util_bp
   FROM packed GROUP BY shard, pack_seq)
 SELECT p.doc_id, p.n_tokens, p.shard, p.pack_seq,
-       s.n_docs, s.pack_tokens, s.utilization
+       s.n_docs, s.pack_tokens, s.util_bp
 FROM packed p JOIN stats s USING (shard, pack_seq)
 """
 
@@ -582,13 +582,13 @@ WITH t AS (
   SELECT doc_id,
          CAST(length(trim(text)) AS BIGINT) AS n_chars,
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-         (length(trim(text)) - length(replace(trim(text), 'the', ''))) / 3 AS the_hits
+         CAST((length(trim(text)) - length(replace(trim(text), 'the', ''))) // 3 AS BIGINT) AS the_hits
   FROM documents)
 SELECT doc_id, n_chars, n_tokens,
-       round((n_chars - (n_tokens - 1)) / n_tokens, 4) AS avg_token_len,
-       round(the_hits / n_tokens, 4) AS stop_density,
+       CAST(((n_chars - (n_tokens - 1)) * 10000) // n_tokens AS BIGINT) AS avg_token_len_bp,
+       CAST((the_hits * 10000) // n_tokens AS BIGINT) AS stop_density_bp,
        CASE WHEN n_tokens < 20 THEN 'short'
-            WHEN round(the_hits / n_tokens, 4) < 0.01 THEN 'low_stop'
+            WHEN (the_hits * 10000) // n_tokens < 100 THEN 'low_stop'
             ELSE 'ok' END AS quality_label
 FROM t
 """
@@ -723,12 +723,8 @@ agg AS (SELECT doc_id, sum(c) AS n_grams, count(*) AS n_distinct, max(c) AS top_
         FROM pg GROUP BY doc_id)
 SELECT d.doc_id,
        CAST(coalesce(n_grams, 0) AS BIGINT) AS n_grams,
-       round(CASE WHEN coalesce(n_grams, 0) > 0
-                  THEN CAST(n_grams - n_distinct AS DOUBLE) / n_grams
-                  ELSE 0.0 END, 4) AS dup_gram_frac,
-       round(CASE WHEN coalesce(n_grams, 0) > 0
-                  THEN CAST(top_c AS DOUBLE) / n_grams
-                  ELSE 0.0 END, 4) AS top_gram_frac
+       CAST(coalesce(((n_grams - n_distinct) * 10000) // n_grams, 0) AS BIGINT) AS dup_gram_bp,
+       CAST(coalesce((top_c * 10000) // n_grams, 0) AS BIGINT) AS top_gram_bp
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
@@ -834,8 +830,8 @@ def q_corpus_prep_pipeline(spark, sf_dir):
         docs.join(keep_exact, "doc_id", "left_semi")
         .join(non_canonical, "doc_id", "left_anti")
         .join(toks, "doc_id")
-        .join(rep.select("doc_id", "dup_gram_frac"), "doc_id")
-        .filter((F.col("n_tokens") >= 20) & (F.col("dup_gram_frac") <= 0.4))
+        .join(rep.select("doc_id", "dup_gram_bp"), "doc_id")
+        .filter((F.col("n_tokens") >= 20) & (F.col("dup_gram_bp") <= 4000))
         .withColumn(
             "stratum",
             F.when(F.length("text") < 200, "short")
@@ -893,9 +889,8 @@ kept AS (
   WHERE d.doc_id IN (SELECT doc_id FROM exact_keep)
     AND (cl.cluster IS NULL OR cl.cluster = d.doc_id)
     AND toks.n_tokens >= 20
-    AND round(CASE WHEN coalesce(rep.n_grams, 0) > 0
-                   THEN CAST(rep.n_grams - rep.n_distinct AS DOUBLE) / rep.n_grams
-                   ELSE 0.0 END, 4) <= 0.4)
+    AND CAST(coalesce(((rep.n_grams - rep.n_distinct) * 10000) // rep.n_grams, 0)
+             AS BIGINT) <= 4000)
 SELECT doc_id, stratum FROM kept
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
       < CASE stratum WHEN 'short' THEN CAST(0.1 * 4294967296 AS BIGINT)
@@ -922,7 +917,7 @@ inter AS (
   FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1 AND a.g = b.g
   GROUP BY a.doc_id)
 SELECT sa.doc_id AS doc_id_a, sa.doc_id + 1 AS doc_id_b,
-       round(CAST(coalesce(ni, 0) AS DOUBLE) / (sa.n + sb.n - coalesce(ni, 0)), 4) AS jaccard
+       CAST((coalesce(ni, 0) * 10000) // (sa.n + sb.n - coalesce(ni, 0)) AS BIGINT) AS jaccard_bp
 FROM sizes sa
 JOIN sizes sb ON sb.doc_id = sa.doc_id + 1
 LEFT JOIN inter ON inter.doc_id = sa.doc_id

@@ -43,9 +43,24 @@ class FeedJournal:
         self.hwm_path = os.path.join(root, "fold_hwm")
         self.data_dir = os.path.join(root, "data")
         os.makedirs(self.data_dir, exist_ok=True)
+        # seed past EVERY trace of a previous run: journal lines, the fold
+        # hwm, AND orphan w_* staging dirs. A crash between new_staging()'s
+        # parquet write and append_window() leaves a dir no journal line
+        # names; seeding from journal/hwm alone would re-issue its seq and
+        # the staged write would fail 'path already exists' forever.
         self._seq = max(
-            (e["seq"] for e in self._entries()), default=self.fold_hwm()
+            max((e["seq"] for e in self._entries()), default=0),
+            self.fold_hwm(),
+            max(self._dir_seqs(), default=0),
         )
+
+    def _dir_seqs(self):
+        for d in os.listdir(self.data_dir):
+            if d.startswith("w_"):
+                try:
+                    yield int(d.split("_", 1)[1])
+                except ValueError:
+                    continue
 
     # ---------------- plumbing ----------------
 
@@ -109,6 +124,30 @@ class FeedJournal:
         with open(tmp, "w") as f:
             f.write(str(seq))
         os.rename(tmp, self.hwm_path)
+        self._compact()
+
+    def _compact(self) -> None:
+        """Drop the folded prefix from journal.jsonl so driver work at
+        amortization points stays O(live entries), not O(total windows over
+        the feed's lifetime). Retained: pending entries (seq > hwm) and
+        folded SHARED entries whose window dir still exists (the feed's
+        shared-GC needs them to decide liveness; once it reclaims the dir,
+        the next compaction drops the line). Atomic: write tmp + fsync +
+        rename — a crash mid-compact leaves the old journal intact."""
+        hwm = self.fold_hwm()
+        keep = [
+            e for e in self._entries()
+            if e["seq"] > hwm
+            or (e.get("shared")
+                and os.path.isdir(os.path.join(self.root, e["dir"])))
+        ]
+        tmp = self.journal_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            for e in keep:
+                f.write(json.dumps(e) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, self.journal_path)
 
     def cleanup(self) -> int:
         """Remove folded/orphaned staging dirs: seq <= fold_hwm (folded —

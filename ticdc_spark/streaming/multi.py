@@ -715,6 +715,9 @@ class MultiTableChangefeed:
         j = self.journal
         entries = j.pending()
         if not entries:
+            # still reap orphans (a crash between staging write and journal
+            # append leaves a dir no entry names) — one listdir, O(dirs)
+            j.cleanup()
             return
         def _list(dest: str, bucketed: bool) -> tuple:
             files: list = []

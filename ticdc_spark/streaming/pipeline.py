@@ -579,8 +579,10 @@ class Changefeed:
         merges = 0
         events = 0
         quarantined = 0
+        last_expired = 0  # merges count at the last snapshot-expiry tick
 
         def _ticks():
+            nonlocal last_expired
             if (
                 self.config.sink_mode == "mor"
                 and not self.config.force_replicate
@@ -589,7 +591,12 @@ class Changefeed:
                 # resolved-ts mode: nothing older than the checkpoint can
                 # arrive → tombstones are droppable at compaction
                 self.target.compact(drop_tombstones=True)
-            if self.config.expire_every and merges and merges % self.config.expire_every == 0:
+            # span batching advances `merges` by the span size, so an exact
+            # `merges % expire_every == 0` test would fire gcd-dependently;
+            # fire whenever the counter CROSSES a multiple since last tick
+            ee = self.config.expire_every
+            if ee and merges // ee > last_expired // ee:
+                last_expired = merges
                 self.target.expire_snapshots(
                     keep_last=self.config.expire_keep_last,
                     safepoint_ts=self.config.gc_safepoint_ts,
