@@ -1,0 +1,124 @@
+"""Multi-table Structured-Streaming twin (streaming/structured.py
+run_streaming_multi): one WAL directory carrying a fleet's events, drained
+arrival-ordered with the single-pass dedup + feed-journal commit tail.
+
+The invariant under test: stream-mode final state == driver-loop
+(MultiTableChangefeed) final state on the SAME WAL, for both the
+homogeneous one-write-job path and the diverged-chain fallback — plus
+exactly-once across incremental drains. Reference anchor: the processor's
+sink manager multiplexing N tables through one worker pool
+(/root/reference/cdc/processor/sinkmanager/manager.go:489-663).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_equal
+from ticdc_spark.sinks.lake import LakeTable
+from ticdc_spark.sources.binlog_gen import BinlogSpec, DDLSpec, gen_binlog, gen_resolved_log
+from ticdc_spark.streaming.multi import MultiTableChangefeed
+from ticdc_spark.streaming.pipeline import ChangefeedConfig
+from ticdc_spark.streaming.structured import run_streaming_multi
+
+KEY = ["conv_id", "turn_idx"]
+
+GLOBAL = DDLSpec(commit_ts=3_000, ddl_type="add_column", column="qscore")
+SCOPED = DDLSpec(commit_ts=2_000, ddl_type="add_column", column="tool_args", table_name="t1")
+
+
+def _fleet(spark, scoped: bool):
+    specs = {}
+    for i, t in enumerate(["t0", "t1", "t2"]):
+        ddls = (SCOPED, GLOBAL) if (scoped and t == "t1") else (GLOBAL,)
+        specs[t] = BinlogSpec(n_events=3_000, n_convs=90, seed=700 + i, ddls=ddls)
+    parts = [gen_binlog(spark, s).withColumn("table_name", F.lit(t))
+             for t, s in specs.items()]
+    binlog = parts[0]
+    for p in parts[1:]:
+        binlog = binlog.unionByName(p)
+    ddl_rows = [
+        {"commit_ts": GLOBAL.commit_ts, "ddl_type": "add_column", "query": GLOBAL.query(),
+         "column": "qscore", "old_column": None, "col_type": "string",
+         "schema_version": GLOBAL.commit_ts, "table_name": None},
+    ]
+    if scoped:
+        ddl_rows.insert(0, {
+            "commit_ts": SCOPED.commit_ts, "ddl_type": "add_column", "query": SCOPED.query(),
+            "column": "tool_args", "old_column": None, "col_type": "string",
+            "schema_version": SCOPED.commit_ts, "table_name": "t1"})
+    return specs, binlog, ddl_rows
+
+
+def _drive(spark, specs, binlog, ddl_rows, base):
+    mt = MultiTableChangefeed(
+        spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))),
+        ddl_rows,
+        table_factory=lambda t: LakeTable(spark, f"{base}/{t}"),
+        config=ChangefeedConfig(changefeed_id="drv", n_buckets=4),
+        tables=list(specs),
+    )
+    mt.run()
+    return mt
+
+
+@pytest.mark.parametrize("scoped", [False, True],
+                         ids=["homogeneous", "diverged-chains"])
+def test_stream_equals_driver_loop(spark, tmp_path, scoped):
+    specs, binlog, ddl_rows = _fleet(spark, scoped)
+    wal = str(tmp_path / "wal")
+    binlog.repartition(6).write.parquet(wal)  # arbitrary arrival batching
+
+    mt = _drive(spark, specs, binlog, ddl_rows, str(tmp_path / "drv"))
+    st = run_streaming_multi(
+        spark, wal,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/st/{t}"),
+        config=ChangefeedConfig(changefeed_id="stm", n_buckets=4),
+        ddl_log=ddl_rows,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    assert st["tables"] == 3 and st["batches"] >= 3
+    assert st["events"] == sum(s.n_events for s in specs.values())
+    for t in specs:
+        got = LakeTable(spark, f"{tmp_path}/st/{t}").read()
+        assert_df_equal(got, mt.read(t), KEY)
+
+
+def test_stream_incremental_exactly_once(spark, tmp_path):
+    """Two arrival waves with one checkpoint; re-drain is a no-op; final
+    state equals the driver loop's full replay. Also asserts the
+    homogeneous commit tail: ONE journal window per micro-batch (not one
+    per table) and a fully-folded journal at the end."""
+    specs, binlog, ddl_rows = _fleet(spark, scoped=False)
+    wal = str(tmp_path / "wal")
+    binlog.filter(F.col("start_ts") % 2 == 0).repartition(2).write.mode("append").parquet(wal)
+    cfg = ChangefeedConfig(changefeed_id="stm2", n_buckets=4)
+    factory = lambda t: LakeTable(spark, f"{tmp_path}/st/{t}")  # noqa: E731
+    ckpt = str(tmp_path / "ckpt")
+    s1 = run_streaming_multi(spark, wal, factory, cfg, ddl_rows, checkpoint_dir=ckpt)
+    binlog.filter(F.col("start_ts") % 2 != 0).repartition(2).write.mode("append").parquet(wal)
+    s2 = run_streaming_multi(spark, wal, factory, cfg, ddl_rows, checkpoint_dir=ckpt)
+    s3 = run_streaming_multi(spark, wal, factory, cfg, ddl_rows, checkpoint_dir=ckpt)
+    assert s3["events"] == 0
+    assert s1["events"] + s2["events"] == sum(s.n_events for s in specs.values())
+
+    from ticdc_spark.sinks.journal import FeedJournal
+    j = FeedJournal(f"{tmp_path}/st/_feed_stm2")
+    assert j.pending() == []  # folded
+    # commit tail was O(1) per batch: at most one journal seq per batch
+    assert j.fold_hwm() == s1["batches"] + s2["batches"]
+
+    mt = _drive(spark, specs, binlog, ddl_rows, str(tmp_path / "drv"))
+    for t in specs:
+        assert_df_equal(factory(t).read(), mt.read(t), KEY)
+
+
+def test_stream_rejects_lifecycle_ddl(spark, tmp_path):
+    with pytest.raises(ValueError, match="lifecycle"):
+        run_streaming_multi(
+            spark, str(tmp_path / "nowal"),
+            table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+            ddl_log=[{"commit_ts": 5, "ddl_type": "drop_table", "column": None,
+                      "old_column": None, "col_type": None, "table_name": "t9",
+                      "schema_version": 5, "query": ""}],
+        )

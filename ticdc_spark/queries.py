@@ -2143,15 +2143,11 @@ def _mt_ddl_ts(n_events: int) -> tuple:
     return 1000 + 2 * (n_events // 5), 1000 + 3 * (n_events // 5)
 
 
-def q_cdc_multi_table_e2e(spark, sf_dir):
-    """Multi-table changefeed e2e (multi_tables_ddl analog): 3 tables routed
-    from one WAL through one feed, a TABLE-SCOPED add_column on tbl_1 and a
-    GLOBAL add_column on all tables, per-table barriers/registries/targets,
-    per-table exactly-once checkpoints. Result = union of final states."""
-    from ticdc_spark.sinks.lake import LakeTable
-    from ticdc_spark.streaming.multi import MultiTableChangefeed
-    from ticdc_spark.streaming.pipeline import ChangefeedConfig
-
+def _mt_fleet_wal(spark, sf_dir):
+    """Shared fleet-WAL builder for the multi-table e2e queries (driver
+    loop + streaming twin): 3 tables from one WAL, a TABLE-SCOPED
+    add_column on tbl_1 and a GLOBAL add_column on all tables. Returns
+    (binlog, resolved, ddl_rows)."""
     n = _events(spark, sf_dir).count()
     ddl1, ddl2 = _mt_ddl_ts(n)
     e = _events(spark, sf_dir)
@@ -2214,6 +2210,19 @@ def q_cdc_multi_table_e2e(spark, sf_dir):
          "column": "qscore", "old_column": None, "col_type": "string",
          "schema_version": ddl2, "table_name": None},
     ]
+    return binlog, resolved, ddl_rows
+
+
+def q_cdc_multi_table_e2e(spark, sf_dir):
+    """Multi-table changefeed e2e (multi_tables_ddl analog): 3 tables routed
+    from one WAL through one feed, a TABLE-SCOPED add_column on tbl_1 and a
+    GLOBAL add_column on all tables, per-table barriers/registries/targets,
+    per-table exactly-once checkpoints. Result = union of final states."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig
+
+    binlog, resolved, ddl_rows = _mt_fleet_wal(spark, sf_dir)
     work = _work_dir("ticdc_mt_")
     mt = MultiTableChangefeed(
         spark, binlog, resolved, ddl_rows,
@@ -2224,6 +2233,46 @@ def q_cdc_multi_table_e2e(spark, sf_dir):
     )
     mt.run()
     return mt.read_union().select(
+        "table_name", "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        "tool_args", "qscore",
+    )
+
+
+def q_cdc_multi_table_stream_e2e(spark, sf_dir):
+    """Multi-table STREAMING-twin e2e: the SAME fleet WAL as
+    cdc_multi_table_e2e, but drained arrival-ordered through
+    ``run_streaming_multi`` (file-source readStream + foreachBatch,
+    single-pass dedup keyed by table + feed-journal commit tail; the
+    scoped DDL diverges tbl_1's chain, so this also exercises the
+    per-table heterogeneous fallback e2e). Final state must be
+    IDENTICAL to the driver loop's — one oracle serves both modes.
+    Reference anchor: sink manager multiplexing
+    (/root/reference/cdc/processor/sinkmanager/manager.go:489-663)."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig
+    from ticdc_spark.streaming.structured import run_streaming_multi
+
+    binlog, _resolved, ddl_rows = _mt_fleet_wal(spark, sf_dir)
+    work = _work_dir("ticdc_mts_")
+    wal = os.path.join(work, "wal")
+    binlog.repartition(6).write.parquet(wal)  # arbitrary arrival batching
+    tables = ["tbl_0", "tbl_1", "tbl_2"]
+    run_streaming_multi(
+        spark, wal,
+        table_factory=lambda t: LakeTable(spark, os.path.join(work, t)),
+        config=ChangefeedConfig(changefeed_id="mts-e2e", n_buckets=4),
+        ddl_log=ddl_rows,
+        tables=tables,
+        checkpoint_dir=os.path.join(work, "ckpt"),
+        max_files_per_trigger=2,
+    )
+    out = None
+    for t in tables:
+        part = LakeTable(spark, os.path.join(work, t)).read().withColumn(
+            "table_name", F.lit(t)
+        )
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
+    return out.select(
         "table_name", "conv_id", "turn_idx", "role", "text", "tool", "ts",
         "tool_args", "qscore",
     )
@@ -2547,6 +2596,7 @@ QUERIES = {
     "cdc_keychange_e2e": q_cdc_keychange_e2e,
     "cdc_filtered_e2e": q_cdc_filtered_e2e,
     "cdc_multi_table_e2e": q_cdc_multi_table_e2e,
+    "cdc_multi_table_stream_e2e": q_cdc_multi_table_stream_e2e,
     "cdc_batch_add_table_e2e": q_cdc_batch_add_table_e2e,
     "cdc_partition_table_e2e": q_cdc_partition_table_e2e,
     "cdc_drop_readd_e2e": q_cdc_drop_readd_e2e,
@@ -2616,6 +2666,7 @@ ORACLES = {
     "cdc_keychange_e2e": SQL_CDC_KEYCHANGE_E2E,
     "cdc_filtered_e2e": SQL_CDC_FILTERED_E2E,
     "cdc_multi_table_e2e": SQL_CDC_MULTI_TABLE_E2E,
+    "cdc_multi_table_stream_e2e": SQL_CDC_MULTI_TABLE_E2E,
     "cdc_batch_add_table_e2e": SQL_CDC_BATCH_ADD_TABLE_E2E,
     "cdc_partition_table_e2e": SQL_CDC_PARTITION_TABLE_E2E,
     "cdc_drop_readd_e2e": SQL_CDC_DROP_READD_E2E,
@@ -2707,8 +2758,11 @@ ORACLES = {
 #   mq_resolved_broadcast -> global_frontier (same achievable-frontier
 #     semantics) + the mq roundtrip family (same encode surface);
 #   doc_minhash_bands -> doc_neardup_pairs + doc_neardup_clusters (the
-#     banding intermediate, exercised inside both downstream oracles).
+#     banding intermediate, exercised inside both downstream oracles);
+#   doc_token_count -> doc_quality + doc_pack_sequences (both compute the
+#     identical whitespace n_tokens expression in-window).
 _DEMOTED = [
+    "doc_token_count",
     "mq_canal_roundtrip",
     "mq_maxwell_roundtrip",
     "mq_debezium_roundtrip",

@@ -98,13 +98,16 @@ class FeedJournal:
 
     def append_window(self, seq: int, lo: int, hi: int, bucketed: bool,
                       tables: dict, table_col: str,
-                      shared: bool = False) -> None:
+                      shared: bool = False, epoch: int | None = None) -> None:
         """ONE journal line commits the window for every applying table.
         ``tables``: {feed_key: {"src": wal partition value, "path": table
         root, "bid": batch id, "lineage": [...]}}. ``shared`` marks a
         fleet-mode window whose fileset stays under the journal and is
         referenced by every table's manifest (reclaimed by the feed's
-        shared-GC once compaction drops the last reference)."""
+        shared-GC once compaction drops the last reference). ``epoch``
+        marks an ARRIVAL-ORDERED streaming window: replay recognition at
+        fold uses the per-changefeed monotone epoch rule instead of the
+        resolved-ts window rule (``hi`` is then informational only)."""
         entry = {
             "seq": seq, "lo": lo, "hi": hi, "bucketed": bucketed,
             "dir": f"data/w_{seq:08d}", "table_col": table_col,
@@ -112,6 +115,8 @@ class FeedJournal:
         }
         if shared:
             entry["shared"] = True
+        if epoch is not None:
+            entry["epoch"] = int(epoch)
         with open(self.journal_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
             f.flush()

@@ -840,7 +840,8 @@ class LakeTable:
         applied, all_rows, n_total = [], [], 0
         for b in batches:
             rts = b.get("resolved_ts")
-            if self._recognized(m, b["batch_id"], rts, None):
+            ep = b.get("epoch")
+            if self._recognized(m, b["batch_id"], rts, ep):
                 continue
             entry: dict = {"files": sorted(b.get("files") or []),
                            "written_version": m["schema_version"]}
@@ -853,7 +854,7 @@ class LakeTable:
             m.setdefault("deltas", []).append(entry)
             rows = b.get("lineage_rows") or []
             n_src = sum(r.get("event_count", 0) for r in rows)
-            self._record_batch(m, b["batch_id"], rts, n_src, mode="mor")
+            self._record_batch(m, b["batch_id"], rts, n_src, mode="mor", epoch=ep)
             all_rows.extend(rows)
             n_total += n_src
             applied.append((b["batch_id"], rts))

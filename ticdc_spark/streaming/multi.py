@@ -702,106 +702,14 @@ class MultiTableChangefeed:
         return True
 
     def _fold_journal(self) -> None:
-        """Fold pending journal windows into per-table manifests: move each
-        table's staged partition dir into its own ``data_dir`` (same-fs
-        rename; deterministic ``jw<seq>`` names make a re-fold after a
-        crash idempotent) and GROUP-commit all of a table's pending batches
-        in one manifest rewrite. Amortization points: run start (crash
+        """Fold pending journal windows into per-table manifests — see
+        :func:`fold_feed_journal`. Amortization points: run start (crash
         recovery), DDL barriers, compaction, run end."""
         if self.feed_dir is None or (
             self._journal is None and not os.path.isdir(self.feed_dir)
         ):
             return
-        j = self.journal
-        entries = j.pending()
-        if not entries:
-            # still reap orphans (a crash between staging write and journal
-            # append leaves a dir no entry names) — one listdir, O(dirs)
-            j.cleanup()
-            return
-        def _list(dest: str, bucketed: bool) -> tuple:
-            files: list = []
-            buckets: dict | None = None
-            if os.path.isdir(dest):
-                if bucketed:
-                    buckets = {}
-                    for d in sorted(os.listdir(dest)):
-                        if d.startswith("_bucket="):
-                            bdir = os.path.join(dest, d)
-                            buckets[d.split("=", 1)[1]] = sorted(
-                                os.path.join(bdir, x)
-                                for x in os.listdir(bdir)
-                                if x.endswith(".parquet")
-                            )
-                    files = sorted(f for fl in buckets.values() for f in fl)
-                else:
-                    files = sorted(
-                        os.path.join(dest, x)
-                        for x in os.listdir(dest) if x.endswith(".parquet")
-                    )
-            return files, buckets
-
-        from urllib.parse import unquote
-
-        def _part_dirs(window_dir: str, col: str) -> dict:
-            """Partition value -> dir, UNESCAPING Hive's %-hex encoding of
-            special chars in partition paths (a span named ``pt#p0`` is
-            staged as ``table_name=pt%23p0`` — a literal join would miss
-            it and silently commit an empty window)."""
-            out = {}
-            if os.path.isdir(window_dir):
-                for d in os.listdir(window_dir):
-                    if d.startswith(col + "="):
-                        out[unquote(d.split("=", 1)[1])] = os.path.join(window_dir, d)
-            return out
-
-        part_dirs = {
-            e["seq"]: _part_dirs(os.path.join(j.root, e["dir"]), e["table_col"])
-            for e in entries if not e.get("shared")
-        }
-        # shared windows: ONE listing serves every table in the window
-        shared_listing = {
-            e["seq"]: _list(os.path.join(j.root, e["dir"]), e.get("bucketed", False))
-            for e in entries if e.get("shared")
-        }
-        per_table: dict = {}
-        for e in entries:
-            for t, info in e["tables"].items():
-                per_table.setdefault(info["path"], []).append((e, info))
-        for path, items in sorted(per_table.items()):
-            table = LakeTable(self.spark, path)
-            group = []
-            for e, info in items:
-                if e.get("shared"):
-                    # fleet mode: files stay under the feed's journal dir
-                    # (every table references them; _gc_shared reclaims the
-                    # window once all references compact away)
-                    files, buckets = shared_listing[e["seq"]]
-                    group.append({
-                        "batch_id": info["bid"], "files": files,
-                        "buckets": buckets,
-                        "shared": (e["table_col"], info["src"]),
-                        "resolved_ts": e["hi"],
-                        "lineage_rows": info.get("lineage") or [],
-                    })
-                    continue
-                src = part_dirs[e["seq"]].get(info["src"], "")
-                dest = os.path.join(table.data_dir, f"jw{e['seq']:08d}")
-                if src and os.path.isdir(src):
-                    os.makedirs(table.data_dir, exist_ok=True)
-                    try:
-                        os.rename(src, dest)
-                    except OSError:
-                        shutil.move(src, dest)
-                files, buckets = _list(dest, e.get("bucketed", False))
-                group.append({
-                    "batch_id": info["bid"], "files": files, "buckets": buckets,
-                    "resolved_ts": e["hi"],
-                    "lineage_rows": info.get("lineage") or [],
-                })
-            table.append_delta_files_group(group)
-        j.mark_folded(entries[-1]["seq"])
-        j.cleanup()
+        fold_feed_journal(self.spark, self.journal)
 
     def _gc_shared(self) -> int:
         """Reclaim SHARED window filesets no manifest references anymore
@@ -848,6 +756,114 @@ class MultiTableChangefeed:
                 shutil.rmtree(d, ignore_errors=True)
                 removed += 1
         return removed
+
+
+def fold_feed_journal(spark: SparkSession, j: FeedJournal) -> None:
+    """Fold pending journal windows into per-table manifests: move each
+    table's staged partition dir into its own ``data_dir`` (same-fs
+    rename; deterministic ``jw<seq>`` names make a re-fold after a
+    crash idempotent) and GROUP-commit all of a table's pending batches
+    in one manifest rewrite. Shared by the driver-loop multi feed and the
+    arrival-ordered streaming twin (entries carrying ``epoch`` commit
+    under the monotone-epoch replay rule instead of the resolved-ts
+    rule)."""
+    entries = j.pending()
+    if not entries:
+        # still reap orphans (a crash between staging write and journal
+        # append leaves a dir no entry names) — one listdir, O(dirs)
+        j.cleanup()
+        return
+
+    def _list(dest: str, bucketed: bool) -> tuple:
+        files: list = []
+        buckets: dict | None = None
+        if os.path.isdir(dest):
+            if bucketed:
+                buckets = {}
+                for d in sorted(os.listdir(dest)):
+                    if d.startswith("_bucket="):
+                        bdir = os.path.join(dest, d)
+                        buckets[d.split("=", 1)[1]] = sorted(
+                            os.path.join(bdir, x)
+                            for x in os.listdir(bdir)
+                            if x.endswith(".parquet")
+                        )
+                files = sorted(f for fl in buckets.values() for f in fl)
+            else:
+                files = sorted(
+                    os.path.join(dest, x)
+                    for x in os.listdir(dest) if x.endswith(".parquet")
+                )
+        return files, buckets
+
+    from urllib.parse import unquote
+
+    def _part_dirs(window_dir: str, col: str) -> dict:
+        """Partition value -> dir, UNESCAPING Hive's %-hex encoding of
+        special chars in partition paths (a span named ``pt#p0`` is
+        staged as ``table_name=pt%23p0`` — a literal join would miss
+        it and silently commit an empty window)."""
+        out = {}
+        if os.path.isdir(window_dir):
+            for d in os.listdir(window_dir):
+                if d.startswith(col + "="):
+                    out[unquote(d.split("=", 1)[1])] = os.path.join(window_dir, d)
+        return out
+
+    part_dirs = {
+        e["seq"]: _part_dirs(os.path.join(j.root, e["dir"]), e["table_col"])
+        for e in entries if not e.get("shared")
+    }
+    # shared windows: ONE listing serves every table in the window
+    shared_listing = {
+        e["seq"]: _list(os.path.join(j.root, e["dir"]), e.get("bucketed", False))
+        for e in entries if e.get("shared")
+    }
+    per_table: dict = {}
+    for e in entries:
+        for t, info in e["tables"].items():
+            per_table.setdefault(info["path"], []).append((e, info))
+
+    def _batch(e, info, files, buckets) -> dict:
+        b = {
+            "batch_id": info["bid"], "files": files, "buckets": buckets,
+            "lineage_rows": info.get("lineage") or [],
+        }
+        if e.get("epoch") is not None:
+            # arrival-ordered streaming window: commit under the monotone
+            # per-changefeed epoch rule, not the resolved-ts window rule
+            b["resolved_ts"] = None
+            b["epoch"] = e["epoch"]
+        else:
+            b["resolved_ts"] = e["hi"]
+        return b
+
+    for path, items in sorted(per_table.items()):
+        table = LakeTable(spark, path)
+        group = []
+        for e, info in items:
+            if e.get("shared"):
+                # fleet mode: files stay under the feed's journal dir
+                # (every table references them; _gc_shared reclaims the
+                # window once all references compact away)
+                files, buckets = shared_listing[e["seq"]]
+                b = _batch(e, info, files, buckets)
+                b["shared"] = (e["table_col"], info["src"])
+                group.append(b)
+                continue
+            src = part_dirs[e["seq"]].get(info["src"], "")
+            dest = os.path.join(table.data_dir, f"jw{e['seq']:08d}")
+            if src and os.path.isdir(src):
+                os.makedirs(table.data_dir, exist_ok=True)
+                try:
+                    os.rename(src, dest)
+                except OSError:
+                    shutil.move(src, dest)
+            files, buckets = _list(dest, e.get("bucketed", False))
+            group.append(_batch(e, info, files, buckets))
+        table.append_delta_files_group(group)
+    j.mark_folded(entries[-1]["seq"])
+    j.cleanup()
 
 
 def route_tables(names: list, allow: tuple = (), block: tuple = ()) -> list:
