@@ -105,6 +105,52 @@ def main():
         sp_pt, s2 = run_single_pass(wal_bytable, "sp_pt")
         seq_pt, ev2 = run_sequential(wal_bytable, "seq_pt")
 
+        # per-table-DDL-CHURN scenario: every table gets its own scoped
+        # add_column early on, so chain digests diverge feed-wide and every
+        # later window takes the heterogeneous path. The round-5 write
+        # batching must keep write jobs O(windows) (union write per
+        # type-compatibility group — 1 group here), not O(windows*tables).
+        from ticdc_spark.sources.binlog_gen import DDLSpec
+
+        churn_tables = int(os.environ.get("MT_CHURN_TABLES", "32"))
+        churn_events = int(os.environ.get("MT_CHURN_EVENTS", "30000"))
+        cspec = BinlogSpec(n_events=churn_events, n_convs=churn_events // 50,
+                           n_turns=16, block=churn_events // 4, n_partitions=4)
+        ddl_rows = []
+        cparts = []
+        for i in range(churn_tables):
+            t = f"ct_{i}"
+            # two DDL bursts (distinct barrier ts) — every table gets its
+            # own scoped column, chains diverge feed-wide, but the barrier
+            # count stays bounded so the scenario measures the per-window
+            # write path, not 32 barrier folds
+            d = DDLSpec(commit_ts=cspec.base_ts + 200 + (i % 2) * 61,
+                        ddl_type="add_column", column=f"xcol_{i}", table_name=t)
+            ddl_rows.append(
+                {"commit_ts": d.commit_ts, "ddl_type": "add_column",
+                 "query": d.query(), "column": d.column, "old_column": None,
+                 "col_type": "string", "schema_version": d.commit_ts,
+                 "table_name": t})
+            cparts.append(
+                gen_binlog(spark, _dc_replace(cspec, seed=300 + i, ddls=(d,)))
+                .withColumn("table_name", F.lit(t)))
+        cwal = cparts[0]
+        for p in cparts[1:]:
+            cwal = cwal.unionByName(p)
+        cwal_path = os.path.join(work, "wal_churn")
+        cwal.repartitionByRange(max(cpus * 4, 8), "commit_ts").write.parquet(cwal_path)
+        t0 = time.time()
+        mtc = MultiTableChangefeed(
+            spark, spark.read.parquet(cwal_path),
+            gen_resolved_log(spark, cspec), ddl_rows,
+            table_factory=lambda t: LakeTable(spark, os.path.join(work, "churn", t)),
+            config=ChangefeedConfig(changefeed_id="churn", n_buckets=8),
+            tables=[f"ct_{i}" for i in range(churn_tables)],
+        )
+        cs = mtc.run()
+        churn_sec = time.time() - t0
+        assert cs["events"] == churn_tables * churn_events, cs
+
         total = N_TABLES * EVENTS_PER_TABLE
         assert s["events"] == ev1 == s2["events"] == ev2 == total, (s, ev1, ev2)
         print(json.dumps({
@@ -123,6 +169,14 @@ def main():
             },
             "scans_per_window_single_pass": 1,
             "scans_per_window_sequential": N_TABLES,
+            "ddl_churn": {
+                "tables": churn_tables,
+                "events_total": churn_tables * churn_events,
+                "windows": cs["windows"],
+                "write_jobs": cs["write_jobs"],
+                "write_jobs_per_window": round(cs["write_jobs"] / max(cs["windows"], 1), 2),
+                "sec": round(churn_sec, 2),
+            },
             "cpus": cpus,
         }))
     finally:

@@ -481,3 +481,48 @@ def test_partition_table_exchange(spark, tmp_path):
     mt2.run()
     assert_df_equal(mt2.read("pt#p0"), want_p0, KEY)
     assert_df_equal(mt2.read("nb"), want_nb, KEY)
+
+
+def test_heterogeneous_window_write_batching(spark, tmp_path):
+    """Per-table DDL churn (every table gets its OWN scoped add_column →
+    chain digests diverge feed-wide): the heterogeneous path must batch
+    each window's per-table mounts into type-compatibility-grouped UNION
+    write jobs — here every table adds a string column, so ONE group ⇒
+    ≤1 write job per window after the churn begins, not N — while final
+    states stay exactly right per table."""
+    n_tables = 6
+    specs = {}
+    ddl_rows = []
+    for i in range(n_tables):
+        t = f"c{i}"
+        d = DDLSpec(commit_ts=1_500 + i * 37, ddl_type="add_column",
+                    column=f"xcol_{i}", table_name=t)
+        specs[t] = BinlogSpec(n_events=4_000, n_convs=100, seed=900 + i, ddls=(d,))
+        ddl_rows.append(
+            {"commit_ts": d.commit_ts, "ddl_type": "add_column", "query": d.query(),
+             "column": d.column, "old_column": None, "col_type": "string",
+             "schema_version": d.commit_ts, "table_name": t})
+    parts = [gen_binlog(spark, s).withColumn("table_name", F.lit(t))
+             for t, s in specs.items()]
+    binlog = parts[0]
+    for p in parts[1:]:
+        binlog = binlog.unionByName(p)
+    mt = MultiTableChangefeed(
+        spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))),
+        ddl_rows,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+        config=ChangefeedConfig(changefeed_id="churn", n_buckets=4),
+        tables=list(specs),
+    )
+    stats = mt.run()
+    assert stats["events"] == sum(s.n_events for s in specs.values())
+    # the scale property: write jobs stay O(windows), NOT O(windows*tables)
+    assert stats["write_jobs"] <= 2 * stats["windows"], stats
+    assert stats["write_jobs"] < stats["windows"] * n_tables / 2, stats
+    for t, spec in specs.items():
+        want = expected_final_state(
+            gen_binlog(spark, spec), mt.feeds[t].registry, spec.max_commit_ts, KEY)
+        assert_df_equal(mt.read(t), want, KEY)
+        assert f"xcol_{int(t[1:])}" in mt.read(t).columns
+    # scoped columns never leak across tables
+    assert "xcol_1" not in mt.read("c0").columns

@@ -421,6 +421,52 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 8,
     )
 
 
+def pack_sequences_firstfit(docs: DataFrame, budget: int, n_shards: int = 8,
+                            text_col: str = "text") -> DataFrame:
+    """QUALITY-MAX packing mode: exact greedy FIRST-FIT within each shard.
+
+    The dial's other end from :func:`pack_sequences` (budget-aligned
+    streaming bins, fully vectorizable): first-fit walks the shard's docs
+    in doc_id order keeping every open bin's load and places each doc in
+    the FIRST bin it fits — no pack ever exceeds the budget (except a
+    single doc longer than the budget, which gets its own bin), so fill
+    quality is strictly better, at the price of a SERIAL scan per shard.
+    That scan is the honest non-vectorizable trade: one Arrow-batched
+    ``applyInPandas`` per shard, parallel across shards — at 100 TB pick
+    n_shards ~ cluster parallelism and the per-shard scan is the only
+    serial section. Output schema matches pack_sequences minus the
+    cumulative-offset column."""
+    import pandas as pd
+
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    d = docs.select(
+        "doc_id", n.alias("n_tokens"),
+        F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        loads: list = []
+        seqs: list = []
+        for nt in pdf["n_tokens"]:
+            placed = None
+            for i, ld in enumerate(loads):
+                if ld + nt <= budget:
+                    placed = i
+                    loads[i] += nt
+                    break
+            if placed is None:
+                placed = len(loads)
+                loads.append(nt)
+            seqs.append(placed)
+        pdf["pack_seq"] = pd.Series(seqs, dtype="int64")
+        return pdf[["doc_id", "n_tokens", "shard", "pack_seq"]]
+
+    return d.groupBy("shard").applyInPandas(
+        pack, "doc_id long, n_tokens long, shard int, pack_seq long"
+    )
+
+
 def pack_stats(packed: DataFrame, budget: int) -> DataFrame:
     """Per-pack roll-up of :func:`pack_sequences`: docs per pack, token
     fill, and utilization vs the budget in integer BASIS POINTS (10000 =

@@ -519,6 +519,59 @@ FROM packed p JOIN stats s USING (shard, pack_seq)
 """
 
 
+def q_doc_pack_firstfit(spark, sf_dir):
+    """Sequence packing, QUALITY-MAX mode: exact greedy first-fit within
+    each shard (serial Arrow-batched scan per shard — the documented
+    non-vectorizable trade; the budget-aligned streaming mode above is the
+    scale default). No pack exceeds the budget, so utilization <= 10000 bp
+    everywhere (single over-budget docs excepted). The DuckDB oracle
+    replays the IDENTICAL first-fit recurrence as a recursive CTE carrying
+    each shard's open-bin loads as a list."""
+    from ticdc_spark.functions.textops import pack_sequences_firstfit, pack_stats
+
+    docs = _docs(spark, sf_dir)
+    packed = pack_sequences_firstfit(docs, budget=2048, n_shards=8)
+    stats = pack_stats(packed, budget=2048)
+    return packed.join(stats, on=["shard", "pack_seq"]).select(
+        "doc_id", "n_tokens", "shard", "pack_seq",
+        "n_docs", "pack_tokens", "util_bp",
+    )
+
+
+SQL_DOC_PACK_FIRSTFIT = r"""
+WITH RECURSIVE t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 8 AS INT) AS shard,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents),
+ff(shard, rn, bins, doc_id, n_tokens, pack_seq) AS (
+  SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT shard FROM t)
+  UNION ALL
+  SELECT f.shard, x.rn,
+         CASE WHEN list_position(list_transform(f.bins, b -> b + x.n_tokens <= 2048), true) = 0
+              THEN list_append(f.bins, x.n_tokens)
+              ELSE list_slice(f.bins, 1, list_position(list_transform(f.bins, b -> b + x.n_tokens <= 2048), true) - 1)
+                   || [f.bins[list_position(list_transform(f.bins, b -> b + x.n_tokens <= 2048), true)] + x.n_tokens]
+                   || list_slice(f.bins, list_position(list_transform(f.bins, b -> b + x.n_tokens <= 2048), true) + 1, len(f.bins)) END,
+         x.doc_id, x.n_tokens,
+         CAST(CASE WHEN list_position(list_transform(f.bins, b -> b + x.n_tokens <= 2048), true) = 0
+                   THEN len(f.bins)
+                   ELSE list_position(list_transform(f.bins, b -> b + x.n_tokens <= 2048), true) - 1 END AS BIGINT)
+  FROM ff f JOIN t x ON x.shard = f.shard AND x.rn = f.rn + 1),
+packed AS (SELECT doc_id, n_tokens, shard, pack_seq FROM ff WHERE rn >= 1),
+stats AS (
+  SELECT shard, pack_seq, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+         CAST((SUM(n_tokens) * 10000) // 2048 AS BIGINT) AS util_bp
+  FROM packed GROUP BY shard, pack_seq)
+SELECT p.doc_id, p.n_tokens, p.shard, p.pack_seq,
+       s.n_docs, s.pack_tokens, s.util_bp
+FROM packed p JOIN stats s USING (shard, pack_seq)
+"""
+
+
 def q_doc_contamination(spark, sf_dir):
     """Benchmark decontamination (training-data prep): flag corpus docs
     sharing any word-8-gram with a held-out eval set. The eval set here is
@@ -2638,6 +2691,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_token_count": q_doc_token_count,
     "doc_pack_sequences": q_doc_pack_sequences,
+    "doc_pack_firstfit": q_doc_pack_firstfit,
     "doc_contamination": q_doc_contamination,
     "doc_token_count_bpe": q_doc_token_count_bpe,
     "doc_quality": q_doc_quality,
@@ -2708,6 +2762,7 @@ ORACLES = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
+    "doc_pack_firstfit": SQL_DOC_PACK_FIRSTFIT,
     "doc_contamination": SQL_DOC_CONTAMINATION,
     "doc_token_count_bpe": SQL_DOC_TOKEN_COUNT_BPE,
     "doc_quality": SQL_DOC_QUALITY,
@@ -2760,9 +2815,13 @@ ORACLES = {
 #   doc_minhash_bands -> doc_neardup_pairs + doc_neardup_clusters (the
 #     banding intermediate, exercised inside both downstream oracles);
 #   doc_token_count -> doc_quality + doc_pack_sequences (both compute the
-#     identical whitespace n_tokens expression in-window).
+#     identical whitespace n_tokens expression in-window);
+#   mq_handle_key_only -> mq_claim_check (same large-message trimming
+#     surface; claim-check is the superset path: trim -> store -> consumer
+#     resolution, exercised end-to-end in-window).
 _DEMOTED = [
     "doc_token_count",
+    "mq_handle_key_only",
     "mq_canal_roundtrip",
     "mq_maxwell_roundtrip",
     "mq_debezium_roundtrip",

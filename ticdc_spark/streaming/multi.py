@@ -421,6 +421,7 @@ class MultiTableChangefeed:
                     stats["merges"] += s["merges"]
                     stats["events"] += s["events"]
                     stats["windows"] += len(span)
+                    stats["write_jobs"] = stats.get("write_jobs", 0) + s.get("write_jobs", 0)
                     merged_windows += s.get("windows_merged", 0)
                     ckpt = uppers[j]
                     i = j + 1
@@ -436,6 +437,7 @@ class MultiTableChangefeed:
                     stats["merges"] += s["merges"]
                     stats["events"] += s["events"]
                     stats["windows"] += 1
+                    stats["write_jobs"] = stats.get("write_jobs", 0) + s.get("write_jobs", 0)
                     merged_windows += s["merges"] > 0
                 if d is not None:
                     # the barrier: quiesce done, fold pending journal
@@ -506,12 +508,18 @@ class MultiTableChangefeed:
         deduped = deduped.sortWithinPartitions(self.table_col).persist()
         try:
             if not self._apply_homogeneous(live, names, deduped, lo, uppers, out):
-                # heterogeneous (diverged schema chains, truncate, CoW
-                # mode): per-table mount + sink off the shared cache, in
-                # window order. Manifests must be CURRENT first — a direct
-                # per-table commit advances the manifest checkpoint past
-                # any unfolded journal window, whose later fold would then
-                # be wrongly recognized as replay and dropped.
+                # heterogeneous (diverged schema chains, DDL-at-boundary,
+                # truncate, CoW mode): per window, MOR tables without a
+                # truncate incarnation still share ONE union write job per
+                # type-compatibility group (mount per table, union by name,
+                # partitionBy(table), one journal append) — per-table DDL
+                # churn no longer degrades to N write jobs per window.
+                # Serial per-table sink remains only for CoW (base rewrite
+                # is per-table by nature) and truncate tables (their
+                # stale-DML drop lives inside append_delta). Manifests must
+                # be CURRENT before any direct per-table commit — it would
+                # advance the checkpoint past an unfolded journal window,
+                # whose later fold would be wrongly recognized as replay.
                 self._fold_journal()
                 prev = lo
                 for i, u in enumerate(uppers):
@@ -519,8 +527,19 @@ class MultiTableChangefeed:
                         deduped.filter(F.col("_win") == i).drop("_win")
                         if span else deduped
                     )
-                    w_merged = 0
+                    batched, serial = [], []
                     for name, t in sorted(names.items()):
+                        if (live[t].config.sink_mode == "mor"
+                                and not self._state[t]["truncate"]):
+                            if u > self._state[t]["ckpt"]:
+                                batched.append((name, t))
+                        else:
+                            serial.append((name, t))
+                    w_merged = 0
+                    if batched:
+                        w_merged += self._sink_union_window(
+                            live, batched, wdf, prev, u, out)
+                    for name, t in serial:
                         feed = live[t]
                         sliced = wdf.filter(
                             F.col(self.table_col) == name
@@ -530,6 +549,7 @@ class MultiTableChangefeed:
                         committed = res["status"] == "committed"
                         out["merges"] += committed
                         w_merged += committed
+                        out["write_jobs"] = out.get("write_jobs", 0) + 1
                         st = self._state[t]
                         st["ckpt"] = max(st["ckpt"], u)
                         if committed and feed.config.sink_mode == "mor":
@@ -642,6 +662,7 @@ class MultiTableChangefeed:
         seq0, staging = self.journal.new_staging()
         # THE one write job for all tables in the whole span
         src.write.partitionBy(*pcols).parquet(staging)
+        out["write_jobs"] = out.get("write_jobs", 0) + 1
         # per-(window, table, source partition) lineage off the cached
         # dedup: metadata-cardinality output, one small job for the span
         gcols = ([F.col("_win")] if span else []) + [
@@ -700,6 +721,113 @@ class MultiTableChangefeed:
         if span:
             shutil.rmtree(staging, ignore_errors=True)
         return True
+
+    def _sink_union_window(self, live: dict, items: list, wdf, lo: int,
+                           hi: int, out: dict) -> int:
+        """Heterogeneous-window WRITE BATCHING: each table mounts against
+        its OWN registry snapshot (diverged chains welcome; a DDL at ``hi``
+        mounts as-of ``lo`` per the barrier rule), the mounted frames union
+        by name into ONE ``partitionBy(table)`` write + ONE journal append.
+        The staged files carry the UNION of the group's payload columns;
+        that is safe because the per-table read projects files through the
+        writer-version schema by explicit column name (``_reconcile``) —
+        a column the table never had is simply not read.
+
+        Tables whose payload schemas conflict in TYPE for a shared column
+        name (e.g. a modify_column divergence) cannot share one parquet
+        schema, so the group splits by type-compatibility — in practice
+        one or two groups, so a 32-table fleet with per-table DDL churn
+        runs ≤2 write jobs per window instead of 32 (measured:
+        scripts/bench_multi_table.py churn scenario). Returns the number
+        of tables committed."""
+        from ticdc_spark.functions.mount import mount, mounted_columns
+
+        cfg = self.config
+        frames: dict = {}
+        for name, t in items:
+            feed = live[t]
+            as_of = lo if feed._ddl_at(hi) else hi
+            sliced = wdf.filter(F.col(self.table_col) == name)
+            mounted = mount(sliced, feed.registry, as_of_ts=as_of,
+                            defaults=cfg.defaults)
+            pcols = mounted_columns(feed.registry, as_of)
+            src = mounted.select(
+                self.table_col, *cfg.key, *pcols,
+                F.col("commit_ts").alias("_commit_ts"),
+                F.col("start_ts").alias("_start_ts"),
+                F.col("op_rank").alias("_op_rank"),
+                (F.col("op") == "D").cast("int").alias("_deleted"),
+            )
+            frames[name] = (t, src, dict(src.dtypes))
+        # greedy type-compatibility grouping: frames join a group iff no
+        # shared column name carries a different type there
+        groups: list = []
+        for name in sorted(frames):
+            _, _, types = frames[name]
+            for g in groups:
+                if all(g["types"].get(c, ty) == ty for c, ty in types.items()):
+                    g["names"].append(name)
+                    g["types"].update(types)
+                    break
+            else:
+                groups.append({"names": [name], "types": dict(types)})
+        # per-(table, source partition) lineage for the whole window in ONE
+        # metadata-cardinality job off the cached dedup
+        stats = (
+            wdf.filter(F.col(self.table_col).isin(*[n for n, _ in items]))
+            .groupBy(self.table_col, "partition_id")
+            .agg(F.sum("_n_events").alias("n"),
+                 F.max("_max_commit_ts").alias("mx"))
+            .collect()
+        )
+        by_table: dict = {}
+        for r in stats:
+            by_table.setdefault(r[self.table_col], []).append(r)
+        committed = 0
+        for g in groups:
+            gnames = g["names"]
+            # honor the bucketed dial only when the whole group shares it
+            layouts = {self._state[frames[n][0]]["layout"] for n in gnames}
+            nbs = {self._state[frames[n][0]]["n_buckets"] for n in gnames}
+            bucketed = layouts == {"bucketed"} and len(nbs) == 1
+            union = None
+            for n in gnames:
+                src = frames[n][1]
+                union = src if union is None else union.unionByName(
+                    src, allowMissingColumns=True)
+            pcols = [self.table_col]
+            if bucketed:
+                union = union.withColumn(
+                    "_bucket",
+                    F.pmod(F.xxhash64(F.col(cfg.key[0])),
+                           F.lit(nbs.pop())).cast("int"),
+                )
+                pcols.append("_bucket")
+            seq, staging = self.journal.new_staging()
+            union.write.partitionBy(*pcols).parquet(staging)
+            out["write_jobs"] = out.get("write_jobs", 0) + 1
+            entry_tables: dict = {}
+            for n in gnames:
+                t = frames[n][0]
+                feed = live[t]
+                batch_id = f"{feed.config.changefeed_id}:{lo}:{hi}"
+                rows = [
+                    {"batch_id": batch_id, "partition_id": int(r["partition_id"]),
+                     "resolved_ts": hi, "event_count": int(r["n"]),
+                     "max_commit_ts": int(r["mx"])}
+                    for r in by_table.get(n, [])
+                ]
+                entry_tables[t] = {"src": n, "path": feed.target.path,
+                                   "bid": batch_id, "lineage": rows}
+                st = self._state[t]
+                st["ckpt"] = max(st["ckpt"], hi)
+                st["depth"] += 1
+                out["events"] += sum(r["event_count"] for r in rows)
+                out["merges"] += 1
+                committed += 1
+            self.journal.append_window(seq, lo, hi, bucketed, entry_tables,
+                                       self.table_col)
+        return committed
 
     def _fold_journal(self) -> None:
         """Fold pending journal windows into per-table manifests — see
