@@ -269,3 +269,52 @@ def test_large_message_claim_check_roundtrip(spark, tmp_path):
     k = {json.loads(x["key"])["ts"]: json.loads(x["key"])
          for x in again.collect()}
     assert "ccl" not in k[1004]
+
+
+def test_craft_roundtrip_and_column_groups(spark):
+    """Craft stand-in (8th codec): term-dictionary name resolution, typed/
+    flagged column groups, update pre-image as an OLD group, delete as an
+    OLD group of handle keys — decode recovers everything from the message
+    alone."""
+    import json
+
+    from ticdc_spark.sinks.mq import decode_craft, encode_craft
+
+    rows = [
+        (10, 9, "I", "c1", 0, "hello", None),
+        (20, 19, "U", "c1", 0, "world", "hello"),
+        (30, 29, "D", "c1", 0, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "commit_ts long, start_ts long, op string, conv_id string, "
+              "turn_idx int, text string, pre_text string")
+    enc = encode_craft(
+        df, "db", "t", ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+    ).collect()
+    by_ts = {r["commit_ts"]: json.loads(r["value"]) for r in enc}
+    # dictionary interns schema/table/columns once; headers refer by id
+    assert by_ts[10]["dict"] == ["db", "t", "conv_id", "turn_idx", "text"]
+    assert by_ts[10]["h"]["scm"] == 0 and by_ts[10]["h"]["tbl"] == 1
+    # insert: one NEW group, handle flags on key columns, null-safe values
+    g = by_ts[10]["g"]
+    assert len(g) == 1 and g[0]["t"] == 1 and g[0]["f"] == [1, 1, 0]
+    assert g[0]["val"] == ["c1", "0", "hello"]
+    # delete: one OLD group carrying only handle keys
+    gd = by_ts[30]["g"]
+    assert len(gd) == 1 and gd[0]["t"] == 2 and gd[0]["val"] == ["c1", "0"]
+    dec = {r["ts"]: r for r in decode_craft(
+        spark.createDataFrame([(r["value"],) for r in enc], "value string"),
+        ["conv_id", "turn_idx", "text"]).collect()}
+    assert dec[10]["op_class"] == "UI" and dec[10]["text"] == "hello"
+    assert dec[30]["op_class"] == "D" and dec[30]["text"] is None
+    assert dec[30]["conv_id"] == "c1" and dec[30]["turn_idx"] == "0"
+    assert dec[20]["schema_name"] == "db" and dec[20]["table_name"] == "t"
+    # update with pre-image: NEW + OLD groups
+    enc2 = encode_craft(
+        df.filter("op = 'U'").withColumnRenamed("pre_text", "ptext"),
+        "db", "t", ["conv_id", "turn_idx", "text"],
+        pre_cols=["conv_id", "turn_idx"],
+    ).collect()
+    v = json.loads(enc2[0]["value"])
+    assert [grp["t"] for grp in v["g"]] == [1, 2]

@@ -1781,6 +1781,35 @@ FROM binlog
 """
 
 
+def q_mq_craft_roundtrip(spark, sf_dir):
+    """K5 (craft codec stand-in, pkg/sink/codec/craft/craft_encoder.go —
+    the 8th protocol, completing 8/8): encode each event into the
+    JSON-comparable rendering of craft's columnar layout (term dictionary
+    + headers + typed/flagged column groups), then decode every field
+    back FROM THE MESSAGE ALONE (names resolved through the embedded
+    dictionary, values through group positions). Deletes carry an OLD
+    group with handle keys; inserts/updates a NEW group."""
+    from ticdc_spark.sinks.mq import decode_craft, encode_craft
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))),
+    )
+    enc = encode_craft(
+        b, "transcripts_db", "transcripts", ["conv_id", "turn_idx", "text"],
+        col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+    )
+    dec = decode_craft(enc, ["conv_id", "turn_idx", "text"])
+    return dec.select(
+        "ts", "schema_name", "table_name", "op_class",
+        "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "text",
+    )
+
+
+SQL_MQ_CRAFT_ROUNDTRIP = SQL_MQ_OPEN_ROUNDTRIP  # identical decode identity
+
+
 def q_mq_handle_key_only(spark, sf_dir):
     """Large-message handle-key-only mode (pkg/config/large_message.go:22-27,
     integration test open_protocol_handle_key_only): events whose encoded
@@ -2668,6 +2697,7 @@ QUERIES = {
     "mq_maxwell_roundtrip": q_mq_maxwell_roundtrip,
     "mq_debezium_roundtrip": q_mq_debezium_roundtrip,
     "mq_simple_roundtrip": q_mq_simple_roundtrip,
+    "mq_craft_roundtrip": q_mq_craft_roundtrip,
     "mq_event_router": q_mq_event_router,
     "mq_resolved_broadcast": q_mq_resolved_broadcast,
     "user_sessions": q_user_sessions,
@@ -2739,6 +2769,7 @@ ORACLES = {
     "mq_maxwell_roundtrip": SQL_MQ_MAXWELL_ROUNDTRIP,
     "mq_debezium_roundtrip": SQL_MQ_DEBEZIUM_ROUNDTRIP,
     "mq_simple_roundtrip": SQL_MQ_SIMPLE_ROUNDTRIP,
+    "mq_craft_roundtrip": SQL_MQ_CRAFT_ROUNDTRIP,
     "mq_event_router": SQL_MQ_EVENT_ROUTER,
     "mq_resolved_broadcast": SQL_MQ_RESOLVED_BROADCAST,
     "user_sessions": SQL_USER_SESSIONS,
@@ -2822,6 +2853,7 @@ ORACLES = {
 _DEMOTED = [
     "doc_token_count",
     "mq_handle_key_only",
+    "mq_craft_roundtrip",
     "mq_canal_roundtrip",
     "mq_maxwell_roundtrip",
     "mq_debezium_roundtrip",

@@ -245,6 +245,127 @@ def decode_open_protocol(df: DataFrame, data_cols: list) -> DataFrame:
     return out
 
 
+_CRAFT_VERSION = 1
+_CRAFT_GROUP_NEW = 1   # columnGroupTypeNew (craft/model.go:30-31)
+_CRAFT_GROUP_OLD = 2   # columnGroupTypeOld
+_CRAFT_FLAG_HANDLE = 1  # HandleKeyFlag bit
+
+
+def encode_craft(
+    df: DataFrame,
+    schema: str,
+    table: str,
+    data_cols: list,
+    handle_cols: tuple = ("conv_id", "turn_idx"),
+    col_types: dict | None = None,
+    pre_cols: list | None = None,
+) -> DataFrame:
+    """Craft codec STAND-IN — a JSON-comparable rendering of craft's
+    columnar layout (pkg/sink/codec/craft/craft_encoder.go,
+    craft/model.go). The wire format proper is a length-prefixed Go binary
+    spec (size tables + varint arrays + buffer pool); what this stand-in
+    preserves is craft's SEMANTIC structure, which is what distinguishes
+    it from the row-shaped codecs:
+
+    - a TERM DICTIONARY interning schema/table/column names once per
+      message; the body refers to names by integer id
+      (model.go termDictionary);
+    - HEADERS carrying (ts, type, schema-id, table-id)
+      (model.go Headers);
+    - COLUMN GROUPS — type 0x1 = new values, 0x2 = old values — each a
+      STRUCT-OF-ARRAYS: name ids, mysql type bytes, flag bits (handle-key
+      = 1), stringified values with JSON null for NULL (craft's
+      nullInt64 analog).
+
+    Inserts/updates emit the NEW group (plus an OLD group when
+    ``pre_cols`` is given); deletes emit an OLD group with the handle-key
+    columns (the pre-image our stream carries — same convention as the
+    open codec here). Pure Column expressions throughout."""
+    types = col_types or {}
+    term_dict = [schema, table, *data_cols]
+    did = {s: i for i, s in enumerate(term_dict)}
+
+    def group(gtype: int, cols: list):
+        return F.struct(
+            F.lit(gtype).alias("t"),
+            F.array(*[F.lit(did[c]) for c in cols]).alias("n"),
+            F.array(*[F.lit(_MYSQL_TYPE.get(types.get(c, "string"), 253))
+                      for c in cols]).alias("ty"),
+            F.array(*[F.lit(_CRAFT_FLAG_HANDLE if c in handle_cols else 0)
+                      for c in cols]).alias("f"),
+            F.array(*[F.col(c).cast("string") for c in cols]).alias("val"),
+        )
+
+    hcols = [c for c in data_cols if c in handle_cols]
+    new_groups = (
+        [group(_CRAFT_GROUP_NEW, data_cols)]
+        + ([group(_CRAFT_GROUP_OLD, pre_cols)] if pre_cols else [])
+    )
+    value = F.when(
+        F.col("op") == "D",
+        F.to_json(F.struct(
+            F.lit(_CRAFT_VERSION).alias("v"),
+            F.array(*[F.lit(s) for s in term_dict]).alias("dict"),
+            F.struct(F.col("commit_ts").alias("ts"), F.lit(1).alias("t"),
+                     F.lit(did[schema]).alias("scm"),
+                     F.lit(did[table]).alias("tbl")).alias("h"),
+            F.array(group(_CRAFT_GROUP_OLD, hcols)).alias("g"),
+        )),
+    ).otherwise(
+        F.to_json(F.struct(
+            F.lit(_CRAFT_VERSION).alias("v"),
+            F.array(*[F.lit(s) for s in term_dict]).alias("dict"),
+            F.struct(F.col("commit_ts").alias("ts"), F.lit(1).alias("t"),
+                     F.lit(did[schema]).alias("scm"),
+                     F.lit(did[table]).alias("tbl")).alias("h"),
+            F.array(*new_groups).alias("g"),
+        ))
+    )
+    return df.select(
+        F.lit(f"{schema}_{table}").alias("topic"),
+        value.alias("value"), "commit_ts", "op", *handle_cols,
+    )
+
+
+_CRAFT_SCHEMA = (
+    "v int, dict array<string>, "
+    "h struct<ts: long, t: int, scm: int, tbl: int>, "
+    "g array<struct<t: int, n: array<int>, ty: array<int>, "
+    "f: array<int>, val: array<string>>>"
+)
+
+
+def decode_craft(df: DataFrame, data_cols: list) -> DataFrame:
+    """Consumer half of the craft stand-in (craft/craft_decoder.go): parse
+    the message, resolve schema/table through the term dictionary, pick
+    the NEW column group when present (else the OLD group — a delete),
+    and recover each requested column's value via its dictionary id. All
+    name resolution comes from the MESSAGE itself, not from encoder
+    state."""
+    m = F.from_json(F.col("value"), _CRAFT_SCHEMA)
+    # F.get is 0-based and null-safe (ANSI element_at raises out-of-bounds)
+    grp = F.coalesce(
+        F.get(F.filter(m["g"], lambda g: g["t"] == _CRAFT_GROUP_NEW), F.lit(0)),
+        F.get(m["g"], F.lit(0)),
+    )
+    cols = []
+    for c in data_cols:
+        cid = F.array_position(m["dict"], c) - 1
+        pos = F.array_position(grp["n"], cid.cast("int"))
+        cols.append(
+            F.when(pos > 0, F.get(grp["val"], (pos - 1).cast("int")))
+            .otherwise(F.lit(None).cast("string")).alias(c)
+        )
+    has_new = F.size(F.filter(m["g"], lambda g: g["t"] == _CRAFT_GROUP_NEW)) > 0
+    return df.select(
+        m["h"]["ts"].alias("ts"),
+        F.get(m["dict"], m["h"]["scm"]).alias("schema_name"),
+        F.get(m["dict"], m["h"]["tbl"]).alias("table_name"),
+        F.when(has_new, "UI").otherwise("D").alias("op_class"),
+        *cols,
+    )
+
+
 def write_claim_check(messages: DataFrame, path: str) -> None:
     """Persist oversized payload envelopes to the claim-check store
     (pkg/sink/kafka/claimcheck — its external storage writes one object
