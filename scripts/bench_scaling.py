@@ -45,9 +45,11 @@ try:
     # synthetic log so the per-batch commit_ts predicate prunes row groups
     gen_binlog(spark, spec).repartitionByRange(max(cores * 4, 8), "commit_ts").write.parquet(wal)
     binlog = spark.read.parquet(wal)
+    compact_every = int(os.environ.get("SCALE_COMPACT", "8"))
     cf = Changefeed(spark, binlog, gen_resolved_log(spark, spec), None,
                     LakeTable(spark, os.path.join(work, "t")),
-                    ChangefeedConfig(changefeed_id="scale", n_buckets=32, sink_mode="mor", compact_every=8))
+                    ChangefeedConfig(changefeed_id="scale", n_buckets=32, sink_mode="mor",
+                                     compact_every=compact_every))
     t0 = time.time()
     stats = cf.run()
     dt = time.time() - t0
@@ -115,15 +117,25 @@ def best_of(cores: int, n_events: int, trials: int) -> dict:
 
 def run_batch_sweep(cores: int, n_events: int) -> dict:
     """Per-batch serial-constant probe: identical input replayed as 4 vs 32
-    micro-batches at the same parallelism. The wall-clock delta divided by
-    the extra 28 batches estimates the parallelism-independent per-batch
-    constant (plan+codegen+manifest commit); the 4-batch run shows it
-    amortizing at production batch sizes."""
+    micro-batches at the same parallelism; the wall-clock delta over the
+    extra 28 batches estimates the parallelism-independent per-batch
+    constant (plan+codegen+manifest commit).
+
+    Compaction is HELD CONSTANT across the two runs (compact_every high
+    enough that neither compacts): profiling showed the round-4 sweep's
+    1-1.5 s "constant" was dominated by the 32-batch run crossing the
+    compaction threshold twice (~17 s of data-proportional base-rewrite
+    work) while the 4-batch run never did — compaction amortizes with
+    DATA volume, not batch count, so folding it into a per-batch constant
+    double-counted it. The true serial slice per span is ~0.5 s of plan
+    construction + ~0.5 s of lineage stats (measured, BENCH/BASELINE.md)."""
     out = {}
+    os.environ["SCALE_COMPACT"] = "64"  # neither run compacts
     for blocks in (4, 32):
         os.environ["SCALE_BLOCKS"] = str(blocks)
         out[blocks] = run_level(cores, n_events)
     del os.environ["SCALE_BLOCKS"]
+    del os.environ["SCALE_COMPACT"]
     const = max(out[32]["sec"] - out[4]["sec"], 0.0) / 28
     return {"sec_4_batches": round(out[4]["sec"], 2),
             "sec_32_batches": round(out[32]["sec"], 2),
@@ -137,13 +149,19 @@ def _sweep_md(sweep: dict | None, cores: int) -> str:
         return ""
     return f"""
 - **per-batch serial constant** (same {cores}-core budget, same input,
-  4 vs 32 micro-batches): {sweep['sec_4_batches']}s vs
+  4 vs 32 micro-batches, compaction held constant across the two runs):
+  {sweep['sec_4_batches']}s vs
   {sweep['sec_32_batches']}s -> ~{sweep['per_batch_constant_sec']}s of
   parallelism-independent work per batch (plan/codegen + manifest commit).
   At production batch sizes (the 4-batch run: {sweep['eps_4_batches']:,.0f}
   events/s vs {sweep['eps_32_batches']:,.0f} at 32) the constant amortizes
   to noise — the scaling gap at small batches is Amdahl on this constant,
-  not a data-path bottleneck."""
+  not a data-path bottleneck. (Round-5 profiling note: the round-4
+  sweep's 0.95-1.51 s figure was dominated by COMPACTION firing twice in
+  the 32-batch run and never in the 4-batch run — data-proportional
+  base-rewrite work, not a per-batch constant; with compaction held
+  equal, the true serial slice is ~0.5 s plan construction + ~0.5 s
+  lineage stats per SPAN of up to 16 windows.)"""
 
 
 def main():
