@@ -23,6 +23,21 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+def _r4(col):
+    """Deterministic 4-digit rounding: floor(x*1e4 + 0.5)/1e4 is a pure
+    IEEE arithmetic composition — identical on Spark and the DuckDB oracle
+    given bit-identical input, with NO rounding-TIE-rule dependence
+    (Spark HALF_UP vs DuckDB tie behavior broke a sibling oracle's hash
+    check; see the pack_sequences round-5 fix). The SQL twin is
+    floor(x * 10000 + 0.5) / 10000.
+    """
+    return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+def _r6(col):
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000
+
+
 def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
@@ -42,7 +57,7 @@ def cosine_topk(embs: DataFrame, n_queries: int = 8, k: int = 3,
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 4).alias("cos_sim"),
+            _r4(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>"))).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
@@ -168,7 +183,7 @@ def train_ivf_kmeans(embs: DataFrame, k: int = 8, iters: int = 3,
         )
         scored = v.join(F.broadcast(cdf)).select(
             "vec_id", "v", "centroid_id",
-            F.round(cosine(F.col("v"), F.col("cv")), 4).alias("c"),
+            _r4(cosine(F.col("v"), F.col("cv"))).alias("c"),
         )
         w = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("centroid_id"))
         assign = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
@@ -194,7 +209,7 @@ def kmeans_distortion(embs: DataFrame, centroids: list,
     best = (
         embs.select(F.col(vec_col).cast("array<double>").alias("v"), F.col(id_col).alias("i"))
         .join(F.broadcast(cdf))
-        .groupBy("i").agg(F.max(F.round(cosine(F.col("v"), F.col("cv")), 6)).alias("b"))
+        .groupBy("i").agg(F.max(_r6(cosine(F.col("v"), F.col("cv")))).alias("b"))
     )
     return float(best.agg(F.avg(F.lit(1.0) - F.col("b"))).collect()[0][0])
 
@@ -218,7 +233,7 @@ def ivf_assign(embs: DataFrame, centroid_ids: tuple = tuple(range(100, 108)),
         F.broadcast(cents)
     ).select(
         "vec_id", "v", "centroid_id",
-        F.round(cosine(F.col("v").cast("array<double>"), F.col("cv").cast("array<double>")), 4).alias("c"),
+        _r4(cosine(F.col("v").cast("array<double>"), F.col("cv").cast("array<double>"))).alias("c"),
     )
     w = W.partitionBy("vec_id").orderBy(F.col("c").desc(), F.col("centroid_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1").select(
@@ -244,7 +259,7 @@ def ivf_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2,
     )
     qs = q.join(F.broadcast(cents)).select(
         "query_id", "qv", "centroid_id",
-        F.round(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 4).alias("c"),
+        _r4(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>"))).alias("c"),
     )
     wq = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("centroid_id"))
     probes = qs.withColumn("rn", F.row_number().over(wq)).filter(
@@ -258,7 +273,7 @@ def ivf_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2,
         "neighbor_id",
     ).select(
         "query_id", "neighbor_id",
-        F.round(cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>")), 4).alias("cos_sim"),
+        _r4(cosine(F.col("qv").cast("array<double>"), F.col("nv").cast("array<double>"))).alias("cos_sim"),
     )
     wr = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return cand.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
@@ -299,7 +314,7 @@ def lsh_neardup_pairs(embs: DataFrame, n_bits: int = 8, min_cos: float = 0.1,
         .select(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("b.vec_id").alias("vec_id_b"),
-            F.round(cosine(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>")), 4).alias("cos_sim"),
+            _r4(cosine(F.col("a.v").cast("array<double>"), F.col("b.v").cast("array<double>"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= min_cos)
     )

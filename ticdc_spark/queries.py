@@ -439,14 +439,22 @@ def q_stream_window_counts(spark, sf_dir):
     """W-analog: tumbling-window aggregation over event time (the
     Structured-Streaming windowed agg, run as a batch query)."""
     e = _events(spark, sf_dir)
+    # integer-cent aggregation: per-row floor(value*100+0.5) is a pure IEEE
+    # composition (identical to the oracle's on identical parquet doubles)
+    # and the BIGINT sum is order-independent — a double SUM is not (Spark
+    # partial-agg order vs DuckDB serial order differ by ulps, and ROUND
+    # over that is the same environment-dependent hazard the round-5
+    # pack_sequences fix removed)
     return e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    ).agg(F.count(F.lit(1)).alias("n"),
+          F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sum_cents"))
 
 
 SQL_STREAM_WINDOW = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS sum_value
+       count(*) AS n,
+       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -1013,7 +1021,7 @@ SQL_EMB_COSINE_TOPK = """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
 scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,
-         round(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+         floor(list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS cos_sim
   FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
@@ -1103,7 +1111,7 @@ assign0 AS (
   SELECT e.vec_id, c.centroid_id,
          row_number() OVER (
            PARTITION BY e.vec_id
-           ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 4) DESC,
+           ORDER BY floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) * 10000 + 0.5) / 10000 DESC,
                     c.centroid_id) AS rn
   FROM embeddings e CROSS JOIN cents c),
 assign AS (SELECT vec_id, centroid_id FROM assign0 WHERE rn = 1),
@@ -1112,7 +1120,7 @@ probes0 AS (
   SELECT q.query_id, q.qv, c.centroid_id,
          row_number() OVER (
            PARTITION BY q.query_id
-           ORDER BY round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])), 4) DESC,
+           ORDER BY floor(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) * 10000 + 0.5) / 10000 DESC,
                     c.centroid_id) AS rn
   FROM q CROSS JOIN cents c),
 probes AS (SELECT query_id, qv, centroid_id FROM probes0 WHERE rn <= 2),
@@ -1122,7 +1130,7 @@ cand AS (
   WHERE a.vec_id <> p.query_id),
 scored AS (
   SELECT c.query_id, c.neighbor_id,
-         round(list_cosine_similarity(CAST(c.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cos_sim
+         floor(list_cosine_similarity(CAST(c.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS cos_sim
   FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id),
 ranked AS (
   SELECT *, row_number() OVER (
@@ -1148,9 +1156,9 @@ WITH b0 AS (
 sz AS (SELECT bucket, count(*) AS c FROM b0 GROUP BY bucket),
 b AS (SELECT b0.* FROM b0 JOIN sz USING (bucket) WHERE sz.c <= {_LSH_MAX_BUCKET})
 SELECT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b,
-       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 4) AS cos_sim
+       floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 AS cos_sim
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])), 4) >= 0.1
+WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 >= 0.1
 """
 
 # ---------------------------------------------------------------------------

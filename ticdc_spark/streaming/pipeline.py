@@ -527,13 +527,23 @@ class Changefeed:
                 res["quarantined"] = 0
         return res
 
-    def is_synced(self) -> bool:
+    def is_synced(self, use_cached_frontier: bool = True) -> bool:
         """Synced detection (W7, /root/reference/cdc/api/v2/changefeed.go:974-976):
         the feed is fully synced when the sink checkpoint has reached the
-        source's global frontier — every resolved event is applied."""
+        source's global frontier — every resolved event is applied.
+
+        ``run()`` caches the frontier it already computed, so the common
+        call pattern (run → is_synced) costs ZERO extra Spark jobs — the
+        single-table twin of the multi-table feed's one-job rule. Pass
+        ``use_cached_frontier=False`` to re-read a resolved log that may
+        have grown since the last run."""
         from ticdc_spark.sources.frontier import global_frontier
 
-        return self.target.checkpoint["resolved_ts"] >= global_frontier(self.resolved_log)
+        gf = getattr(self, "_cached_frontier", None)
+        if not use_cached_frontier or gf is None:
+            gf = global_frontier(self.resolved_log)
+            self._cached_frontier = gf
+        return self.target.checkpoint["resolved_ts"] >= gf
 
     def syncpoints(self) -> list:
         """Syncpoint store analog (K8,
@@ -570,6 +580,10 @@ class Changefeed:
             self.resolved_log, low=ckpt,
             expected_partitions=self.config.expected_partitions,
         )
+        # cache the frontier this job already computed: run -> is_synced
+        # costs no extra frontier job (steps empty => frontier <= ckpt,
+        # for which ckpt is an equivalent bound)
+        self._cached_frontier = steps[-1] if steps else ckpt
         # fold k resolved steps into one micro-batch
         k = max(1, self.config.frontiers_per_batch)
         uppers = steps[k - 1 :: k]
