@@ -120,3 +120,55 @@ def test_span_execution_single_exchange(spark, tmp_path):
     assert "partial_max" in plan or "partial" in plan.lower()
     pushed = plan.split("PushedFilters:")[1][:200]
     assert "GreaterThan(commit_ts" in pushed
+
+
+def test_heterogeneous_union_write_single_dedup_exchange(spark):
+    """Heterogeneous-window write batching (multi.py _sink_union_window):
+    the per-table mounts all read the SAME cached dedup output, so the
+    plan of the unioned write input must contain the dedup's single
+    exchange shape per branch and — critically — NO additional exchange
+    introduced by the union/mount/projection stack (the union write is
+    narrow above the shared dedup)."""
+    from ticdc_spark.functions.mount import mount, mounted_columns
+    from ticdc_spark.plans.schema_registry import SchemaRegistry
+
+    b = gen_binlog(spark, BinlogSpec(n_events=3_000))
+    wal = b.withColumn(
+        "table_name",
+        F.when(F.col("turn_idx") % 2 == 0, "t0").otherwise("t1"),
+    )
+    df = with_op_rank(wal).drop("pre_payload", "op")
+    deduped = lww_dedup(df, ["table_name", *KEY], stats=True).withColumn(
+        "op",
+        F.when(F.col("op_rank") == 1, "D").when(F.col("op_rank") == 2, "U").otherwise("I"),
+    ).persist()
+    try:
+        regs = {"t0": SchemaRegistry(), "t1": SchemaRegistry()}
+        union = None
+        for t, reg in regs.items():
+            sliced = deduped.filter(F.col("table_name") == t)
+            m = mount(sliced, reg, as_of_ts=2**62)
+            cols = mounted_columns(reg, 2**62)
+            src = m.select(
+                "table_name", *KEY, *cols,
+                F.col("commit_ts").alias("_commit_ts"),
+                F.col("start_ts").alias("_start_ts"),
+                F.col("op_rank").alias("_op_rank"),
+                (F.col("op") == "D").cast("int").alias("_deleted"),
+            )
+            union = src if union is None else union.unionByName(
+                src, allowMissingColumns=True)
+        plan = _plan(union)
+        # branches scan the shared InMemoryRelation; nothing above it may
+        # introduce a shuffle. The cached subplan's own build (the dedup)
+        # contains exactly ONE exchange, so every Exchange line in the
+        # rendered plan must be that same node (one distinct plan_id)
+        assert "InMemoryTableScan" in plan and "Union" in plan
+        import re
+        ex_ids = {
+            m.group(1)
+            for m in re.finditer(r"\bExchange .*?\[plan_id=(\d+)\]", plan)
+        }
+        assert len(ex_ids) == 1, plan[:2000]
+    finally:
+        deduped.unpersist()
