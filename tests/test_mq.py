@@ -318,3 +318,19 @@ def test_craft_roundtrip_and_column_groups(spark):
     ).collect()
     v = json.loads(enc2[0]["value"])
     assert [grp["t"] for grp in v["g"]] == [1, 2]
+
+
+def test_craft_term_collision_roundtrips(spark):
+    """A data column named like the table (or schema) must intern to ONE
+    dictionary id — encoder last-wins vs decoder first-match would NULL
+    the column silently."""
+    from ticdc_spark.sinks.mq import decode_craft, encode_craft
+
+    df = spark.createDataFrame(
+        [(1, 0, "I", "c1", 0, "payload-x")],
+        "commit_ts long, start_ts long, op string, conv_id string, "
+        "turn_idx int, text string")
+    enc = encode_craft(df, "db", "text", ["conv_id", "turn_idx", "text"])
+    dec = decode_craft(enc, ["conv_id", "turn_idx", "text"]).collect()[0]
+    assert dec["text"] == "payload-x" and dec["table_name"] == "text"
+    assert dec["conv_id"] == "c1"

@@ -122,3 +122,38 @@ def test_stream_rejects_lifecycle_ddl(spark, tmp_path):
                       "old_column": None, "col_type": None, "table_name": "t9",
                       "schema_version": 5, "query": ""}],
         )
+
+
+def test_crash_before_fold_then_fresh_checkpoint_raises(spark, tmp_path, monkeypatch):
+    """Crash AFTER journal appends but BEFORE the end-of-drain fold, then
+    restart with a FRESH streaming checkpoint: the epoch-reset guard must
+    refuse. The recovery fold runs BEFORE the guard reads manifests, so
+    the journaled epochs are visible to it — without that ordering the
+    guard reads a pre-fold manifest (hwm=-1), passes, and the new stream's
+    restarted epoch ids silently collide with the folded ones."""
+    import ticdc_spark.streaming.multi as M
+    import ticdc_spark.streaming.structured as S
+
+    specs, binlog, ddl_rows = _fleet(spark, scoped=False)
+    wal = str(tmp_path / "wal")
+    binlog.repartition(4).write.parquet(wal)
+    cfg = ChangefeedConfig(changefeed_id="crash", n_buckets=4)
+    factory = lambda t: LakeTable(spark, f"{tmp_path}/st/{t}")  # noqa: E731
+
+    # the twin imports fold_feed_journal from multi at call time
+    monkeypatch.setattr(M, "fold_feed_journal", lambda *a, **k: None)  # crash
+    S.run_streaming_multi(spark, wal, factory, cfg, ddl_rows,
+                          checkpoint_dir=str(tmp_path / "ckpt1"))
+    monkeypatch.undo()
+    from ticdc_spark.sinks.journal import FeedJournal
+    assert len(FeedJournal(f"{tmp_path}/st/_feed_crash").pending()) > 0
+
+    with pytest.raises(ValueError, match="ORIGINAL checkpoint_dir"):
+        S.run_streaming_multi(spark, wal, factory, cfg, ddl_rows,
+                              checkpoint_dir=str(tmp_path / "ckpt2"))
+    # the ORIGINAL checkpoint resumes fine and reaches the full state
+    S.run_streaming_multi(spark, wal, factory, cfg, ddl_rows,
+                          checkpoint_dir=str(tmp_path / "ckpt1"))
+    mt = _drive(spark, specs, binlog, ddl_rows, str(tmp_path / "drv"))
+    for t in specs:
+        assert_df_equal(factory(t).read(), mt.read(t), KEY)

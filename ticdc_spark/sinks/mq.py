@@ -282,7 +282,10 @@ def encode_craft(
     columns (the pre-image our stream carries — same convention as the
     open codec here). Pure Column expressions throughout."""
     types = col_types or {}
-    term_dict = [schema, table, *data_cols]
+    # intern each term ONCE (first occurrence wins): a column sharing its
+    # name with the schema or table must resolve to the SAME id the
+    # decoder's array_position (first match) finds
+    term_dict = list(dict.fromkeys([schema, table, *data_cols]))
     did = {s: i for i, s in enumerate(term_dict)}
 
     def group(gtype: int, cols: list):

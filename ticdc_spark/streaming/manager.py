@@ -154,11 +154,20 @@ class ChangefeedManager:
                 if max_merges_per_tick is None:
                     stats = engine.run()
                 else:
+                    # dispatch by SIGNATURE, not by probing with TypeError —
+                    # a TypeError raised inside run() must surface as the
+                    # feed's real error, not trigger a blind re-run
+                    import inspect
+
                     try:
-                        stats = engine.run(max_merges_per_tick)
-                    except TypeError:  # multi-table signature
+                        params = inspect.signature(engine.run).parameters
+                    except (TypeError, ValueError):
+                        params = {}
+                    if "max_merges_per_table" in params:
                         stats = engine.run(
                             max_merges_per_table=max_merges_per_tick)
+                    else:
+                        stats = engine.run(max_merges_per_tick)
                 ckpt = self._engine_checkpoint(engine)
                 self._feeds[fid]["checkpoint_ts"] = ckpt
                 synced = getattr(engine, "is_synced", None)

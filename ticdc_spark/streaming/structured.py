@@ -306,6 +306,22 @@ def run_streaming_multi(
     if not tables:
         return {"tables": 0, "batches": 0, "events": 0}
 
+    # crash recovery FIRST — before the epoch guard reads any manifest and
+    # before any DDL bumps schema_version. A crash after journal appends
+    # but before the fold leaves manifests lagging the journal: the guard
+    # would read a pre-fold epoch hwm (defeating the reset protection),
+    # and folding AFTER an alter would stamp old staged files with the new
+    # written_version, silently NULLing renamed columns at read time (the
+    # driver loop's fold-before-DDL barrier rule, applied at setup). The
+    # journal root derives from the factory's PATH only — no create needed.
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", config.changefeed_id)
+    feed_dir = os.path.join(
+        os.path.dirname(os.path.abspath(table_factory(tables[0]).path)),
+        f"_feed_{safe}",
+    )
+    journal = FeedJournal(feed_dir)
+    fold_feed_journal(spark, journal)
+
     # per-table registry: global rows (table_col NULL) + scoped rows
     registries: dict = {}
     targets: dict = {}
@@ -336,19 +352,6 @@ def run_streaming_multi(
         reg.chain_digest(_FAR_FUTURE) for reg in registries.values()
     }) == 1
 
-    # the feed journal lives as a deterministic sibling of the table dirs
-    # (same filesystem, so fold renames never degrade to copies)
-    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", config.changefeed_id)
-    feed_dir = os.path.join(
-        os.path.dirname(os.path.abspath(targets[tables[0]].path)),
-        f"_feed_{safe}",
-    )
-    journal = FeedJournal(feed_dir)
-    fold_feed_journal(spark, journal)  # crash recovery first
-
-    partitions = sorted(
-        int(r[0]) for r in batch_read.select("partition_id").distinct().collect()
-    )
     probe_reg = registries[tables[0]]
     payload_cols = mounted_columns(probe_reg, _FAR_FUTURE)
     stats = {"tables": len(tables), "batches": 0, "events": 0,
