@@ -334,3 +334,38 @@ def test_craft_term_collision_roundtrips(spark):
     dec = decode_craft(enc, ["conv_id", "turn_idx", "text"]).collect()[0]
     assert dec["text"] == "payload-x" and dec["table_name"] == "text"
     assert dec["conv_id"] == "c1"
+
+
+def test_kafka_adapter_frame_contract_and_feature_flag(spark):
+    """Live-transport adapter (kafka_adapter): every encoder output
+    projects onto the EXACT Kafka sink contract (topic string, key/value
+    binary, partition int) with values byte-identical to the encoded
+    strings; with no connector on the classpath the write entry points
+    refuse up front with a clear error instead of a half-configured job."""
+    import pytest as _pytest
+
+    from ticdc_spark.sinks.kafka_adapter import (
+        kafka_available, to_kafka_frame, write_batch_kafka,
+    )
+    from ticdc_spark.sinks.mq import dispatch_by_columns, encode_open_protocol
+
+    df = spark.createDataFrame(
+        [(10, 9, "I", "c1", 0, "hello"), (20, 19, "D", "c2", 1, None)],
+        "commit_ts long, start_ts long, op string, conv_id string, "
+        "turn_idx int, text string")
+    enc = dispatch_by_columns(
+        encode_open_protocol(df, "db", "t", ["conv_id", "turn_idx", "text"]),
+        8, ["conv_id"])
+    frame = to_kafka_frame(enc)
+    assert frame.schema.simpleString() == (
+        "struct<topic:string,key:binary,value:binary,partition:int>")
+    rows = {bytes(r["key"]).decode(): r for r in frame.collect()}
+    src = {r["key"]: r for r in enc.collect()}
+    assert set(rows) == set(src)
+    for k, r in rows.items():
+        assert bytes(r["value"]).decode() == src[k]["value"]
+        assert r["partition"] == src[k]["partition"]
+    # sandbox has no connector: the flag is honest and the writer refuses
+    assert kafka_available(spark) is False
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        write_batch_kafka(enc, "localhost:9092")

@@ -11,13 +11,16 @@ Spark re-expression: a codec is a pure Column expression producing the
 message (key, value) strings — JVM-side `to_json`/`concat_ws` inside
 whole-stage codegen, NO per-row Python — and a dispatcher is a hash/pmod
 Column over the configured dispatch key. The output DataFrame
-(topic, partition, key, value) is exactly what a Kafka writer consumes
-(`df.write.format("kafka")` in an environment with the connector; here the
-encoded frame itself is the oracle-checked product).
+(topic, partition, key, value) is exactly what a Kafka writer consumes —
+:mod:`ticdc_spark.sinks.kafka_adapter` projects it onto the live
+`format("kafka")` sink contract behind a connector feature flag; in this
+sandbox the encoded frame itself is the oracle-checked product.
 
-Encoders implemented — 6 of the reference's 8 protocols (the JSON/text
-family; avro + craft are binary protocols needing an external schema
-registry / a custom binary spec and stay out of scope):
+Encoders implemented — ALL 8 of the reference's protocols: the JSON/text
+family below, plus avro (with the in-repo schema-registry stand-in,
+sinks/avro_registry.py) and craft (JSON-comparable rendering of its
+term-dictionary/column-group columnar layout — encode_craft/decode_craft
+in this module):
 
 - open-protocol (TiCDC's default MQ protocol,
   pkg/sink/codec/open/open_protocol_encoder.go + internal/message_key.go):
