@@ -78,6 +78,51 @@ def bench_engine_replay(spark, n_events: int, n_convs: int, block: int,
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_multi_table_replay(spark, n_tables: int, events_per_table: int) -> dict:
+    """Fleet replay: N tables through ONE MultiTableChangefeed — per window
+    one WAL scan + one dedup exchange + one write job + one journal append
+    for all tables (the single-pass commit tail, streaming/multi.py)."""
+    from dataclasses import replace as _dc_replace
+
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.sources.binlog_gen import BinlogSpec, gen_binlog, gen_resolved_log
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig
+
+    spec = BinlogSpec(n_events=events_per_table,
+                      n_convs=max(events_per_table // 50, 100), n_turns=16,
+                      block=max(events_per_table // 4, 20_000), n_partitions=8)
+    work = tempfile.mkdtemp(prefix="ticdc_bench_mt_")
+    try:
+        parts = [
+            gen_binlog(spark, _dc_replace(spec, seed=100 + i))
+            .withColumn("table_name", F.lit(f"tbl_{i}"))
+            for i in range(n_tables)
+        ]
+        wal_df = parts[0]
+        for p in parts[1:]:
+            wal_df = wal_df.unionByName(p)
+        wal = os.path.join(work, "wal")
+        wal_df.write.parquet(wal)
+        mt = MultiTableChangefeed(
+            spark, spark.read.parquet(wal), gen_resolved_log(spark, spec), None,
+            table_factory=lambda t: LakeTable(spark, os.path.join(work, t)),
+            config=ChangefeedConfig(changefeed_id="bench-mt", n_buckets=32),
+            tables=[f"tbl_{i}" for i in range(n_tables)],
+        )
+        t0 = time.time()
+        stats = mt.run()
+        dt = time.time() - t0
+        return {"events": stats["events"], "sec": dt, "tables": n_tables,
+                "events_per_sec": stats["events"] / dt,
+                "write_jobs": stats.get("write_jobs", 0),
+                "windows": stats["windows"]}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_pipeline_blackhole(spark, n_events: int) -> dict:
     """K6 blackhole-sink analog: generate → dedup → mount, no sink — pure
     pipeline throughput (the reference benchmarks its pipeline the same way,
@@ -128,6 +173,12 @@ def main():
                                 block=max(n_events // 40, 20_000), sink_mode="cow")
     timings["cdc_engine_replay_cow"] = round(r_cow["sec"], 3)
     total += r_cow["sec"]
+    # fleet replay: 8 tables through the single-pass multi feed at half the
+    # single-table volume (per-table volume = n_events/16)
+    r_mt = bench_multi_table_replay(spark, n_tables=8,
+                                    events_per_table=max(n_events // 16, 25_000))
+    timings["cdc_engine_replay_multi"] = round(r_mt["sec"], 3)
+    total += r_mt["sec"]
     r_bh = bench_pipeline_blackhole(spark, n_events)
     timings["cdc_pipeline_blackhole"] = round(r_bh["sec"], 3)
     total += r_bh["sec"]
@@ -150,6 +201,11 @@ def main():
         "sf": sf,
         "engine_replay_events": r["events"],
         "engine_replay_events_per_sec": round(r["events_per_sec"], 1),
+        "multi_table_replay": {
+            "tables": r_mt["tables"], "events": r_mt["events"],
+            "events_per_sec": round(r_mt["events_per_sec"], 1),
+            "windows": r_mt["windows"], "write_jobs": r_mt["write_jobs"],
+        },
         "blackhole_events_per_sec": round(r_bh["events_per_sec"], 1),
         "cpus": cpus,
         "loadavg_pre": round(load_pre, 2),
