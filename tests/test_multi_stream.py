@@ -157,3 +157,58 @@ def test_crash_before_fold_then_fresh_checkpoint_raises(spark, tmp_path, monkeyp
     mt = _drive(spark, specs, binlog, ddl_rows, str(tmp_path / "drv"))
     for t in specs:
         assert_df_equal(factory(t).read(), mt.read(t), KEY)
+
+
+def test_stream_shared_fleet_filesets(spark, tmp_path):
+    """Above shared_deltas_after, a streaming micro-batch writes ONE
+    SHARED per-bucket fileset for every table (file count independent of
+    table count) instead of per-table dirs; per-table reads stay exactly
+    right, and after every table compacts, the feed GC reclaims the
+    shared window files."""
+    import os as _os
+
+    from ticdc_spark.sinks.journal import FeedJournal
+    from ticdc_spark.streaming.pipeline import expected_final_state
+
+    n_tables = 8
+    specs = {
+        f"s{i}": BinlogSpec(n_events=1_500, n_convs=60, seed=820 + i)
+        for i in range(n_tables)
+    }
+    parts = [gen_binlog(spark, s).withColumn("table_name", F.lit(t))
+             for t, s in specs.items()]
+    binlog = parts[0]
+    for p in parts[1:]:
+        binlog = binlog.unionByName(p)
+    wal = str(tmp_path / "wal")
+    binlog.repartition(2).write.parquet(wal)
+    cfg = ChangefeedConfig(changefeed_id="fleet", n_buckets=4,
+                           shared_deltas_after=4,  # force fleet mode at 8
+                           compact_every=10_000)   # keep deltas shared
+    factory = lambda t: LakeTable(spark, f"{tmp_path}/st/{t}")  # noqa: E731
+    st = run_streaming_multi(spark, wal, factory, cfg, None,
+                             checkpoint_dir=str(tmp_path / "ckpt"))
+    assert st["events"] == sum(s.n_events for s in specs.values())
+    j = FeedJournal(f"{tmp_path}/st/_feed_fleet")
+    # shared window dirs LIVE under the journal after folding
+    shared_dirs = [d for d in _os.listdir(j.data_dir) if d.startswith("w_")]
+    assert shared_dirs, "fleet mode should retain shared filesets"
+    # per-table reads stay exact through the shared discriminator
+    from ticdc_spark.plans.schema_registry import SchemaRegistry
+    for t, s in specs.items():
+        want = expected_final_state(gen_binlog(spark, s), SchemaRegistry(),
+                                    s.max_commit_ts, KEY)
+        assert_df_equal(factory(t).read(), want, KEY)
+    # compact every table AND expire the pre-compaction snapshots (whose
+    # manifests still reference the shared files — time-travel protection)
+    # -> last references die -> GC reclaims the files
+    from ticdc_spark.streaming.multi import gc_shared_filesets
+    for t in specs:
+        factory(t).compact(drop_tombstones=False)
+        factory(t).expire_snapshots(keep_last=1)
+    assert gc_shared_filesets(spark, j) >= 1
+    assert not any(d.startswith("w_") for d in _os.listdir(j.data_dir))
+    for t, s in specs.items():
+        want = expected_final_state(gen_binlog(spark, s), SchemaRegistry(),
+                                    s.max_commit_ts, KEY)
+        assert_df_equal(factory(t).read(), want, KEY)

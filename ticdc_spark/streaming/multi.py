@@ -840,50 +840,53 @@ class MultiTableChangefeed:
         fold_feed_journal(self.spark, self.journal)
 
     def _gc_shared(self) -> int:
-        """Reclaim SHARED window filesets no manifest references anymore
-        (after compaction folds a table's deltas into its base, the last
-        reference to a shared window dies). O(folded entries x referencing
-        tables) manifest checks — run at compaction points, not per
-        window."""
         if self._journal is None:
             return 0
-        j = self.journal
-        hwm = j.fold_hwm()
-        manifests: dict = {}
-        removed = 0
-        for e in j._entries():
-            if e["seq"] > hwm or not e.get("shared"):
-                continue
-            d = os.path.join(j.root, e["dir"])
-            if not os.path.isdir(d):
-                continue
-            prefix = os.path.realpath(d)
-            live = False
-            for info in e["tables"].values():
-                p = info["path"]
-                if p not in manifests:
-                    # every RETAINED manifest version counts — a time-travel
-                    # read of an un-expired snapshot must keep working
-                    tab = LakeTable(self.spark, p)
-                    ms = []
-                    for v in tab._versions():
-                        try:
-                            ms.append(tab.manifest(v))
-                        except FileNotFoundError:
-                            pass
-                    manifests[p] = ms
-                if any(
-                    os.path.realpath(f).startswith(prefix)
-                    for m in manifests[p]
-                    for dd in m.get("deltas", [])
-                    for f in dd["files"]
-                ):
-                    live = True
-                    break
-            if not live:
-                shutil.rmtree(d, ignore_errors=True)
-                removed += 1
-        return removed
+        return gc_shared_filesets(self.spark, self.journal)
+
+
+def gc_shared_filesets(spark: SparkSession, j: FeedJournal) -> int:
+    """Reclaim SHARED window filesets no manifest references anymore
+    (after compaction folds a table's deltas into its base, the last
+    reference to a shared window dies). O(folded entries x referencing
+    tables) manifest checks — run at compaction points, not per
+    window. Shared by the driver-loop feed and the streaming twin."""
+    hwm = j.fold_hwm()
+    manifests: dict = {}
+    removed = 0
+    for e in j._entries():
+        if e["seq"] > hwm or not e.get("shared"):
+            continue
+        d = os.path.join(j.root, e["dir"])
+        if not os.path.isdir(d):
+            continue
+        prefix = os.path.realpath(d)
+        live = False
+        for info in e["tables"].values():
+            p = info["path"]
+            if p not in manifests:
+                # every RETAINED manifest version counts — a time-travel
+                # read of an un-expired snapshot must keep working
+                tab = LakeTable(spark, p)
+                ms = []
+                for v in tab._versions():
+                    try:
+                        ms.append(tab.manifest(v))
+                    except FileNotFoundError:
+                        pass
+                manifests[p] = ms
+            if any(
+                os.path.realpath(f).startswith(prefix)
+                for m in manifests[p]
+                for dd in m.get("deltas", [])
+                for f in dd["files"]
+            ):
+                live = True
+                break
+        if not live:
+            shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def fold_feed_journal(spark: SparkSession, j: FeedJournal) -> None:

@@ -396,15 +396,26 @@ def run_streaming_multi(
                 ).withColumn(
                     "_deleted", (F.col("op") == "D").cast("int")
                 ).drop("op")
-                pcols = [table_col]
-                bucketed = config.delta_layout == "bucketed"
-                if bucketed:
-                    src = src.withColumn(
-                        "_bucket",
-                        F.pmod(F.xxhash64(F.col(config.key[0])),
-                               F.lit(config.n_buckets)).cast("int"),
-                    )
-                    pcols.append("_bucket")
+                # fleet mode (the driver loop's rule, applied per batch):
+                # at/above shared_deltas_after applying tables, per-table
+                # partition dirs would write O(tasks x tables) tiny files —
+                # ONE SHARED per-bucket fileset caps it at O(tasks x
+                # buckets), independent of table count; per-table reads
+                # filter the discriminator until compaction re-splits
+                shared = len(by_table) >= config.shared_deltas_after
+                bexpr = F.pmod(F.xxhash64(F.col(config.key[0])),
+                               F.lit(config.n_buckets)).cast("int")
+                if shared:
+                    src = src.withColumn("_bucket", bexpr).sortWithinPartitions(
+                        "_bucket", table_col)
+                    pcols = ["_bucket"]
+                    bucketed = True
+                else:
+                    pcols = [table_col]
+                    bucketed = config.delta_layout == "bucketed"
+                    if bucketed:
+                        src = src.withColumn("_bucket", bexpr)
+                        pcols.append("_bucket")
                 seq, staging = journal.new_staging()
                 src.write.partitionBy(*pcols).parquet(staging)
                 entry_tables = {}
@@ -415,7 +426,8 @@ def run_streaming_multi(
                                        "bid": bid, "lineage": rows}
                     stats["events"] += sum(r["event_count"] for r in rows)
                 journal.append_window(seq, 0, 0, bucketed, entry_tables,
-                                      table_col, epoch=int(epoch_id))
+                                      table_col, shared=shared,
+                                      epoch=int(epoch_id))
             else:
                 # diverged chains: per-table mount + epoch-recognized MOR
                 # append (the streaming twin of the driver loop's
@@ -453,9 +465,17 @@ def run_streaming_multi(
     q = writer.start()
     q.awaitTermination()
     # manifests catch up with the journal so ordinary per-table reads see
-    # every batch; tombstone-retaining compaction keeps read cost bounded
+    # every batch; tombstone-retaining compaction keeps read cost bounded;
+    # shared fleet filesets whose last manifest reference compacted away
+    # are reclaimed by the same GC the driver loop uses
+    from ticdc_spark.streaming.multi import gc_shared_filesets
+
     fold_feed_journal(spark, journal)
+    compacted = False
     for t in tables:
         if targets[t].delta_depth() >= config.compact_every:
             targets[t].compact(drop_tombstones=False)
+            compacted = True
+    if compacted:
+        gc_shared_filesets(spark, journal)
     return stats
