@@ -104,3 +104,37 @@ def test_registry_survives_manager_restart(spark, tmp_path):
     assert mgr2.list() == []
     # removal retains replicated data (reference semantics)
     assert LakeTable(spark, f"{tmp_path}/cf-r").exists()
+
+
+def test_manager_drives_multi_table_feed(spark, tmp_path):
+    """The owner tick speaks both engine dialects: a MultiTableChangefeed
+    under the manager advances with bounded work per tick (signature-
+    dispatched max_merges_per_table) and reports the fleet checkpoint."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+
+    specs = {f"m{i}": BinlogSpec(n_events=2_000, n_convs=60, seed=30 + i)
+             for i in range(2)}
+    parts = [gen_binlog(spark, s).withColumn("table_name", F.lit(t))
+             for t, s in specs.items()]
+    binlog = parts[0].unionByName(parts[1])
+    mt = MultiTableChangefeed(
+        spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))),
+        None,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+        config=ChangefeedConfig(changefeed_id="mmt", n_buckets=4),
+        tables=list(specs),
+    )
+    mgr = ChangefeedManager(str(tmp_path / "mgr"))
+    mgr.create("cf-fleet", mt)
+    r1 = mgr.tick(max_merges_per_tick=1)  # bounded: one window this tick
+    assert 0 < r1["cf-fleet"]["checkpoint_ts"] < next(iter(specs.values())).max_commit_ts
+    mgr.run_until_synced(max_merges_per_tick=2)
+    listed = mgr.list()[0]
+    assert listed["checkpoint_ts"] == next(iter(specs.values())).max_commit_ts
+    from ticdc_spark.plans.schema_registry import SchemaRegistry
+    for t, s in specs.items():
+        want = expected_final_state(gen_binlog(spark, s), SchemaRegistry(),
+                                    s.max_commit_ts, KEY)
+        assert_df_equal(mt.read(t), want, KEY)

@@ -369,3 +369,18 @@ def test_kafka_adapter_frame_contract_and_feature_flag(spark):
     assert kafka_available(spark) is False
     with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
         write_batch_kafka(enc, "localhost:9092")
+
+
+def test_kafka_stream_writer_feature_flag(spark, tmp_path):
+    import pytest as _pytest
+
+    from ticdc_spark.sinks.kafka_adapter import stream_writer_kafka
+    from ticdc_spark.sinks.mq import encode_open_protocol
+
+    df = spark.readStream.format("rate").load().selectExpr(
+        "value AS commit_ts", "value AS start_ts", "'I' AS op",
+        "CAST(value AS STRING) AS conv_id", "0 AS turn_idx",
+        "'x' AS text")
+    enc = encode_open_protocol(df, "db", "t", ["conv_id", "turn_idx", "text"])
+    with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        stream_writer_kafka(enc, "localhost:9092", str(tmp_path / "ck"))
