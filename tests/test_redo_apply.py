@@ -93,3 +93,51 @@ def test_redo_apply_cli(spark, tmp_path):
         gen_binlog(spark, spec), SchemaRegistry(), spec.max_commit_ts, KEY)
     got = LakeTable(spark, target).read()
     assert_df_equal(got, want, KEY)
+
+
+def test_redo_apply_multi_rebuilds_fleet(spark, tmp_path):
+    """Fleet DR: a multi-table feed killed mid-stream is rebuilt on a
+    clean root from the shared WAL alone — every table bit-identical at
+    the crash checkpoint, then catch-up to the full frontier."""
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+    from ticdc_spark.tools.redo_apply import redo_apply_multi
+
+    specs = {f"d{i}": BinlogSpec(n_events=2_500, n_convs=70, seed=50 + i)
+             for i in range(3)}
+    parts = [gen_binlog(spark, s).withColumn("table_name", F.lit(t))
+             for t, s in specs.items()]
+    binlog = parts[0]
+    for p in parts[1:]:
+        binlog = binlog.unionByName(p)
+    resolved = gen_resolved_log(spark, next(iter(specs.values())))
+    mt = MultiTableChangefeed(
+        spark, binlog, resolved, None,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/orig/{t}"),
+        config=ChangefeedConfig(changefeed_id="orig", n_buckets=4),
+        tables=list(specs),
+    )
+    mt.run(max_merges_per_table=1)  # the crash
+    ck = mt.checkpoint()
+    assert 0 < ck < next(iter(specs.values())).max_commit_ts
+
+    stats = redo_apply_multi(
+        spark, binlog, resolved, None, f"{tmp_path}/rebuilt",
+        tables=list(specs),
+        config=ChangefeedConfig(changefeed_id="dr", n_buckets=4), until=ck)
+    assert stats["checkpoint"] == ck
+    for t in specs:
+        rt = LakeTable(spark, f"{tmp_path}/rebuilt/{t}")
+        assert rt.checkpoint["resolved_ts"] == ck
+        assert_df_equal(rt.read(), mt.read(t), KEY)
+        assert _digest(spark, rt) == _digest(
+            spark, LakeTable(spark, f"{tmp_path}/orig/{t}"))
+    # unbounded second apply catches the fleet up to the full final state
+    redo_apply_multi(spark, binlog, resolved, None, f"{tmp_path}/rebuilt",
+                     tables=list(specs),
+                     config=ChangefeedConfig(changefeed_id="dr", n_buckets=4))
+    from ticdc_spark.plans.schema_registry import SchemaRegistry
+    for t, s in specs.items():
+        want = expected_final_state(gen_binlog(spark, s), SchemaRegistry(),
+                                    s.max_commit_ts, KEY)
+        assert_df_equal(LakeTable(spark, f"{tmp_path}/rebuilt/{t}").read(),
+                        want, KEY)

@@ -39,6 +39,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _cap(binlog, resolved_log, ddl_log, until):
+    """Cap the replay frontier: events and resolved steps above the bound
+    do not exist for this apply (the [checkpoint, resolved] window of the
+    reference tool)."""
+    binlog = binlog.filter(F.col("commit_ts") <= int(until))
+    resolved_log = resolved_log.filter(F.col("resolved_ts") <= int(until))
+    if isinstance(ddl_log, list):
+        ddl_log = [d for d in ddl_log if int(d["commit_ts"]) <= int(until)]
+    elif ddl_log is not None:
+        ddl_log = ddl_log.filter(F.col("commit_ts") <= int(until))
+    return binlog, resolved_log, ddl_log
+
+
 def redo_apply(
     spark: SparkSession,
     binlog: DataFrame,
@@ -58,20 +71,47 @@ def redo_apply(
 
     config = config or ChangefeedConfig(changefeed_id="cf-dr")
     if until is not None:
-        # cap the replay frontier: events and resolved steps above the
-        # bound do not exist for this apply (the [checkpoint, resolved]
-        # window of the reference tool)
-        binlog = binlog.filter(F.col("commit_ts") <= int(until))
-        resolved_log = resolved_log.filter(F.col("resolved_ts") <= int(until))
-        if isinstance(ddl_log, list):
-            ddl_log = [d for d in ddl_log if int(d["commit_ts"]) <= int(until)]
-        elif ddl_log is not None:
-            ddl_log = ddl_log.filter(F.col("commit_ts") <= int(until))
+        binlog, resolved_log, ddl_log = _cap(binlog, resolved_log, ddl_log, until)
     cf = Changefeed(
         spark, binlog, resolved_log, ddl_log,
         LakeTable(spark, target_path), config,
     )
     return cf.run()
+
+
+def redo_apply_multi(
+    spark: SparkSession,
+    binlog: DataFrame,
+    resolved_log: DataFrame,
+    ddl_log,
+    target_root: str,
+    tables: list | None = None,
+    config=None,
+    until: int | None = None,
+    table_col: str = "table_name",
+) -> dict:
+    """Fleet disaster recovery: rebuild EVERY table of a multi-table feed
+    under ``target_root`` (one subdirectory per table) by replaying the
+    shared WAL through the single-pass driver — same semantics as
+    :func:`redo_apply`, N tables at a time, including lifecycle DDL
+    (create/drop/rename/exchange replay exactly as the original feed
+    applied them)."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig
+    import os
+
+    config = config or ChangefeedConfig(changefeed_id="cf-dr")
+    if until is not None:
+        binlog, resolved_log, ddl_log = _cap(binlog, resolved_log, ddl_log, until)
+    mt = MultiTableChangefeed(
+        spark, binlog, resolved_log, ddl_log,
+        table_factory=lambda t: LakeTable(spark, os.path.join(target_root, t)),
+        config=config,
+        tables=tables,
+        table_col=table_col,
+    )
+    return mt.run()
 
 
 def main(argv=None) -> int:
@@ -90,6 +130,9 @@ def main(argv=None) -> int:
     ap.add_argument("--changefeed-id", default="cf-dr")
     ap.add_argument("--sink-mode", default="mor", choices=["mor", "cow"])
     ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--multi", action="store_true",
+                    help="fleet mode: the WAL carries table_name and "
+                         "--target is the ROOT (one subdir per table)")
     args = ap.parse_args(argv)
 
     spark = get_spark(f"redo-apply-{args.changefeed_id}")
@@ -97,15 +140,17 @@ def main(argv=None) -> int:
     if args.ddl:
         with open(args.ddl) as f:
             ddl_rows = json.load(f)
-    stats = redo_apply(
+    cfg = ChangefeedConfig(changefeed_id=args.changefeed_id,
+                           sink_mode=args.sink_mode,
+                           n_buckets=args.n_buckets)
+    fn = redo_apply_multi if args.multi else redo_apply
+    stats = fn(
         spark,
         spark.read.parquet(args.wal),
         spark.read.parquet(args.resolved),
         ddl_rows,
         args.target,
-        config=ChangefeedConfig(changefeed_id=args.changefeed_id,
-                                sink_mode=args.sink_mode,
-                                n_buckets=args.n_buckets),
+        config=cfg,
         until=args.until,
     )
     print(json.dumps({"target": args.target, **{k: stats[k] for k in
