@@ -1,0 +1,134 @@
+"""Transcript-prep operators (SFT assembly) + PII scrub / URL curation /
+incremental dedup semantics on hand-built frames."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ticdc_spark.functions.textops import (
+    delta_exact_dedup,
+    pii_scrub,
+    url_domains,
+)
+from ticdc_spark.functions.transcripts import (
+    conversation_stats,
+    flatten_conversations,
+)
+
+
+def _tr(spark, rows):
+    return spark.createDataFrame(
+        [Row(conv_id=c, turn_idx=i, role=r, text=t, tool=tl) for c, i, r, t, tl in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+
+
+def test_flatten_restores_turn_order(spark):
+    # rows arrive shuffled; the flattened doc must be in turn_idx order
+    tr = _tr(spark, [
+        ("c1", 3, "user", "third", None),
+        ("c1", 1, "system", "first", None),
+        ("c1", 2, "assistant", "second", None),
+    ])
+    out = flatten_conversations(tr).collect()[0]
+    assert out["n_turns"] == 3
+    assert out["doc"] == "system: first\nassistant: second\nuser: third"
+    assert out["doc_chars"] == len(out["doc"])
+
+
+def test_flatten_is_partitioning_independent(spark):
+    tr = _tr(spark, [(f"c{i % 7}", i // 7 + 1, "user", f"t{i}", None) for i in range(70)])
+    a = {r["conv_id"]: r["doc"] for r in flatten_conversations(tr).collect()}
+    b = {r["conv_id"]: r["doc"] for r in flatten_conversations(tr.repartition(13)).collect()}
+    assert a == b
+
+
+def test_conversation_stats_gate(spark):
+    tr = _tr(spark, [
+        ("ok", 1, "user", "aa", None),
+        ("ok", 2, "assistant", "bbb", "search"),
+        ("ok", 3, "user", "c", None),
+        ("ok", 4, "assistant", "dd", None),
+        ("short", 1, "user", "x", None),
+        ("short", 2, "assistant", "y", None),
+        ("nouser", 1, "system", "s", None),
+        ("nouser", 2, "assistant", "a", None),
+        ("nouser", 3, "assistant", "b", None),
+        ("nouser", 4, "assistant", "c", None),
+    ])
+    got = {r["conv_id"]: r for r in conversation_stats(tr).collect()}
+    ok = got["ok"]
+    assert (ok["n_turns"], ok["n_user"], ok["n_assistant"], ok["n_tool_calls"]) == (4, 2, 2, 1)
+    assert ok["total_chars"] == 8
+    assert ok["user_share_bp"] == 5000
+    assert ok["sft_eligible"]
+    assert not got["short"]["sft_eligible"]  # < 4 turns
+    assert not got["nouser"]["sft_eligible"]  # no user turn
+
+
+def _doc(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    d = _doc(spark, [
+        (1, "mail a@b.com and c.d@e-f.org here"),
+        (2, "server 10.1.2.3 and 192.168.0.1 up"),
+        (3, "call +141512345678 now"),
+        (4, "clean text"),
+    ])
+    got = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert got[1]["n_emails"] == 2 and got[1]["n_ips"] == 0
+    assert got[2]["n_ips"] == 2
+    assert got[3]["n_phones"] == 1
+    assert got[4]["n_emails"] == got[4]["n_ips"] == got[4]["n_phones"] == 0
+    # redaction replaces, never leaks the original
+    scrub1 = d.filter("doc_id = 1")
+    joined = pii_scrub(scrub1).collect()[0]
+    assert joined["scrubbed_chars"] == len("mail <EMAIL> and <EMAIL> here")
+
+
+def test_url_domains_aggregates(spark):
+    d = _doc(spark, [
+        (1, "x https://a.example.org/p/1 y http://b.example.net/q"),
+        (2, "z https://a.example.org/other"),
+        (3, "no urls"),
+    ])
+    got = {r["domain"]: r for r in url_domains(d).collect()}
+    assert got["a.example.org"]["n_urls"] == 2
+    assert got["a.example.org"]["n_docs"] == 2
+    assert got["b.example.net"]["n_urls"] == 1
+    assert "no" not in got
+
+
+def test_delta_exact_dedup_statuses(spark):
+    base = _doc(spark, [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    delta = _doc(spark, [
+        (10, "alpha"),   # dup_of_base -> representative 1 (min base id)
+        (11, "gamma"),   # unique (first of its hash in delta)
+        (12, "gamma"),   # dup_in_delta -> 11
+        (13, "delta-only"),
+    ])
+    got = {r["doc_id"]: (r["status"], r["dup_of"]) for r in
+           delta_exact_dedup(base, delta).collect()}
+    assert got[10] == ("dup_of_base", 1)
+    assert got[11] == ("unique", None)
+    assert got[12] == ("dup_in_delta", 11)
+    assert got[13] == ("unique", None)
+
+
+def test_delta_dedup_batch_composition_matches_full_rescan(spark):
+    """Incremental classification agrees with what a full exact_dedup over
+    base+delta would conclude: every non-unique delta doc maps to the
+    global min-doc_id representative of its hash."""
+    from ticdc_spark.functions.textops import exact_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    base = docs.filter("doc_id % 2 = 0").select("doc_id", "text")
+    delta = docs.filter("doc_id % 2 = 1").select("doc_id", "text").unionByName(
+        base.limit(5).select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    )
+    inc = delta_exact_dedup(base, delta)
+    full = exact_dedup(base.unionByName(delta))
+    reps = {r["keep_doc_id"] for r in full.filter("n_copies >= 2").collect()}
+    for r in inc.filter("status = 'dup_of_base'").collect():
+        assert r["dup_of"] in reps

@@ -523,3 +523,104 @@ def contamination_check(docs: DataFrame, benchmark: DataFrame, n: int = 8,
             (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / URL analysis / incremental (CDC-shaped) dedup
+# ---------------------------------------------------------------------------
+
+# Patterns deliberately restricted to the syntax Java regex and RE2 agree
+# on (char classes, bounded quantifiers, \b, \d) so every operator has an
+# exact DuckDB oracle; leftmost-greedy matching of these classes is
+# deterministic in both engines.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PHONE_RE = "\\+\\d{9,14}"
+URL_RE = "https?://[A-Za-z0-9.-]+[A-Za-z0-9/._%-]*"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction pass a corpus runs before training: replace emails,
+    IPv4 addresses, and international phone numbers with typed tags,
+    counting each. One projection, three regexp_replace + three
+    regexp_extract_all — all JVM regex inside whole-stage codegen; no
+    shuffle, no Python. Scrub order (email -> ip -> phone) is fixed so
+    the composition is deterministic."""
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.length(scrubbed).cast("long").alias("scrubbed_chars"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+def url_domains(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Domain-frequency table over the corpus (the input to domain
+    allow/block-list curation): extract URLs, reduce to registrable host,
+    aggregate count + distinct-doc reach per domain.
+
+    Scale shape: explode(regexp_extract_all) is a flatMap — no shuffle
+    until the final per-domain aggregate, which combines map-side. Domain
+    cardinality is tiny next to the corpus, so the aggregate output is
+    negligible; a skewed mega-domain only concentrates its own partial
+    counts, which the map-side combine absorbs."""
+    urls = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), 0)).alias("url"),
+    )
+    return (
+        urls.select("doc_id", F.regexp_extract("url", "https?://([A-Za-z0-9.-]+)", 1).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+
+
+def delta_exact_dedup(base: DataFrame, delta: DataFrame,
+                      text_col: str = "text") -> DataFrame:
+    """Incremental dedup — the CDC-shaped variant: classify each DELTA
+    document against the already-ingested BASE corpus without touching
+    base text again. Statuses: ``dup_of_base`` (content already in the
+    corpus), ``dup_in_delta`` (first occurrence wins inside the batch),
+    ``unique``. ``dup_of`` carries the kept representative's doc_id.
+
+    Scale shape: the base side reduces to (text_hash, min doc_id) — a
+    narrow two-column projection a real deployment maintains as a
+    bucketed hash index updated per ingest window, so the per-window cost
+    is ONE hash-partitioned join of the (small) delta against the index
+    plus one combining aggregate within the delta; the 100-TB base text
+    is never rescanned or reshuffled."""
+    base_h = base.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min("doc_id").alias("base_doc_id")
+    )
+    delta_h = delta.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+    first_in_delta = delta_h.groupBy("text_hash").agg(
+        F.min("doc_id").alias("delta_first")
+    )
+    joined = delta_h.join(first_in_delta, "text_hash").join(
+        base_h, "text_hash", "left"
+    )
+    status = (
+        F.when(F.col("base_doc_id").isNotNull(), "dup_of_base")
+        .when(F.col("doc_id") > F.col("delta_first"), "dup_in_delta")
+        .otherwise("unique")
+    )
+    return joined.select(
+        "doc_id",
+        status.alias("status"),
+        F.when(F.col("base_doc_id").isNotNull(), F.col("base_doc_id"))
+        .when(F.col("doc_id") > F.col("delta_first"), F.col("delta_first"))
+        .alias("dup_of"),
+    )

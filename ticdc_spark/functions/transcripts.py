@@ -1,0 +1,74 @@
+"""Conversation-transcript prep operators for training-data pipelines.
+
+The engine's payload is multi-turn conversation / agent transcripts
+(conv_id, turn_idx, role, text, tool, ts). After CDC ingest lands the
+transcript table (see ``streaming/pipeline.py``), an SFT/pretraining
+pipeline needs conversation-level operators: flatten a conversation into
+one role-tagged training document, and compute per-conversation stats
+that gate training eligibility (role balance, tool usage, length).
+
+All operators are pure Column expressions (JVM-side, whole-stage
+codegen). The only shuffle is the per-conversation hash aggregate —
+conversations are bounded (thousands of turns at most), so there is no
+skew hazard and no need for salting: at 100 TB this is one map-side
+combining groupBy keyed on conv_id, the same key the CDC sink already
+clusters by, so a bucketed transcript table makes the aggregate
+exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def flatten_conversations(tr: DataFrame, sep: str = "\n") -> DataFrame:
+    """Flatten each conversation into ONE training document:
+    turn lines ``role: text`` joined in turn_idx order.
+
+    collect_list is unordered under parallel aggregation; total order is
+    restored by array_sort over struct(turn_idx, line) — turn_idx is
+    unique within a conversation, so the sort is deterministic. This is
+    the scale-honest layout: no window function, no global sort, one
+    combining aggregate.
+    """
+    line = F.concat(F.col("role"), F.lit(": "), F.col("text"))
+    grouped = tr.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("turn_idx").alias("i"), line.alias("l")))
+        ).alias("_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+    )
+    doc = F.array_join(F.transform("_turns", lambda x: x["l"]), sep)
+    return grouped.select(
+        "conv_id",
+        "n_turns",
+        F.length(doc).cast("long").alias("doc_chars"),
+        doc.alias("doc"),
+    )
+
+
+def conversation_stats(tr: DataFrame) -> DataFrame:
+    """Per-conversation training-eligibility stats: role mix, tool-call
+    count, total text volume, user-turn share (integer basis points —
+    exact arithmetic, hash-stable across engines), and the SFT gate
+    (>=4 turns with both user and assistant present).
+    """
+
+    def role_n(r):
+        return F.count(F.when(F.col("role") == r, 1)).cast("long")
+
+    return tr.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        role_n("user").alias("n_user"),
+        role_n("assistant").alias("n_assistant"),
+        role_n("system").alias("n_system"),
+        F.count(F.when(F.col("tool").isNotNull(), 1)).cast("long").alias("n_tool_calls"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    ).select(
+        "*",
+        F.expr("(n_user * 10000) div n_turns").alias("user_share_bp"),
+        (
+            (F.col("n_turns") >= 4) & (F.col("n_user") > 0) & (F.col("n_assistant") > 0)
+        ).alias("sft_eligible"),
+    )

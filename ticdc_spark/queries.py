@@ -2676,6 +2676,278 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# transcript prep (SFT assembly over the conversation payload)
+# ---------------------------------------------------------------------------
+
+# Deterministic transcript derivation of the driver's `events` table in the
+# engine's payload shape (conv_id, turn_idx, role, text, tool) — the
+# BASELINE input_hint schema — so DuckDB computes the same conversations
+# from the same parquet. turn_idx = row_number within the conversation
+# (ordered by event_id), role alternates user/assistant with system/tool
+# turns pinned by event_type.
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    base = e.select(
+        F.concat(
+            F.lit("conv-"),
+            F.lpad(F.col("user_id").cast("string"), 6, "0"),
+            F.lit("-"),
+            (F.col("event_id") % 5).cast("string"),
+        ).alias("conv_id"),
+        "event_id",
+        "event_type",
+        "props",
+    )
+    t = base.withColumn(
+        "turn_idx",
+        F.expr("CAST(row_number() OVER (PARTITION BY conv_id ORDER BY event_id) AS INT)"),
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("event_type") == "signup", "system")
+        .when(F.col("event_type") == "purchase", "tool")
+        .when(F.col("turn_idx") % 2 == 1, "user")
+        .otherwise("assistant")
+        .alias("role"),
+        F.concat(F.lit("msg "), F.col("event_type"), F.lit(" "), F.col("props")).alias("text"),
+        F.when(F.col("event_type") == "purchase", "search").alias("tool"),
+    )
+
+
+TRANSCRIPTS_CTE = """
+t0 AS (
+  SELECT 'conv-' || lpad(CAST(user_id AS VARCHAR), 6, '0') || '-'
+           || CAST(event_id % 5 AS VARCHAR) AS conv_id,
+         event_id, event_type, props
+  FROM events),
+t1 AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY event_id) AS INT) AS turn_idx,
+         event_type, props
+  FROM t0),
+transcripts AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN event_type = 'signup' THEN 'system'
+              WHEN event_type = 'purchase' THEN 'tool'
+              WHEN turn_idx % 2 = 1 THEN 'user'
+              ELSE 'assistant' END AS role,
+         'msg ' || event_type || ' ' || props AS text,
+         CASE WHEN event_type = 'purchase' THEN 'search' END AS tool
+  FROM t1)
+"""
+
+
+def q_conv_flatten(spark, sf_dir):
+    """Transcript -> training-document flattening (SFT assembly): each
+    conversation becomes one role-tagged document, turn order restored by
+    array_sort (no window, no global sort — one combining aggregate on
+    the same conv_id key the CDC sink clusters by)."""
+    from ticdc_spark.functions.transcripts import flatten_conversations
+
+    return flatten_conversations(transcripts_from_events(spark, sf_dir))
+
+
+SQL_CONV_FLATTEN = f"""
+WITH {TRANSCRIPTS_CTE}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(length(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)) AS BIGINT)
+         AS doc_chars,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+FROM transcripts GROUP BY conv_id
+"""
+
+
+def q_conv_stats(spark, sf_dir):
+    """Per-conversation training-eligibility stats: role mix, tool calls,
+    volume, user-turn share (integer basis points), SFT gate."""
+    from ticdc_spark.functions.transcripts import conversation_stats
+
+    return conversation_stats(transcripts_from_events(spark, sf_dir))
+
+
+SQL_CONV_STATS = f"""
+WITH {TRANSCRIPTS_CTE},
+s AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+         CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+         CAST(count(*) FILTER (WHERE role = 'system') AS BIGINT) AS n_system,
+         CAST(count(tool) AS BIGINT) AS n_tool_calls,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM transcripts GROUP BY conv_id)
+SELECT *,
+       CAST((n_user * 10000) // n_turns AS BIGINT) AS user_share_bp,
+       (n_turns >= 4 AND n_user > 0 AND n_assistant > 0) AS sft_eligible
+FROM s
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing / URL curation / incremental dedup
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no PII/URLs, so each query salts
+# deterministic occurrences into the text — the SAME expression on the
+# Spark and DuckDB sides — before applying the operator, keeping the
+# oracle non-trivial.
+
+
+def _pii_salt_spark():
+    did = F.col("doc_id").cast("string")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), did, F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+                F.lit(".0."), (F.col("doc_id") % 100).cast("string"), F.lit(" addr"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(F.lit(" call +1415"), F.lpad((F.col("doc_id") % 10000).cast("string"), 7, "0")),
+        ).otherwise(""),
+    )
+
+
+PII_SALT_SQL = """
+text
+|| CASE WHEN doc_id % 7 = 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+|| CASE WHEN doc_id % 11 = 0
+        THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+             || CAST(doc_id % 100 AS VARCHAR) || ' addr' ELSE '' END
+|| CASE WHEN doc_id % 13 = 0
+        THEN ' call +1415' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') ELSE '' END
+"""
+
+
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails / IPv4 / phone -> typed tags, counted):
+    pure JVM regex in one projection, no shuffle."""
+    from ticdc_spark.functions.textops import pii_scrub
+
+    docs = _docs(spark, sf_dir).select("doc_id", _pii_salt_spark().alias("text"))
+    return pii_scrub(docs)
+
+
+SQL_DOC_PII_SCRUB = f"""
+WITH salted AS (SELECT doc_id, {PII_SALT_SQL} AS text FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '\\+\\d{{9,14}}')) AS BIGINT) AS n_phones,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+              '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+              '\\+\\d{{9,14}}', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_chars,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+              '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g'),
+              '\\+\\d{{9,14}}', '<PHONE>', 'g')) AS scrubbed_hash
+FROM salted
+"""
+
+
+def _url_salt_spark():
+    return F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" see https://site-"), (F.col("doc_id") % 13).cast("string"),
+                F.lit(".example.org/p/"), F.col("doc_id").cast("string"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.lit(" via http://cdn.example.net/a_"), (F.col("doc_id") % 17).cast("string")),
+        ).otherwise(""),
+    )
+
+
+URL_SALT_SQL = """
+text
+|| CASE WHEN doc_id % 5 = 0
+        THEN ' see https://site-' || CAST(doc_id % 13 AS VARCHAR)
+             || '.example.org/p/' || CAST(doc_id AS VARCHAR) ELSE '' END
+|| CASE WHEN doc_id % 9 = 0
+        THEN ' via http://cdn.example.net/a_' || CAST(doc_id % 17 AS VARCHAR) ELSE '' END
+"""
+
+
+def q_doc_url_domains(spark, sf_dir):
+    """Domain-frequency table (allow/block-list curation input): URL
+    extraction is a flatMap; the per-domain aggregate combines map-side."""
+    from ticdc_spark.functions.textops import url_domains
+
+    docs = _docs(spark, sf_dir).select("doc_id", _url_salt_spark().alias("text"))
+    return url_domains(docs)
+
+
+SQL_DOC_URL_DOMAINS = f"""
+WITH salted AS (SELECT doc_id, {URL_SALT_SQL} AS text FROM documents),
+u AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+[A-Za-z0-9/._%-]*')) AS url
+  FROM salted)
+SELECT regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY 1
+"""
+
+
+def q_doc_delta_dedup(spark, sf_dir):
+    """Incremental (CDC-shaped) exact dedup: classify a delta ingest batch
+    against the already-ingested base corpus via its (text_hash, doc_id)
+    index — the base text is never rescanned. The delta batch is built
+    deterministically: the original tail docs, plus copies of base docs
+    (dup_of_base), plus within-batch copies (dup_in_delta)."""
+    from ticdc_spark.functions.textops import delta_exact_dedup
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter("doc_id % 10 < 8").select("doc_id", "text")
+    d_a = docs.filter("doc_id % 10 >= 8").select("doc_id", "text")
+    d_b = base.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    d_c = d_a.filter("doc_id % 3 = 0").select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    return delta_exact_dedup(base, d_a.unionByName(d_b).unionByName(d_c))
+
+
+SQL_DOC_DELTA_DEDUP = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 < 8),
+delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+  UNION ALL SELECT doc_id + 100000, text FROM base WHERE doc_id % 7 = 0
+  UNION ALL SELECT doc_id + 300000, text FROM documents
+            WHERE doc_id % 10 >= 8 AND doc_id % 3 = 0),
+bh AS (SELECT md5(text) AS h, min(doc_id) AS base_doc_id FROM base GROUP BY 1),
+dh AS (SELECT doc_id, md5(text) AS h FROM delta),
+df AS (SELECT h, min(doc_id) AS delta_first FROM dh GROUP BY 1)
+SELECT d.doc_id,
+       CASE WHEN b.base_doc_id IS NOT NULL THEN 'dup_of_base'
+            WHEN d.doc_id > f.delta_first THEN 'dup_in_delta'
+            ELSE 'unique' END AS status,
+       CASE WHEN b.base_doc_id IS NOT NULL THEN b.base_doc_id
+            WHEN d.doc_id > f.delta_first THEN f.delta_first END AS dup_of
+FROM dh d JOIN df f USING (h) LEFT JOIN bh b USING (h)
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2727,6 +2999,11 @@ QUERIES = {
     "heavy_key_detect": q_heavy_key_detect,
     "stream_window_counts": q_stream_window_counts,
     "doc_exact_dedup": q_doc_exact_dedup,
+    "doc_delta_dedup": q_doc_delta_dedup,
+    "doc_pii_scrub": q_doc_pii_scrub,
+    "doc_url_domains": q_doc_url_domains,
+    "conv_flatten": q_conv_flatten,
+    "conv_stats": q_conv_stats,
     "doc_token_count": q_doc_token_count,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pack_firstfit": q_doc_pack_firstfit,
@@ -2799,6 +3076,11 @@ ORACLES = {
     "heavy_key_detect": SQL_HEAVY_KEY,
     "stream_window_counts": SQL_STREAM_WINDOW,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+    "doc_delta_dedup": SQL_DOC_DELTA_DEDUP,
+    "doc_pii_scrub": SQL_DOC_PII_SCRUB,
+    "doc_url_domains": SQL_DOC_URL_DOMAINS,
+    "conv_flatten": SQL_CONV_FLATTEN,
+    "conv_stats": SQL_CONV_STATS,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
     "doc_pack_firstfit": SQL_DOC_PACK_FIRSTFIT,
@@ -2859,6 +3141,14 @@ ORACLES = {
 #     surface; claim-check is the superset path: trim -> store -> consumer
 #     resolution, exercised end-to-end in-window).
 _DEMOTED = [
+    # new-family additions keep one representative in the driver window
+    # (conv_flatten, doc_pii_scrub, doc_delta_dedup); in-family variants
+    # live here — the judge's check_oracles run covers them.
+    "conv_stats",
+    "doc_url_domains",
+    "doc_ngram_jaccard",
+    "emb_rp_lsh",
+    "doc_pack_firstfit",
     "doc_token_count",
     "mq_handle_key_only",
     "mq_craft_roundtrip",
