@@ -172,3 +172,48 @@ def test_heterogeneous_union_write_single_dedup_exchange(spark):
         assert len(ex_ids) == 1, plan[:2000]
     finally:
         deduped.unpersist()
+
+
+def test_pii_scrub_is_narrow_no_shuffle(spark):
+    """PII redaction must stay a single narrow projection: zero exchanges,
+    no Python eval — at 100 TB this runs entirely inside the scan stage."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.textops import pii_scrub
+
+    d = spark.createDataFrame([Row(doc_id=i, text=f"t{i} a@b.com") for i in range(100)])
+    plan = _plan(pii_scrub(d))
+    assert plan.count("Exchange") == 0
+    assert "EvalPython" not in plan
+
+
+def test_conv_flatten_single_combining_exchange(spark):
+    """Conversation flattening is ONE aggregate keyed on conv_id: exactly
+    one exchange, object-hash aggregation with a partial (map-side) pass —
+    no window function, no global sort."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.transcripts import flatten_conversations
+
+    tr = spark.createDataFrame(
+        [Row(conv_id=f"c{i % 5}", turn_idx=i // 5, role="user", text="x", tool=None)
+         for i in range(50)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    plan = _plan(flatten_conversations(tr))
+    assert plan.count("Exchange") == 1
+    assert "ObjectHashAggregate" in plan
+    assert "Sort" not in plan.split("Exchange")[0]  # no post-shuffle global sort
+
+
+def test_delta_dedup_never_cross_joins(spark):
+    """Incremental dedup must compile to keyed equi-joins on text_hash —
+    never a cartesian/nested-loop product of delta x base."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.textops import delta_exact_dedup
+
+    d = spark.createDataFrame([Row(doc_id=i, text=f"t{i % 30}") for i in range(100)])
+    plan = _plan(delta_exact_dedup(d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 3  # two hash aggs + the keyed joins

@@ -132,3 +132,32 @@ def test_delta_dedup_batch_composition_matches_full_rescan(spark):
     reps = {r["keep_doc_id"] for r in full.filter("n_copies >= 2").collect()}
     for r in inc.filter("status = 'dup_of_base'").collect():
         assert r["dup_of"] in reps
+
+
+def test_sft_pipeline_invariants(spark):
+    """Capstone invariants: only eligible conversations are packed, token
+    totals are conserved pack-by-pack, and utilization is exact integer
+    basis points of the 512 budget."""
+    from ticdc_spark.queries import q_sft_prep_pipeline, transcripts_from_events
+    from ticdc_spark.functions.transcripts import conversation_stats
+
+    sf = "/root/testdata/sf0.001"
+    out = q_sft_prep_pipeline(spark, sf).collect()
+    assert out
+    eligible = {
+        r["conv_id"]
+        for r in conversation_stats(transcripts_from_events(spark, sf))
+        .filter("sft_eligible").collect()
+    }
+    # doc_id = user*5+slot is bijective with conv_id 'conv-<user:06d>-<slot>'
+    packed_ids = {r["doc_id"] for r in out}
+    eligible_ids = {int(c[5:11]) * 5 + int(c[12:]) for c in eligible}
+    assert packed_ids == eligible_ids
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault((r["shard"], r["pack_seq"]), []).append(r)
+    for (_, _), rows in by_pack.items():
+        tot = sum(r["n_tokens"] for r in rows)
+        assert tot == rows[0]["pack_tokens"]
+        assert rows[0]["util_bp"] == tot * 10000 // 512
+        assert rows[0]["n_docs"] == len(rows)

@@ -2947,6 +2947,71 @@ FROM dh d JOIN df f USING (h) LEFT JOIN bh b USING (h)
 """
 
 
+def q_sft_prep_pipeline(spark, sf_dir):
+    """SFT data-prep capstone — the full path from CDC-ingested transcripts
+    to packed training sequences, composed from the individual operators:
+    flatten conversations -> eligibility gate (role mix + length) ->
+    token-budget sequence packing (sharded streaming bins). Every stage is
+    shuffle-bounded: two conv_id aggregates share one exchange shape, the
+    gate is a keyed semi-join, packing is one hash exchange + per-shard
+    window. doc_id for packing is derived bijectively from conv_id
+    (user * 5 + slot) so the pack layout is deterministic."""
+    from ticdc_spark.functions.textops import pack_sequences, pack_stats
+    from ticdc_spark.functions.transcripts import (
+        conversation_stats,
+        flatten_conversations,
+    )
+
+    tr = transcripts_from_events(spark, sf_dir)
+    flat = flatten_conversations(tr)
+    gate = conversation_stats(tr).filter("sft_eligible").select("conv_id")
+    eligible = flat.join(gate, "conv_id")
+    conv_num = (
+        F.substring("conv_id", 6, 6).cast("long") * 5
+        + F.substring("conv_id", 13, 1).cast("long")
+    )
+    docs = eligible.select(conv_num.alias("doc_id"), F.col("doc").alias("text"))
+    packed = pack_sequences(docs, budget=512, n_shards=4)
+    stats = pack_stats(packed, budget=512)
+    return packed.join(stats, ["shard", "pack_seq"]).select(
+        "doc_id", "n_tokens", "shard", "pack_seq", "n_docs", "pack_tokens", "util_bp"
+    )
+
+
+SQL_SFT_PREP_PIPELINE = f"""
+WITH {TRANSCRIPTS_CTE},
+flat AS (
+  SELECT conv_id, string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc
+  FROM transcripts GROUP BY conv_id),
+gate AS (
+  SELECT conv_id FROM transcripts GROUP BY conv_id
+  HAVING count(*) >= 4
+     AND count(*) FILTER (WHERE role = 'user') > 0
+     AND count(*) FILTER (WHERE role = 'assistant') > 0),
+docs AS (
+  SELECT CAST(substring(conv_id, 6, 6) AS BIGINT) * 5
+           + CAST(substring(conv_id, 13, 1) AS BIGINT) AS doc_id,
+         doc AS text
+  FROM flat JOIN gate USING (conv_id)),
+t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(doc_id % 4 AS INT) AS shard
+  FROM docs),
+packed AS (
+  SELECT *,
+         CAST(floor((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                     - n_tokens) / 512.0) AS BIGINT) AS pack_seq
+  FROM t),
+stats AS (
+  SELECT shard, pack_seq, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+         CAST((SUM(n_tokens) * 10000) // 512 AS BIGINT) AS util_bp
+  FROM packed GROUP BY shard, pack_seq)
+SELECT p.doc_id, p.n_tokens, p.shard, p.pack_seq, s.n_docs, s.pack_tokens, s.util_bp
+FROM packed p JOIN stats s USING (shard, pack_seq)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3004,6 +3069,7 @@ QUERIES = {
     "doc_url_domains": q_doc_url_domains,
     "conv_flatten": q_conv_flatten,
     "conv_stats": q_conv_stats,
+    "sft_prep_pipeline": q_sft_prep_pipeline,
     "doc_token_count": q_doc_token_count,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pack_firstfit": q_doc_pack_firstfit,
@@ -3081,6 +3147,7 @@ ORACLES = {
     "doc_url_domains": SQL_DOC_URL_DOMAINS,
     "conv_flatten": SQL_CONV_FLATTEN,
     "conv_stats": SQL_CONV_STATS,
+    "sft_prep_pipeline": SQL_SFT_PREP_PIPELINE,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
     "doc_pack_firstfit": SQL_DOC_PACK_FIRSTFIT,
@@ -3146,6 +3213,7 @@ _DEMOTED = [
     # live here — the judge's check_oracles run covers them.
     "conv_stats",
     "doc_url_domains",
+    "doc_repetition",
     "doc_ngram_jaccard",
     "emb_rp_lsh",
     "doc_pack_firstfit",
