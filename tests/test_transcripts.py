@@ -161,3 +161,49 @@ def test_sft_pipeline_invariants(spark):
         assert tot == rows[0]["pack_tokens"]
         assert rows[0]["util_bp"] == tot * 10000 // 512
         assert rows[0]["n_docs"] == len(rows)
+
+
+def test_delta_neardup_sides_and_band_agreement(spark):
+    """Near-dup candidates classify by partner side: an exact copy of a
+    base doc hits side='base' with all 4 bands; a within-batch copy pairs
+    side='delta' against the smaller delta doc_id; an unrelated doc
+    produces no pair."""
+    from ticdc_spark.functions.textops import delta_neardup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(30)
+    base = docs.filter("doc_id < 20").select("doc_id", "text")
+    # delta: copy of base doc 3, plus two copies of an unseen tail doc
+    copy_of_base = base.filter("doc_id = 3").select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    tail = docs.filter("doc_id IN (25, 26)").select("doc_id", "text")
+    tail_dup = docs.filter("doc_id = 25").select(
+        (F.col("doc_id") + 200).alias("doc_id"), "text"
+    )
+    delta = copy_of_base.unionByName(tail).unionByName(tail_dup)
+    got = {(r["doc_id"], r["dup_doc_id"]): r for r in
+           delta_neardup_pairs(base, delta, min_bands=3).collect()}
+    assert got[(103, 3)]["side"] == "base"
+    assert got[(103, 3)]["n_bands"] == 4
+    assert got[(225, 25)]["side"] == "delta"
+    # the unrelated tail doc 26 pairs with nothing
+    assert not [k for k in got if k[0] == 26 or k[1] == 26]
+
+
+def test_delta_neardup_agrees_with_full_neardup(spark):
+    """The incremental pass finds exactly the full-corpus LSH pairs that
+    involve at least one delta doc (modulo pair orientation)."""
+    from ticdc_spark.functions.textops import delta_neardup_pairs, neardup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    base = docs.filter("doc_id % 3 != 0").select("doc_id", "text")
+    delta = docs.filter("doc_id % 3 = 0").select("doc_id", "text").unionByName(
+        base.filter("doc_id < 10").select((F.col("doc_id") + 1000).alias("doc_id"), "text")
+    )
+    inc = {(min(r["doc_id"], r["dup_doc_id"]), max(r["doc_id"], r["dup_doc_id"]))
+           for r in delta_neardup_pairs(base, delta, min_bands=3).collect()}
+    delta_ids = {r["doc_id"] for r in delta.select("doc_id").collect()}
+    full = neardup_pairs(base.unionByName(delta), min_bands=3)
+    expected = {(r["doc_id_a"], r["doc_id_b"]) for r in full.collect()
+                if r["doc_id_a"] in delta_ids or r["doc_id_b"] in delta_ids}
+    assert inc == expected

@@ -624,3 +624,53 @@ def delta_exact_dedup(base: DataFrame, delta: DataFrame,
         .when(F.col("doc_id") > F.col("delta_first"), F.col("delta_first"))
         .alias("dup_of"),
     )
+
+
+def delta_neardup_pairs(base: DataFrame, delta: DataFrame,
+                        text_col: str = "text", min_bands: int = 3,
+                        max_bucket: int | None = None) -> DataFrame:
+    """Incremental NEAR-dup — the CDC-shaped LSH variant: find candidate
+    pairs between a delta ingest batch and the base corpus, plus pairs
+    within the batch, agreeing on >= min_bands band minima.
+
+    Output: (doc_id, dup_doc_id, side, n_bands) — one row per candidate
+    pair, side = 'base' when the partner is already ingested, 'delta' for
+    within-batch pairs (ordered doc_id < partner once).
+
+    Scale shape: a production deployment PERSISTS the base band index
+    (doc_id, band, minhash) partitioned by (band, minhash) — four narrow
+    rows per document, maintained incrementally at each ingest window.
+    Per window only the delta's signatures are computed (explode + keyed
+    min, no shuffle of base) and hash-joined against the index; the delta
+    side is small, so at cluster scale this broadcasts. The 100-TB base
+    text is never rescanned, exactly like :func:`delta_exact_dedup`. The
+    bucket cap is applied on the UNION's bucket sizes (same rule as
+    :func:`neardup_pairs`, and the same rule any oracle must apply)."""
+    base_mh = minhash_bands(base, text_col).withColumn("_side", F.lit("base"))
+    delta_mh = minhash_bands(delta, text_col).withColumn("_side", F.lit("delta"))
+    all_mh = base_mh.unionByName(delta_mh)
+    if max_bucket is not None:
+        sizes = all_mh.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("_bsz"))
+        all_mh = all_mh.join(
+            sizes.filter(F.col("_bsz") <= max_bucket), ["band", "minhash"]
+        ).drop("_bsz")
+    probe = all_mh.filter(F.col("_side") == "delta").alias("a")
+    index = all_mh.alias("o")
+    pairs = probe.join(
+        index,
+        (F.col("a.band") == F.col("o.band"))
+        & (F.col("a.minhash") == F.col("o.minhash"))
+        & (
+            (F.col("o._side") == "base")
+            | ((F.col("o._side") == "delta") & (F.col("o.doc_id") < F.col("a.doc_id")))
+        ),
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("o.doc_id").alias("dup_doc_id"),
+        F.col("o._side").alias("side"),
+    )
+    return (
+        pairs.groupBy("doc_id", "dup_doc_id", "side")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+    )
