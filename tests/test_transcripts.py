@@ -207,3 +207,31 @@ def test_delta_neardup_agrees_with_full_neardup(spark):
     expected = {(r["doc_id_a"], r["doc_id_b"]) for r in full.collect()
                 if r["doc_id_a"] in delta_ids or r["doc_id_b"] in delta_ids}
     assert inc == expected
+
+
+def test_line_dedup_removes_corpus_repeated_lines(spark):
+    from ticdc_spark.functions.textops import line_dedup
+
+    d = _doc(spark, [
+        (1, "unique one\nBOILER\nunique two"),
+        (2, "BOILER\nother text"),
+        (3, "all original\nhere"),
+        (4, "BOILER"),  # nothing survives
+    ])
+    got = {r["doc_id"]: r for r in line_dedup(d, min_docs=2).collect()}
+    assert (got[1]["n_lines"], got[1]["n_kept"]) == (3, 2)
+    assert got[1]["cleaned_chars"] == len("unique one\nunique two")
+    assert (got[2]["n_lines"], got[2]["n_kept"]) == (2, 1)
+    assert (got[3]["n_lines"], got[3]["n_kept"]) == (2, 2)
+    assert (got[4]["n_lines"], got[4]["n_kept"]) == (1, 0)
+    assert got[4]["cleaned_chars"] == 0
+
+
+def test_line_dedup_repeat_within_one_doc_survives(spark):
+    """min_docs counts DISTINCT documents: a line repeated only inside a
+    single document is not boilerplate and must survive."""
+    from ticdc_spark.functions.textops import line_dedup
+
+    d = _doc(spark, [(1, "same\nsame\nend"), (2, "different")])
+    got = {r["doc_id"]: r for r in line_dedup(d, min_docs=2).collect()}
+    assert got[1]["n_kept"] == 3

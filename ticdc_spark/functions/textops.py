@@ -674,3 +674,46 @@ def delta_neardup_pairs(base: DataFrame, delta: DataFrame,
         .agg(F.count(F.lit(1)).alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
     )
+
+
+def line_dedup(docs: DataFrame, min_docs: int = 2,
+               text_col: str = "text") -> DataFrame:
+    """C4-style line-level dedup (boilerplate removal): a line whose exact
+    content appears in >= min_docs distinct documents corpus-wide is
+    removed from EVERY document; each document is reassembled from its
+    surviving lines in original order.
+
+    Scale shape: one posexplode flatMap; the corpus-wide line-frequency
+    aggregate is keyed on the line itself with map-side combine (the
+    boilerplate lines that matter collapse per task before the exchange);
+    the repeated-line set is tiny relative to the corpus, so the removal
+    join broadcasts at cluster scale; reassembly is one combining
+    aggregate per doc with array_sort restoring position order — no
+    window, no global sort."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    rep = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(rep, "line", "left_anti")
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    reassembled = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos").alias("p"), F.col("line").alias("l")))
+        ).alias("_ls"),
+    ).select(
+        "doc_id", "n_kept",
+        F.array_join(F.transform("_ls", lambda x: x["l"]), "\n").alias("_cleaned"),
+    )
+    return totals.join(reassembled, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.length(F.coalesce("_cleaned", F.lit(""))).cast("long").alias("cleaned_chars"),
+        F.md5(F.coalesce("_cleaned", F.lit(""))).alias("cleaned_hash"),
+    )

@@ -3002,6 +3002,40 @@ GROUP BY a.doc_id, o.doc_id, o.side HAVING count(*) >= 3
 """
 
 
+def q_doc_line_dedup(spark, sf_dir):
+    """C4-style line-level dedup: corpus-wide repeated lines removed from
+    every document, document reassembled in original line order. Lines are
+    derived deterministically by breaking the synthetic one-line docs at
+    ' the ' (same derivation in the oracle)."""
+    from ticdc_spark.functions.textops import line_dedup
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr("replace(text, ' the ', '\n')").alias("text")
+    )
+    return line_dedup(docs, min_docs=2)
+
+
+SQL_DOC_LINE_DEDUP = """
+WITH d AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents),
+l AS (
+  SELECT doc_id, i AS pos, ls[CAST(i AS INT)] AS line
+  FROM (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d))),
+rep AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT l.* FROM l ANTI JOIN rep USING (line)),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines FROM l GROUP BY doc_id),
+re AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines,
+       CAST(coalesce(re.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(length(coalesce(re.cleaned, '')) AS BIGINT) AS cleaned_chars,
+       md5(coalesce(re.cleaned, '')) AS cleaned_hash
+FROM tot t LEFT JOIN re USING (doc_id)
+"""
+
+
 def q_sft_prep_pipeline(spark, sf_dir):
     """SFT data-prep capstone — the full path from CDC-ingested transcripts
     to packed training sequences, composed from the individual operators:
@@ -3121,6 +3155,7 @@ QUERIES = {
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_delta_dedup": q_doc_delta_dedup,
     "doc_delta_neardup": q_doc_delta_neardup,
+    "doc_line_dedup": q_doc_line_dedup,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_url_domains": q_doc_url_domains,
     "conv_flatten": q_conv_flatten,
@@ -3200,6 +3235,7 @@ ORACLES = {
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_delta_dedup": SQL_DOC_DELTA_DEDUP,
     "doc_delta_neardup": SQL_DOC_DELTA_NEARDUP,
+    "doc_line_dedup": SQL_DOC_LINE_DEDUP,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_url_domains": SQL_DOC_URL_DOMAINS,
     "conv_flatten": SQL_CONV_FLATTEN,
@@ -3271,6 +3307,7 @@ _DEMOTED = [
     "conv_stats",
     "doc_url_domains",
     "doc_delta_neardup",
+    "doc_line_dedup",
     "doc_repetition",
     "doc_ngram_jaccard",
     "emb_rp_lsh",
