@@ -217,3 +217,37 @@ def test_delta_dedup_never_cross_joins(spark):
     plan = _plan(delta_exact_dedup(d.filter("doc_id % 2 = 0"), d.filter("doc_id % 2 = 1")))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange") <= 3  # two hash aggs + the keyed joins
+
+
+def test_domain_resample_corpus_never_shuffled(spark):
+    """The temperature-resample thresholds join back to the corpus as a
+    BROADCAST — the corpus side must not hash-exchange (only the tiny
+    group-count aggregate may)."""
+    from ticdc_spark.functions.textops import domain_resample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(domain_resample(docs, group_col="source"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_global_shuffle_one_exchange_no_global_sort(spark):
+    """The deterministic shuffle needs exactly ONE exchange (the
+    per-(split, shard) window partition) and no global range sort."""
+    from ticdc_spark.functions.textops import global_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(global_shuffle(docs, n_shards=8))
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """Top-k must compile to TakeOrderedAndProject (bounded per-task heap),
+    never a global sort of the frequency table."""
+    from ticdc_spark.functions.textops import vocab_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(vocab_topk(docs, k=50))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan  # map-side combine under the word agg

@@ -366,3 +366,85 @@ def test_pack_firstfit_quality_mode(spark):
     assert any(r["pack_tokens"] > budget and r["n_docs"] > 1 for r in st_stream)
     assert all(r["pack_tokens"] <= budget or r["n_docs"] == 1 for r in st)
     assert len(st) <= 1.3 * len(st_stream)
+
+
+def test_global_shuffle_partition_of_corpus(spark):
+    from ticdc_spark.functions.textops import global_shuffle
+
+    docs = _docs(spark)
+    g = global_shuffle(docs, n_shards=4, seed="t0")
+    rows = g.collect()
+    assert len(rows) == docs.count()
+    # every row lands in exactly one split/shard with contiguous 1..n pos
+    from collections import defaultdict
+    by = defaultdict(list)
+    for r in rows:
+        assert r["split"] in ("train", "val", "test")
+        assert 0 <= r["shard"] < 4
+        by[(r["split"], r["shard"])].append(r["pos"])
+    for ps in by.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    # train dominates with the 90/5/5 defaults
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    assert n_train > 0.8 * len(rows)
+
+
+def test_global_shuffle_stable_under_seed_and_append(spark):
+    from ticdc_spark.functions.textops import global_shuffle
+
+    docs = _docs(spark)
+    a = {r["doc_id"]: (r["split"], r["shard"], r["pos"])
+         for r in global_shuffle(docs, n_shards=4, seed="t0").collect()}
+    b = {r["doc_id"]: (r["split"], r["shard"], r["pos"])
+         for r in global_shuffle(docs, n_shards=4, seed="t0").collect()}
+    assert a == b  # rerun-identical
+    c = {r["doc_id"]: r["split"]
+         for r in global_shuffle(docs, n_shards=4, seed="t1").collect()}
+    assert any(c[k] != a[k][0] for k in c)  # a new seed is a new shuffle
+    # appends never move an existing row across splits
+    half = docs.limit(30)
+    d = {r["doc_id"]: r["split"]
+         for r in global_shuffle(half, n_shards=4, seed="t0").collect()}
+    assert all(a[k][0] == v for k, v in d.items())
+
+
+def test_domain_resample_flattens_skew(spark):
+    from ticdc_spark.functions.textops import domain_resample
+
+    docs = _docs(spark).withColumn(
+        "domain", F.when(F.col("doc_id") % 10 < 8, "big").otherwise("small")
+    )
+    before = {r["domain"]: r["n"] for r in
+              docs.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    kept = domain_resample(docs, group_col="domain", seed="t0")
+    after = {r["grp"]: r["n"] for r in
+             kept.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # rarest domain keeps everything; the big one is cut toward sqrt parity
+    assert after["small"] == before["small"]
+    assert after["big"] < before["big"]
+    ratio_before = before["big"] / before["small"]
+    ratio_after = after["big"] / after["small"]
+    assert ratio_after < ratio_before
+
+
+def test_vocab_topk_rank_and_tiebreak(spark):
+    from ticdc_spark.functions.textops import vocab_topk
+
+    d = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a c! C,d")], ["doc_id", "text"]
+    )
+    rows = vocab_topk(d, k=3).collect()
+    assert [(r["rank"], r["word"], r["freq"]) for r in rows] == [
+        (1, "a", 3), (2, "b", 3), (3, "c", 3)]
+
+
+def test_quality_classifier_decisions(spark):
+    from ticdc_spark.functions.textops import quality_classifier
+
+    out = quality_classifier(_docs(spark))
+    rows = out.collect()
+    assert {r["decision"] for r in rows} <= {"keep", "borderline", "drop"}
+    for r in rows:
+        want = ("keep" if r["score_cbp"] >= 100000
+                else "borderline" if r["score_cbp"] >= 0 else "drop")
+        assert r["decision"] == want

@@ -717,3 +717,144 @@ def line_dedup(docs: DataFrame, min_docs: int = 2,
         F.length(F.coalesce("_cleaned", F.lit(""))).cast("long").alias("cleaned_chars"),
         F.md5(F.coalesce("_cleaned", F.lit(""))).alias("cleaned_hash"),
     )
+
+
+def global_shuffle(docs: DataFrame, n_shards: int = 16, seed: str = "s0",
+                   train_bp: int = 9000, val_bp: int = 9500,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministic corpus shuffle + train/val/test split assignment, the
+    last step before a training run materializes shards.
+
+    Two independent md5 draws per row (both PORTABLE — an external SQL
+    oracle reproduces them exactly): a 32-bit split draw assigns
+    train/val/test by basis-point thresholds, and a 60-bit shuffle key
+    orders rows pseudo-randomly. shard = key mod n_shards; pos =
+    row_number within (split, shard) ordered by (key, id). Re-running with
+    the same seed reproduces the exact permutation; changing the seed is a
+    fresh shuffle. Appends don't move existing rows across splits (a row's
+    split depends only on its id + seed).
+
+    Scale shape: one narrow projection computes both draws; the only
+    exchange is the hash partition for the per-(split, shard) window, and
+    each window partition holds ~corpus/n_shards rows — there is NO global
+    sort. At 100 TB, n_shards is sized so a shard fits a task."""
+    u32 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":split:"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    key = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":ord:"),
+                                   F.col(id_col).cast("string"))), 1, 15),
+        16, 10).cast("long")
+    split = (
+        F.when(u32 * 10000 < F.lit(train_bp) * 0x1_0000_0000, "train")
+        .when(u32 * 10000 < F.lit(val_bp) * 0x1_0000_0000, "val")
+        .otherwise("test")
+    )
+    from pyspark.sql import Window
+    drawn = docs.select(
+        F.col(id_col).alias("doc_id"), split.alias("split"),
+        key.alias("_k"), F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("split", "shard").orderBy("_k", "doc_id")
+    return drawn.select(
+        "doc_id", "split", "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def domain_resample(docs: DataFrame, group_col: str = "source",
+                    seed: str = "r0", id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based domain rebalancing (T=2, i.e. alpha=1/2): keep
+    rate for group g is sqrt(n_min / n_g) — the rarest domain keeps
+    everything, a domain 4x larger keeps half — flattening the domain
+    distribution toward the alpha-power law used when mixing web-scale
+    training corpora.
+
+    EXACTNESS: the threshold is floor(2^32 * sqrt(n_min/n_g)) computed
+    from integer counts through IEEE-754 division and sqrt — both
+    correctly-rounded operations, so ANY engine computes the identical
+    threshold bit-for-bit (this is deliberately sqrt, not pow: pow is not
+    correctly rounded and an external oracle could disagree in the last
+    ulp). Acceptance compares a portable 32-bit md5 draw against it.
+
+    Scale shape: group cardinalities are one tiny aggregate; the
+    thresholds join back on the group key as a broadcast — the corpus
+    itself is never shuffled, the plan is scan -> broadcast-join ->
+    filter at any scale."""
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_ng"))
+    n_min = counts.agg(F.min("_ng").alias("_nmin"))
+    thr = counts.crossJoin(F.broadcast(n_min)).select(
+        group_col,
+        F.floor(
+            F.lit(float(0x1_0000_0000))
+            * F.sqrt(F.col("_nmin").cast("double") / F.col("_ng").cast("double"))
+        ).cast("long").alias("_thr"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"),
+                                   F.col(id_col).cast("string"))), 1, 8),
+        16, 10).cast("long")
+    return (
+        docs.join(F.broadcast(thr), group_col)
+        .filter(u < F.col("_thr"))
+        .select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp"))
+    )
+
+
+def vocab_topk(docs: DataFrame, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: top-k words by frequency with deterministic
+    tie-break (freq desc, word asc), ranked 1..k — the word-frequency
+    table a tokenizer-training or OOV-analysis pass starts from.
+
+    Scale shape: explode is a flatMap; the frequency aggregate is keyed on
+    the word with map-side partial combine (Zipf means the heavy words
+    collapse per task before the exchange); top-k is sort+limit — Spark
+    plans TakeOrdered(k), never a global sort — and the final rank window
+    orders k rows, not the corpus."""
+    from pyspark.sql import Window
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = (
+        words.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("word")).limit(k)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("word"))
+    return freq.select(F.row_number().over(w).cast("long").alias("rank"),
+                       "word", "freq")
+
+
+# fixed integer weights for the linear quality model: score_cbp =
+# w . [n_tokens capped, avg_token_len_bp, stop_density_bp] in centi-basis
+# points. A production deployment swaps in trained weights (same plan);
+# integer weights keep the score exact-integer end to end so the oracle
+# hashes identically everywhere.
+QUALITY_W = {"tokens": 3, "atl": -2, "stop": 5, "bias": -40000}
+
+
+def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-scored quality gate: a linear classifier over the heuristic
+    features of quality_score (token count capped at 512, mean token
+    length, stopword density), fixed integer weights, integer score —
+    label = keep / borderline / drop by score thresholds. The shape of a
+    fastText/logistic quality filter with the model swapped for exact
+    integer weights (no exp: monotone thresholds on the linear score give
+    the same decision boundary and hash identically on any engine).
+
+    Scale shape: pure Column math on top of quality_score's narrow
+    projection — no shuffle, no UDF."""
+    feats = quality_score(docs, text_col)
+    score = (
+        F.least(F.col("n_tokens"), F.lit(512)) * F.lit(QUALITY_W["tokens"] * 100)
+        + F.col("avg_token_len_bp") * F.lit(QUALITY_W["atl"])
+        + F.col("stop_density_bp") * F.lit(QUALITY_W["stop"])
+        + F.lit(QUALITY_W["bias"])
+    ).cast("long")
+    return feats.select(
+        "doc_id", score.alias("score_cbp"),
+        F.when(score >= 100000, "keep")
+        .when(score >= 0, "borderline")
+        .otherwise("drop").alias("decision"),
+    )

@@ -3036,6 +3036,121 @@ FROM tot t LEFT JOIN re USING (doc_id)
 """
 
 
+def q_doc_global_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle + split assignment: two portable md5
+    draws per row; split by basis-point thresholds, shard = key mod 16,
+    pos = row_number within (split, shard) ordered by the draw."""
+    from ticdc_spark.functions.textops import global_shuffle
+
+    return global_shuffle(_docs(spark, sf_dir), n_shards=16, seed="s0")
+
+
+SQL_DOC_GLOBAL_SHUFFLE = """
+WITH d AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('s0:split:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS u32,
+    CAST(('0x' || substr(md5('s0:ord:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    CASE WHEN u32 * 10000 < 9000 * 4294967296 THEN 'train'
+         WHEN u32 * 10000 < 9500 * 4294967296 THEN 'val'
+         ELSE 'test' END AS split,
+    k, CAST(k % 16 AS INT) AS shard
+  FROM d)
+SELECT doc_id, split, shard,
+       CAST(row_number() OVER (PARTITION BY split, shard ORDER BY k, doc_id) AS BIGINT) AS pos
+FROM s
+"""
+
+
+def q_doc_domain_resample(spark, sf_dir):
+    """Temperature (T=2) domain rebalancing: keep rate per group =
+    sqrt(n_min / n_g), thresholds exact via correctly-rounded IEEE
+    division+sqrt, acceptance by portable md5. The synthetic sources are
+    uniform, so the query folds them into a deliberately SKEWED 3-domain
+    mix (web 70% / code 20% / books 10%) so the thresholds are actually
+    exercised (keep rates 0.38 / 0.71 / 1.0)."""
+    from ticdc_spark.functions.textops import domain_resample
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "domain",
+        F.expr("CASE WHEN CAST(substring(source, 4, 10) AS INT) < 14 THEN 'web' "
+               "WHEN CAST(substring(source, 4, 10) AS INT) < 18 THEN 'code' "
+               "ELSE 'books' END"),
+    )
+    return domain_resample(docs, group_col="domain", seed="r0")
+
+
+SQL_DOC_DOMAIN_RESAMPLE = """
+WITH d0 AS (
+  SELECT doc_id,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 14 THEN 'web'
+              WHEN CAST(substr(source, 4) AS INT) < 18 THEN 'code'
+              ELSE 'books' END AS domain
+  FROM documents),
+c AS (SELECT domain, count(*) AS ng FROM d0 GROUP BY domain),
+m AS (SELECT min(ng) AS nmin FROM c),
+t AS (SELECT domain,
+             CAST(floor(4294967296 * sqrt(CAST(nmin AS DOUBLE) / CAST(ng AS DOUBLE))) AS BIGINT) AS thr
+      FROM c, m)
+SELECT d.doc_id, d.domain AS grp
+FROM d0 d JOIN t USING (domain)
+WHERE CAST(('0x' || substr(md5('r0:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < t.thr
+"""
+
+
+def q_doc_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-100 words by frequency, deterministic
+    (freq desc, word asc) tie-break, ranked."""
+    from ticdc_spark.functions.textops import vocab_topk
+
+    return vocab_topk(_docs(spark, sf_dir), k=100)
+
+
+SQL_DOC_VOCAB_TOPK = """
+WITH w AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word FROM documents),
+f AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM w
+      WHERE word <> '' GROUP BY word
+      ORDER BY freq DESC, word LIMIT 100)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank, word, freq
+FROM f
+"""
+
+
+def q_doc_quality_classifier(spark, sf_dir):
+    """Linear quality model over the heuristic features, fixed integer
+    weights, integer score, keep/borderline/drop decision."""
+    from ticdc_spark.functions.textops import quality_classifier
+
+    return quality_classifier(_docs(spark, sf_dir))
+
+
+SQL_DOC_QUALITY_CLASSIFIER = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(trim(text)) AS BIGINT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST((length(trim(text)) - length(replace(trim(text), 'the', ''))) // 3 AS BIGINT) AS the_hits
+  FROM documents),
+f AS (
+  SELECT doc_id, n_tokens,
+         CAST(((n_chars - (n_tokens - 1)) * 10000) // n_tokens AS BIGINT) AS atl_bp,
+         CAST((the_hits * 10000) // n_tokens AS BIGINT) AS sd_bp
+  FROM t),
+s AS (
+  SELECT doc_id,
+         CAST(least(n_tokens, 512) * 300 + atl_bp * (-2) + sd_bp * 5 - 40000 AS BIGINT) AS score_cbp
+  FROM f)
+SELECT doc_id, score_cbp,
+       CASE WHEN score_cbp >= 100000 THEN 'keep'
+            WHEN score_cbp >= 0 THEN 'borderline'
+            ELSE 'drop' END AS decision
+FROM s
+"""
+
+
 def q_sft_prep_pipeline(spark, sf_dir):
     """SFT data-prep capstone — the full path from CDC-ingested transcripts
     to packed training sequences, composed from the individual operators:
@@ -3156,6 +3271,10 @@ QUERIES = {
     "doc_delta_dedup": q_doc_delta_dedup,
     "doc_delta_neardup": q_doc_delta_neardup,
     "doc_line_dedup": q_doc_line_dedup,
+    "doc_global_shuffle": q_doc_global_shuffle,
+    "doc_domain_resample": q_doc_domain_resample,
+    "doc_vocab_topk": q_doc_vocab_topk,
+    "doc_quality_classifier": q_doc_quality_classifier,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_url_domains": q_doc_url_domains,
     "conv_flatten": q_conv_flatten,
@@ -3236,6 +3355,10 @@ ORACLES = {
     "doc_delta_dedup": SQL_DOC_DELTA_DEDUP,
     "doc_delta_neardup": SQL_DOC_DELTA_NEARDUP,
     "doc_line_dedup": SQL_DOC_LINE_DEDUP,
+    "doc_global_shuffle": SQL_DOC_GLOBAL_SHUFFLE,
+    "doc_domain_resample": SQL_DOC_DOMAIN_RESAMPLE,
+    "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
+    "doc_quality_classifier": SQL_DOC_QUALITY_CLASSIFIER,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_url_domains": SQL_DOC_URL_DOMAINS,
     "conv_flatten": SQL_CONV_FLATTEN,
@@ -3308,6 +3431,10 @@ _DEMOTED = [
     "doc_url_domains",
     "doc_delta_neardup",
     "doc_line_dedup",
+    "doc_quality_classifier",
+    "doc_fingerprint",
+    "emb_cosine_topk",
+    "mq_avro_roundtrip",
     "doc_repetition",
     "doc_ngram_jaccard",
     "emb_rp_lsh",
