@@ -251,3 +251,28 @@ def test_vocab_topk_is_take_ordered(spark):
     plan = _plan(vocab_topk(docs, k=50))
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan  # map-side combine under the word agg
+
+
+def test_salted_join_plan_joins_on_salt(spark):
+    """With broadcast disabled (the regime salting exists for), the join
+    must run on (key, _salt) with the dim's hot rows exploded across
+    salts — one hot key spreads over n_salts reducers."""
+    from ticdc_spark.operators.skew import detect_heavy_keys, salted_join
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fact = spark.range(500).select(
+            (F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+        dim = spark.range(5).select(F.col("id").alias("k"),
+                                    F.lit("d").alias("name"))
+        heavy = fact.groupBy("k").count().filter("count > 50").select("k")
+        plan = _plan(salted_join(fact, dim, ["k"], heavy, n_salts=4))
+        assert "_salt" in plan and "Generate explode" in plan
+        # the main join keys on the salt (either merge or hash strategy)
+        import re
+        joins = [ln for ln in plan.splitlines()
+                 if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln)]
+        assert any("_salt" in ln for ln in joins)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)

@@ -106,3 +106,47 @@ def test_detect_heavy_keys(spark):
     heavy = detect_heavy_keys(gen_binlog(spark, spec), ["conv_id"], threshold=400)
     names = {r["conv_id"] for r in heavy.collect()}
     assert 1 <= len(names) <= 3  # the hot convs and nothing else
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be invisible in the result: planted 100x skew on one
+    key, salted join == plain join row-for-row, inner and left."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.operators.skew import detect_heavy_keys, salted_join
+
+    fact = spark.range(1200).select(
+        F.when(F.col("id") < 1000, F.lit(7)).otherwise(F.col("id") % 50)
+        .cast("long").alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(40).select(
+        F.col("id").cast("long").alias("k"),
+        F.concat(F.lit("d"), F.col("id")).alias("name"),
+    )
+    heavy = detect_heavy_keys(fact, ["k"], threshold=100)
+    assert [r["k"] for r in heavy.collect()] == [7]
+    for how in ("inner", "left"):
+        got = sorted(
+            salted_join(fact, dim, ["k"], heavy, n_salts=4, how=how).collect(),
+            key=lambda r: (r["k"], r["v"]),
+        )
+        want = sorted(fact.join(dim, ["k"], how).collect(),
+                      key=lambda r: (r["k"], r["v"]))
+        assert got == want
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's fact rows must actually land on multiple salts (the
+    whole point); cold keys stay on salt 0 and are never replicated."""
+    from pyspark.sql import functions as F
+
+    from ticdc_spark.operators.skew import detect_heavy_keys, salted_join
+
+    fact = spark.range(1000).select(F.lit(1).cast("long").alias("k"),
+                                    F.col("id").alias("v"))
+    dim = spark.range(2).select(F.col("id").cast("long").alias("k"),
+                                F.lit("x").alias("name"))
+    heavy = detect_heavy_keys(fact, ["k"], threshold=10)
+    out = salted_join(fact, dim, ["k"], heavy, n_salts=8)
+    assert out.count() == 1000  # dim replication adds no output rows

@@ -64,3 +64,51 @@ def salted_two_phase_lww(df: DataFrame, key: Sequence[str], n_salts: int = 8) ->
     ordc2 = F.struct(*[F.col(f"_w.{c}") for c in ORDER_COLS])
     p2 = p1.groupBy(*key).agg(F.max_by(F.col("_w"), ordc2).alias("_w"))
     return p2.select(*key, *[F.col(f"_w.{c}").alias(c) for c in payload_cols])
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: Sequence[str],
+                heavy: DataFrame, n_salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Skew-resistant shuffle join: the hot-span-split idea applied to a
+    JOIN whose dim side is too large to broadcast and whose fact side is
+    skewed on the join key.
+
+    Fact rows on a heavy key get a pseudo-random salt in [0, n_salts); dim
+    rows on a heavy key are REPLICATED across all n_salts salts (explode
+    over a sequence literal — a flatMap, no shuffle of its own); everything
+    else keeps salt 0. The join then runs on (key, salt), so one hot key's
+    fact rows spread over n_salts tasks instead of melting one reducer.
+    Result is row-identical to the unsalted join (the salt never reaches
+    the output), which is exactly what the equality oracle asserts.
+
+    This is the manual fallback for when AQE's skew-join splitting can't
+    apply (it only splits SORT-MERGE join partitions materialized from a
+    shuffle — a pre-bucketed or already-partitioned dim side, or a
+    shuffled-hash plan, won't be split). `heavy` comes from
+    detect_heavy_keys on a traffic sample, mirroring how the reference
+    splits spans from observed write traffic rather than statically."""
+    key = list(key)
+    heavy_b = F.broadcast(heavy.select(*key).withColumn("_heavy", F.lit(True)))
+    fact_cols = [c for c in fact.columns]
+    f = (
+        fact.join(heavy_b, key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_heavy").isNotNull(),
+                F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), F.lit(n_salts)),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("_heavy")
+    )
+    d = dim.join(heavy_b, key, "left")
+    d_cold = d.filter(F.col("_heavy").isNull()).withColumn(
+        "_salt", F.lit(0).cast("int")
+    ).drop("_heavy")
+    d_hot = (
+        d.filter(F.col("_heavy").isNotNull())
+        .drop("_heavy")
+        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+        .withColumn("_salt", F.col("_salt").cast("int"))
+    )
+    return f.join(d_cold.unionByName(d_hot), key + ["_salt"], how).drop("_salt")

@@ -435,6 +435,37 @@ SELECT conv_id, count(*) AS n_events FROM binlog GROUP BY conv_id HAVING count(*
 """
 
 
+def q_salted_skew_join(spark, sf_dir):
+    """X2 applied to a JOIN: skew-resistant salted shuffle join — heavy
+    fact keys (detected from traffic, splitter_write.go analog) are
+    salted and the dim side replicated across salts, so a hot key spreads
+    over n_salts tasks. The output is row-identical to the plain join,
+    which is exactly what this oracle asserts (the aggregate keeps the
+    result small; quantities are whole numbers so the BIGINT sum is
+    exact)."""
+    from ticdc_spark.operators.skew import detect_heavy_keys, salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    heavy = detect_heavy_keys(li, ["l_partkey"], threshold=35)
+    joined = salted_join(li, part, ["l_partkey"], heavy, n_salts=4)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+    )
+
+
+SQL_SALTED_SKEW_JOIN = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def q_stream_window_counts(spark, sf_dir):
     """W-analog: tumbling-window aggregation over event time (the
     Structured-Streaming windowed agg, run as a batch query)."""
@@ -3266,6 +3297,7 @@ QUERIES = {
     "mount_decode_props": q_mount_decode_props,
     "schema_asof_version": q_schema_asof_version,
     "heavy_key_detect": q_heavy_key_detect,
+    "salted_skew_join": q_salted_skew_join,
     "stream_window_counts": q_stream_window_counts,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_delta_dedup": q_doc_delta_dedup,
@@ -3350,6 +3382,7 @@ ORACLES = {
     "mount_decode_props": SQL_MOUNT_DECODE,
     "schema_asof_version": SQL_SCHEMA_ASOF,
     "heavy_key_detect": SQL_HEAVY_KEY,
+    "salted_skew_join": SQL_SALTED_SKEW_JOIN,
     "stream_window_counts": SQL_STREAM_WINDOW,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_delta_dedup": SQL_DOC_DELTA_DEDUP,
@@ -3432,6 +3465,7 @@ _DEMOTED = [
     "doc_delta_neardup",
     "doc_line_dedup",
     "doc_quality_classifier",
+    "heavy_key_detect",
     "doc_fingerprint",
     "emb_cosine_topk",
     "mq_avro_roundtrip",
