@@ -466,6 +466,41 @@ GROUP BY p_brand
 """
 
 
+def q_event_asof_enrich(spark, sf_dir):
+    """J(a) generalized: point-in-time enrichment — every event joins the
+    latest user-tier version at or before its timestamp (union-marker
+    as-of join: one exchange, no row explosion). The version history is
+    derived deterministically: four weekly epochs per user, tier =
+    user_id*10 + epoch index. DuckDB's native ASOF JOIN is the oracle."""
+    from ticdc_spark.operators.asof import asof_join
+
+    e = _events(spark, sf_dir)
+    versions = (
+        e.select("user_id").distinct()
+        .select("user_id", F.explode(F.array(*[F.lit(k) for k in range(4)])).alias("k"))
+        .select(
+            "user_id",
+            (F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+             + F.make_interval(days=F.col("k") * 7)).alias("vts"),
+            (F.col("user_id") * 10 + F.col("k")).cast("long").alias("tier"),
+        )
+    )
+    out = asof_join(e.select("event_id", "user_id", "ts"), versions,
+                    by="user_id", left_ts="ts", right_ts="vts")
+    return out.select("event_id", "user_id", "ts", "vts", "tier")
+
+
+SQL_EVENT_ASOF_ENRICH = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+v AS (SELECT user_id,
+             TIMESTAMP '2024-01-01' + INTERVAL (k * 7) DAY AS vts,
+             CAST(user_id * 10 + k AS BIGINT) AS tier
+      FROM users, (SELECT unnest([0, 1, 2, 3]) AS k) t(k))
+SELECT e.event_id, e.user_id, e.ts, v.vts, v.tier
+FROM events e ASOF LEFT JOIN v ON e.user_id = v.user_id AND e.ts >= v.vts
+"""
+
+
 def q_stream_window_counts(spark, sf_dir):
     """W-analog: tumbling-window aggregation over event time (the
     Structured-Streaming windowed agg, run as a batch query)."""
@@ -3298,6 +3333,7 @@ QUERIES = {
     "schema_asof_version": q_schema_asof_version,
     "heavy_key_detect": q_heavy_key_detect,
     "salted_skew_join": q_salted_skew_join,
+    "event_asof_enrich": q_event_asof_enrich,
     "stream_window_counts": q_stream_window_counts,
     "doc_exact_dedup": q_doc_exact_dedup,
     "doc_delta_dedup": q_doc_delta_dedup,
@@ -3383,6 +3419,7 @@ ORACLES = {
     "schema_asof_version": SQL_SCHEMA_ASOF,
     "heavy_key_detect": SQL_HEAVY_KEY,
     "salted_skew_join": SQL_SALTED_SKEW_JOIN,
+    "event_asof_enrich": SQL_EVENT_ASOF_ENRICH,
     "stream_window_counts": SQL_STREAM_WINDOW,
     "doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
     "doc_delta_dedup": SQL_DOC_DELTA_DEDUP,
@@ -3466,6 +3503,7 @@ _DEMOTED = [
     "doc_line_dedup",
     "doc_quality_classifier",
     "heavy_key_detect",
+    "doc_neardup_pairs",
     "doc_fingerprint",
     "emb_cosine_topk",
     "mq_avro_roundtrip",
