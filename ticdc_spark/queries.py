@@ -3217,6 +3217,58 @@ FROM s
 """
 
 
+def q_doc_bpe_encode(spark, sf_dir):
+    """Real BPE token accounting under the frozen trained merge table:
+    distinct words encode once (Arrow pandas pass, ranks broadcast), counts
+    join back to the word stream. The oracle replays the exact apply
+    semantics — (min rank, leftmost), rescan — as a recursive CTE."""
+    from ticdc_spark.functions.bpe import TRAINED_MERGES, bpe_encode
+
+    return bpe_encode(_docs(spark, sf_dir), TRAINED_MERGES)
+
+
+def _bpe_sql() -> str:
+    """DuckDB twin of bpe_encode under TRAINED_MERGES: recursive CTE, one
+    merge per step — the adjacent pair with the lowest rank in the frozen
+    table (list_position gives the FIRST index, i.e. leftmost occurrence
+    on rank ties), until no pair applies."""
+    from ticdc_spark.functions.bpe import TRAINED_MERGES
+
+    mergelist = "[" + ", ".join(f"'{a}|{b}'" for a, b in TRAINED_MERGES) + "]"
+    ranks = (
+        "list_transform(range(1, len(syms)), i -> "
+        f"list_position({mergelist}, syms[CAST(i AS INT)] || '|' || syms[CAST(i AS INT)+1]))"
+    )
+    best = f"list_min(list_filter({ranks}, r -> r IS NOT NULL AND r > 0))"
+    return f"""
+WITH RECURSIVE
+wd AS (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS word
+       FROM documents),
+wd2 AS (SELECT doc_id, word FROM wd WHERE word <> ''),
+w2 AS (SELECT DISTINCT word FROM wd2),
+enc(word, syms) AS (
+  SELECT word, list_transform(range(1, length(word) + 1), i -> word[CAST(i AS INT)])
+  FROM w2
+  UNION ALL
+  SELECT word,
+         syms[1:best_idx-1] || [syms[best_idx] || syms[best_idx+1]] || syms[best_idx+2:]
+  FROM (SELECT word, syms, list_position({ranks}, {best}) AS best_idx FROM enc)
+  WHERE best_idx IS NOT NULL AND best_idx > 0),
+fin AS (
+  SELECT word, CAST(len(syms) AS BIGINT) AS n_toks
+  FROM (SELECT word, syms, {best} AS more FROM enc)
+  WHERE more IS NULL)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_toks) AS BIGINT) AS n_bpe_tokens
+FROM wd2 JOIN fin USING (word)
+GROUP BY doc_id
+"""
+
+
+SQL_DOC_BPE_ENCODE = _bpe_sql()
+
+
 def q_sft_prep_pipeline(spark, sf_dir):
     """SFT data-prep capstone — the full path from CDC-ingested transcripts
     to packed training sequences, composed from the individual operators:
@@ -3342,6 +3394,7 @@ QUERIES = {
     "doc_global_shuffle": q_doc_global_shuffle,
     "doc_domain_resample": q_doc_domain_resample,
     "doc_vocab_topk": q_doc_vocab_topk,
+    "doc_bpe_encode": q_doc_bpe_encode,
     "doc_quality_classifier": q_doc_quality_classifier,
     "doc_pii_scrub": q_doc_pii_scrub,
     "doc_url_domains": q_doc_url_domains,
@@ -3428,6 +3481,7 @@ ORACLES = {
     "doc_global_shuffle": SQL_DOC_GLOBAL_SHUFFLE,
     "doc_domain_resample": SQL_DOC_DOMAIN_RESAMPLE,
     "doc_vocab_topk": SQL_DOC_VOCAB_TOPK,
+    "doc_bpe_encode": SQL_DOC_BPE_ENCODE,
     "doc_quality_classifier": SQL_DOC_QUALITY_CLASSIFIER,
     "doc_pii_scrub": SQL_DOC_PII_SCRUB,
     "doc_url_domains": SQL_DOC_URL_DOMAINS,
@@ -3504,6 +3558,7 @@ _DEMOTED = [
     "doc_quality_classifier",
     "heavy_key_detect",
     "doc_neardup_pairs",
+    "cdc_drop_readd_e2e",
     "doc_fingerprint",
     "emb_cosine_topk",
     "mq_avro_roundtrip",
