@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "user_sessions",
     "mq_csv_encode",
     "key_change_split",
+    "doc_global_shuffle",
+    "doc_line_dedup",
+    "doc_bpe_encode",
+    "salted_skew_join",
+    "event_asof_enrich",
 ]
 
 
