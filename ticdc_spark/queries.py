@@ -2184,6 +2184,75 @@ FROM st, tp, pt
 """
 
 
+def q_mq_consumer_apply(spark, sf_dir):
+    """The consumer-tool e2e (cmd/kafka-consumer/{writer,consumer,
+    event_group}.go — the pulsar/storage consumers share the writer):
+    encode the change stream into open-protocol frames across 3 MQ
+    partitions (ts dispatcher) with resolved markers interleaved, then
+    CONSUME them — per-partition watermarks from the markers
+    (writer.go:436-471), fleet flush point = MIN watermark
+    (writer.go:206-208), one exactly-once LWW merge per resolved step
+    (event_group.go:40-52 flushes commit_ts <= watermark) — into a fresh
+    downstream lake table. Result = the downstream state: every event at
+    or below the flush point applied, the tail 1/5 of the stream HELD
+    (no partition has resolved past it yet)."""
+    from ticdc_spark.sinks.consumer import consume_apply
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.sinks.mq import (
+        dispatch_by_ts, encode_open_protocol, resolved_messages)
+
+    b = binlog_from_events(spark, sf_dir).withColumn(
+        "text",
+        F.when(F.col("op") == "D", F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("p-"), F.col("commit_ts").cast("string"))),
+    )
+    n = _events(spark, sf_dir).count()
+    flush = 1000 + 4 * n // 5  # fleet flush point: last 1/5 unresolved
+    enc = dispatch_by_ts(
+        encode_open_protocol(
+            b, "tdb", "transcripts", ["conv_id", "turn_idx", "text"],
+            col_types={"conv_id": "string", "turn_idx": "int", "text": "string"},
+        ),
+        3,
+    )
+    bounds = sorted({flush * i // 3 for i in (1, 2)} | {flush})
+    resolved = spark.createDataFrame(
+        [(p, r, i) for p in range(3) for i, r in enumerate(bounds)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    markers = resolved_messages(resolved, ["tdb_transcripts"], 3)
+    frames = enc.select("topic", "partition", "key", "value").unionByName(
+        markers.select("topic", "partition", "key")
+        .withColumn("value", F.lit(None).cast("string"))
+    )
+    work = _work_dir("ticdc_consume_")
+    target = LakeTable(spark, os.path.join(work, "t"))
+    consume_apply(
+        spark, frames, target, ["conv_id", "turn_idx", "text"],
+        {"conv_id": "string", "turn_idx": "int", "text": "string"},
+    )
+    return target.read(include_meta=True).select(
+        "conv_id", "turn_idx", "text", F.col("_commit_ts").alias("last_commit_ts")
+    )
+
+
+SQL_MQ_CONSUMER_APPLY = f"""
+WITH {BINLOG_CTE},
+flush AS (SELECT 1000 + 4 * count(*) // 5 AS f FROM events),
+eligible AS (
+  SELECT * FROM binlog WHERE commit_ts <= (SELECT f FROM flush)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM eligible)
+SELECT conv_id, turn_idx,
+       'p-' || CAST(commit_ts AS VARCHAR) AS text,
+       commit_ts AS last_commit_ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_checksum_quarantine(spark, sf_dir):
     """P3 integrity verification (cdc/entry/mounter.go:453-523): recompute
     the transported md5 payload checksum; rows that mismatch (here every
@@ -3367,6 +3436,7 @@ QUERIES = {
     "mq_craft_roundtrip": q_mq_craft_roundtrip,
     "mq_event_router": q_mq_event_router,
     "mq_resolved_broadcast": q_mq_resolved_broadcast,
+    "mq_consumer_apply": q_mq_consumer_apply,
     "user_sessions": q_user_sessions,
     "key_change_split": q_key_change_split,
     "lww_final_state": q_lww_final_state,
@@ -3454,6 +3524,7 @@ ORACLES = {
     "mq_craft_roundtrip": SQL_MQ_CRAFT_ROUNDTRIP,
     "mq_event_router": SQL_MQ_EVENT_ROUTER,
     "mq_resolved_broadcast": SQL_MQ_RESOLVED_BROADCAST,
+    "mq_consumer_apply": SQL_MQ_CONSUMER_APPLY,
     "user_sessions": SQL_USER_SESSIONS,
     "key_change_split": SQL_KEY_CHANGE_SPLIT,
     "lww_final_state": SQL_LWW_FINAL,
@@ -3530,8 +3601,12 @@ ORACLES = {
 #   lww_dedup -> lww_final_state (same max_by aggregate);
 #   emb_sign_lsh -> emb_rp_lsh (same RP-plane bucketing);
 #   partition_resolved -> global_frontier (same per-partition max agg);
-#   doc_stratified_sample -> corpus_prep_pipeline (same md5-threshold
-#     sampling expression, exercised inside the composed capstone oracle);
+#   doc_stratified_sample -> doc_domain_resample (same portable
+#     md5-threshold acceptance rule, in-window);
+#   corpus_prep_pipeline -> every composed stage sits in-window on its own
+#     (doc_exact_dedup, doc_neardup_clusters, doc_quality, the md5
+#     sampling rule via doc_domain_resample) and sft_prep_pipeline stays
+#     as the in-window composed capstone;
 #   table_router -> cdc_multi_table_e2e + mq_event_router (same allow/block
 #     matcher, exercised inside both);
 #   event_filter_expr -> cdc_filtered_e2e (same pushed-down expr filter,
@@ -3552,6 +3627,7 @@ _DEMOTED = [
     # (conv_flatten, doc_pii_scrub, doc_delta_dedup); in-family variants
     # live here — the judge's check_oracles run covers them.
     "conv_stats",
+    "corpus_prep_pipeline",
     "doc_url_domains",
     "doc_delta_neardup",
     "doc_line_dedup",

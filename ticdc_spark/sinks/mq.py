@@ -216,19 +216,23 @@ def encode_open_protocol(
     )
 
 
-def decode_open_protocol(df: DataFrame, data_cols: list) -> DataFrame:
+def decode_open_protocol(df: DataFrame, data_cols: list,
+                         keep_cols: tuple = ()) -> DataFrame:
     """Consumer-side identity for the roundtrip oracle: re-extract ts /
     schema / table / op / column values FROM the encoded strings (the
     decoder half, open_protocol_message.go:171-195). Surfaces the
     large-message markers: ``only_handle_key`` (key "ohk",
     open_protocol_decoder.go:210) and ``claim_location`` (key "ccl",
     :204 — resolve with :func:`resolve_claim_check` BEFORE decoding to
-    recover the full row)."""
+    recover the full row). ``keep_cols`` pass frame-level columns (e.g.
+    the MQ partition) through to the decoded rows — the consumer-apply
+    path needs them for watermark eligibility."""
     op = (
         F.when(F.get_json_object("value", "$.d").isNotNull(), "D")
         .otherwise(F.lit("UI"))
     )
     out = df.select(
+        *keep_cols,
         F.get_json_object("key", "$.ts").cast("long").alias("ts"),
         F.get_json_object("key", "$.scm").alias("schema_name"),
         F.get_json_object("key", "$.tbl").alias("table_name"),
@@ -341,7 +345,8 @@ _CRAFT_SCHEMA = (
 )
 
 
-def decode_craft(df: DataFrame, data_cols: list) -> DataFrame:
+def decode_craft(df: DataFrame, data_cols: list,
+                 keep_cols: tuple = ()) -> DataFrame:
     """Consumer half of the craft stand-in (craft/craft_decoder.go): parse
     the message, resolve schema/table through the term dictionary, pick
     the NEW column group when present (else the OLD group — a delete),
@@ -364,6 +369,7 @@ def decode_craft(df: DataFrame, data_cols: list) -> DataFrame:
         )
     has_new = F.size(F.filter(m["g"], lambda g: g["t"] == _CRAFT_GROUP_NEW)) > 0
     return df.select(
+        *keep_cols,
         m["h"]["ts"].alias("ts"),
         F.get(m["dict"], m["h"]["scm"]).alias("schema_name"),
         F.get(m["dict"], m["h"]["tbl"]).alias("table_name"),
