@@ -318,3 +318,65 @@ def lsh_neardup_pairs(embs: DataFrame, n_bits: int = 8, min_cos: float = 0.1,
         )
         .filter(F.col("cos_sim") >= min_cos)
     )
+
+
+def semdedup(embs: DataFrame, tau: float = 0.35,
+             centroid_ids: tuple = tuple(range(100, 108)),
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: list | None = None,
+             max_cluster: int | None = None) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    the k-means coarse quantizer — pairwise cosine is computed only WITHIN
+    a cluster, members joined by a pair at or above ``tau`` collapse to a
+    canonical representative (the connected component's min vec_id), and
+    every vector is labeled keep/drop.
+
+    Scale shape: the cluster assignment is one broadcast pass (the IVF
+    codebook, no table shuffle); within-cluster pairing shuffles once on
+    centroid_id and costs O((n/k)^2) per cluster — the paper's own trade,
+    dialed by training k proportional to corpus size (50k clusters for
+    LAION-scale); ``max_cluster`` additionally drops over-full clusters
+    from pairing (they carry no dup signal, same cap rationale as LSH
+    buckets). Components resolve with the same Pregel-lite min-label loop
+    as the text near-dup path."""
+    from pyspark.sql import Window as W
+
+    from ticdc_spark.functions.textops import neardup_clusters
+
+    assign = ivf_assign(embs, centroid_ids, id_col, vec_col,
+                        centroids=centroids)
+    withc = assign.join(
+        embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        "vec_id",
+    )
+    paired = withc
+    if max_cluster is not None:
+        paired = paired.withColumn(
+            "_csz", F.count(F.lit(1)).over(W.partitionBy("centroid_id"))
+        ).filter(F.col("_csz") <= max_cluster).drop("_csz")
+    a = paired.alias("a")
+    b = paired.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.centroid_id") == F.col("b.centroid_id"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            _r4(cosine(F.col("a.v").cast("array<double>"),
+                       F.col("b.v").cast("array<double>"))).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+    comp = neardup_clusters(pairs, a_col="vec_id_a", b_col="vec_id_b")
+    return assign.join(
+        comp.select(F.col("doc_id").alias("vec_id"),
+                    F.col("cluster").alias("_canon")),
+        "vec_id", "left",
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.coalesce(F.col("_canon"), F.col("vec_id"))
+        .cast("long").alias("canonical_id"),
+        (F.coalesce(F.col("_canon"), F.col("vec_id")) == F.col("vec_id"))
+        .alias("is_kept"),
+    )

