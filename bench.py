@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "doc_bpe_encode",
     "salted_skew_join",
     "event_asof_enrich",
+    "doc_chunk",
+    "emb_semdedup",
 ]
 
 

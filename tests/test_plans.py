@@ -276,3 +276,60 @@ def test_salted_join_plan_joins_on_salt(spark):
         assert any("_salt" in ln for ln in joins)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_chunk_documents_zero_shuffle_no_python(spark):
+    """Chunking must stay one narrow posexplode projection: zero exchanges,
+    no Python eval — at 100 TB it runs entirely inside the scan stage."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.textops import chunk_documents
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(90))) for i in range(50)]
+    )
+    plan = _plan(chunk_documents(d, chunk_tokens=32, stride=24))
+    assert plan.count("Exchange") == 0
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # the posexplode
+
+
+def test_semdedup_assignment_broadcasts_codebook(spark):
+    """SemDeDup's coarse quantizer must consume the codebook via a
+    BROADCAST join — the vector table is never shuffled for assignment
+    (the only exchanges are the per-vector window and the within-cluster
+    pairing, both keyed AFTER assignment)."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.ivf_codebook import CENTROIDS
+    from ticdc_spark.functions.simsearch import ivf_assign
+
+    d = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 7 + j) % 13 - 6) for j in range(64)])
+         for i in range(200)]
+    )
+    plan = _plan(ivf_assign(d, centroids=CENTROIDS))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_consumer_decode_pure_column(spark):
+    """The consumer's frame split + open-protocol decode must be pure
+    Column work: no Python eval, zero exchanges before the sink merge."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.sinks.consumer import split_frames
+    from ticdc_spark.sinks.mq import decode_open_protocol
+
+    frames = spark.createDataFrame([
+        Row(topic="t", partition=i % 3,
+            key='{"ts":%d,"scm":"s","tbl":"t1","t":1}' % (1000 + i),
+            value='{"u":{"conv_id":{"t":253,"v":"c%d"},"turn_idx":{"t":3,"v":%d}}}' % (i, i))
+        for i in range(50)
+    ])
+    rows, resolved = split_frames(frames)
+    dec = decode_open_protocol(rows, ["conv_id", "turn_idx"],
+                               keep_cols=("topic", "partition"))
+    plan = _plan(dec)
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 0
