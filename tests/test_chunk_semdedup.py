@@ -94,3 +94,21 @@ def test_semdedup_max_cluster_cap(spark):
     e = _embs(spark, [(i, [1.0, 0.001 * i]) for i in range(1, 5)])
     out = semdedup(e, tau=0.99, centroids=cents, max_cluster=3).collect()
     assert all(r["is_kept"] for r in out)
+
+
+def test_neardup_clusters_paths_agree(spark):
+    """The driver-side union-find fast path and the distributed Pregel loop
+    must produce identical component labels."""
+    from ticdc_spark.functions.textops import neardup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (3, 4)],
+        "doc_id_a long, doc_id_b long",
+    )
+    fast = {(r["doc_id"], r["cluster"])
+            for r in neardup_clusters(pairs).collect()}
+    dist = {(r["doc_id"], r["cluster"])
+            for r in neardup_clusters(pairs, small_graph_edges=0).collect()}
+    assert fast == dist
+    assert fast == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5),
+                    (8, 8), (9, 8), (10, 8)}

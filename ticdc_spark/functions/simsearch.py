@@ -343,8 +343,12 @@ def semdedup(embs: DataFrame, tau: float = 0.35,
 
     from ticdc_spark.functions.textops import neardup_clusters
 
+    # the assignment feeds BOTH the pairing self-join and the final label
+    # join; checkpoint it once so neither consumer recomputes the
+    # broadcast-scan + window lineage (the operator is action-bearing
+    # already — the component loop runs jobs internally)
     assign = ivf_assign(embs, centroid_ids, id_col, vec_col,
-                        centroids=centroids)
+                        centroids=centroids).localCheckpoint(eager=True)
     withc = assign.join(
         embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
         "vec_id",

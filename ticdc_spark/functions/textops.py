@@ -282,7 +282,8 @@ def simhash16(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def neardup_clusters(pairs: DataFrame, a_col: str = "doc_id_a",
-                     b_col: str = "doc_id_b", max_iters: int = 25) -> DataFrame:
+                     b_col: str = "doc_id_b", max_iters: int = 25,
+                     small_graph_edges: int = 200_000) -> DataFrame:
     """Connected components over the near-dup pair graph: every member doc
     maps to its cluster's canonical (minimum) doc id — the dedup-cluster
     assignment a training pipeline runs AFTER candidate-pair generation
@@ -300,6 +301,38 @@ def neardup_clusters(pairs: DataFrame, a_col: str = "doc_id_a",
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct().persist()
+    # small-graph fast path: the same broadcast-vs-shuffle style decision a
+    # join planner makes — when the (deduped, bucket-cap-bounded) edge list
+    # fits comfortably on the driver, union-find beats N distributed rounds
+    # of (join + agg + collect) by an order of magnitude. The distributed
+    # loop below remains the path for graphs past the cap.
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        try:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for row in edges.collect():
+                a, b = row["src"], row["dst"]
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            out = [(n, find(n)) for n in parent]
+            schema = edges.select(F.col("src").alias("doc_id"),
+                                  F.col("src").alias("cluster")).schema
+            spark = pairs.sparkSession
+            return spark.createDataFrame(out, schema)
+        finally:
+            edges.unpersist()
     # each round LOCAL-CHECKPOINTS the label frame: persist alone caches the
     # data but leaves the logical plan growing one join deeper per round, so
     # Catalyst re-analysis cost goes quadratic in the iteration count (the
