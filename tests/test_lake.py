@@ -115,3 +115,38 @@ def test_delta_layout_validation_and_manifest(spark, tmp_table_path):
         t.create(key=KEY, fields=FIELDS, delta_layout="zoned")
     t.create(key=KEY, fields=FIELDS, with_order_cols=True, delta_layout="bucketed")
     assert t.manifest()["delta_layout"] == "bucketed"
+
+
+def test_syncpoint_consistent_read(spark, tmp_table_path):
+    """read_at_source_ts pins the snapshot the syncpoint pair names: the
+    state at the newest syncpoint <= the requested source ts (the consumer
+    half of mysql_syncpoint_store.go — consistent cross-system reads)."""
+    t = _mk(spark, tmp_table_path)
+    t.merge(spark.createDataFrame([("c1", 0, "I", "user", "v1")], SRC), "b1", resolved_ts=10)
+    t.merge(
+        spark.createDataFrame([("c1", 0, "U", "user", "v2"), ("c2", 0, "I", "user", "x")], SRC),
+        "b2", resolved_ts=20,
+    )
+    got_mid = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read_at_source_ts(15).collect()}
+    assert got_mid == {("c1", 0): "v1"}
+    got_now = {(r["conv_id"], r["turn_idx"]): r["text"] for r in t.read_at_source_ts(99).collect()}
+    assert got_now == {("c1", 0): "v2", ("c2", 0): "x"}
+    with pytest.raises(LookupError):
+        t.syncpoint_for(9)
+
+
+def test_syncpoint_group_commit_validity(spark, tmp_table_path):
+    """A group commit records several resolved-ts against ONE version; only
+    the highest is a consistent read point — reading a lower one would
+    surface later windows' rows."""
+    t = LakeTable(spark, tmp_table_path + "_grp")
+    t.create(key=KEY, fields=FIELDS, n_buckets=2, with_order_cols=True)
+    t.append_delta_files([], "w1", resolved_ts=10)
+    v1 = t.manifest()["version"]
+    t.append_delta_files_group([
+        {"batch_id": "w2", "files": [], "resolved_ts": 20, "lineage_rows": []},
+        {"batch_id": "w3", "files": [], "resolved_ts": 30, "lineage_rows": []},
+    ])
+    assert t.syncpoint_for(25) == (10, v1)  # 20 shares w3's version: not a read point
+    rts, vg = t.syncpoint_for(30)
+    assert rts == 30 and vg > v1

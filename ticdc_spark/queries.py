@@ -1401,6 +1401,52 @@ def q_cdc_pipeline_e2e_mor(spark, sf_dir):
     return cf.target.read().drop("_commit_ts", "_start_ts", "_op_rank", "_deleted")
 
 
+def q_cdc_syncpoint_read(spark, sf_dir):
+    """Syncpoint consistent read — the CONSUMER half of the syncpoint store
+    (K8, cdc/syncpointstore/mysql_syncpoint_store.go:133-180: the reference
+    writes (primary_ts, secondary_ts) pairs downstream precisely so a
+    reader can pin a downstream snapshot and compare it to the upstream at
+    primary_ts). Replay the engine with per-window commits, then
+    time-travel the lake to the syncpoint at the 2/3-stream resolved
+    boundary: the result must equal the LWW state over exactly the events
+    with commit_ts <= that boundary — no later window's row may leak in."""
+    work = _work_dir("ticdc_syncpt_")
+    cf = _run_engine(spark, sf_dir, os.path.join(work, "t"),
+                     cfg_extra={"max_windows_per_job": 1})
+    n = _events(spark, sf_dir).count()
+    bound = (1000 + n) * 2 // 3
+    out = cf.target.read_at_source_ts(bound)
+    if "tool_args" not in out.columns:
+        # at tiny sf the DDL lands after the 2/3 boundary, so the snapshot
+        # predates the column; the oracle always projects it (all-NULL)
+        out = out.withColumn("tool_args", F.lit(None).cast("string"))
+    return out
+
+
+SQL_CDC_SYNCPOINT_READ = f"""
+WITH {BINLOG_CTE},
+ddl AS (SELECT 1000 + 3 * (count(*) // 5) AS ddl_ts FROM events),
+bound AS (SELECT (2 * (1000 + count(*))) // 3 AS b FROM events),
+upto AS (SELECT * FROM binlog WHERE commit_ts <= (SELECT b FROM bound)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM upto)
+SELECT conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+       CASE WHEN commit_ts > (SELECT ddl_ts FROM ddl)
+            THEN 'ta-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool_args
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_cdc_restart_resume(spark, sf_dir):
     """Same replay, but killed after 1 merge and resumed from the manifest
     checkpoint by a fresh engine instance — final state must be identical
@@ -3481,6 +3527,7 @@ QUERIES = {
     "cdc_pipeline_e2e": q_cdc_pipeline_e2e,
     "cdc_pipeline_e2e_mor": q_cdc_pipeline_e2e_mor,
     "cdc_restart_resume": q_cdc_restart_resume,
+    "cdc_syncpoint_read": q_cdc_syncpoint_read,
     "cdc_keychange_e2e": q_cdc_keychange_e2e,
     "cdc_filtered_e2e": q_cdc_filtered_e2e,
     "cdc_multi_table_e2e": q_cdc_multi_table_e2e,
@@ -3571,6 +3618,7 @@ ORACLES = {
     "cdc_pipeline_e2e": SQL_CDC_E2E,
     "cdc_pipeline_e2e_mor": SQL_CDC_E2E,
     "cdc_restart_resume": SQL_CDC_E2E,
+    "cdc_syncpoint_read": SQL_CDC_SYNCPOINT_READ,
     "cdc_keychange_e2e": SQL_CDC_KEYCHANGE_E2E,
     "cdc_filtered_e2e": SQL_CDC_FILTERED_E2E,
     "cdc_multi_table_e2e": SQL_CDC_MULTI_TABLE_E2E,
@@ -3705,8 +3753,12 @@ ORACLES = {
 #     the MOR sink path in-window;
 _DEMOTED = [
     # new-family additions keep one representative in the driver window
-    # (conv_flatten, doc_pii_scrub, doc_delta_dedup); in-family variants
-    # live here — the judge's check_oracles run covers them.
+    # (conv_flatten, doc_pii_scrub, doc_delta_dedup, cdc_syncpoint_read);
+    # in-family variants live here — the judge's check_oracles run covers
+    # them. mq_csv_encode demoted for the syncpoint-read slot: the codec
+    # family keeps open/claim-check roundtrips, consumer-apply and the
+    # router in-window.
+    "mq_csv_encode",
     "cdc_pipeline_e2e",
     "conv_stats",
     "corpus_prep_pipeline",

@@ -330,6 +330,44 @@ class LakeTable:
         # pair — the sidecar is at-least-once, the view is exactly-once
         return sorted({(rts, v) for rts, v in out if v <= cur["version"]})
 
+    def syncpoint_for(self, source_ts: int) -> tuple:
+        """Resolve a SOURCE resolved-ts to the lake snapshot version whose
+        committed state corresponds exactly to it — the consumer half of the
+        syncpoint store (the reference writes (primary_ts, secondary_ts)
+        pairs downstream so a reader can pin a downstream snapshot at
+        secondary_ts and compare it against the upstream at primary_ts;
+        cdc/syncpointstore/mysql_syncpoint_store.go:133-180).
+
+        Group commits (span execution / multi-batch apply) record SEVERAL
+        (resolved_ts, version) pairs against one version; the version's
+        data covers the HIGHEST of those resolved-ts, so only that pair is
+        a consistent read point — the lower ones are replay-recognition
+        bookkeeping and reading them would surface later windows' rows.
+
+        Returns the valid (resolved_ts, version) pair with the largest
+        resolved_ts <= ``source_ts``; raises LookupError when no syncpoint
+        covers it. Time-travel requires the version's files to still exist
+        (snapshot expiry honors expire_keep_last / gc_safepoint_ts)."""
+        by_version: dict = {}
+        for rts, v in self.syncpoints():
+            by_version[v] = max(by_version.get(v, rts), rts)
+        best = None
+        for rts, v in sorted((rts, v) for v, rts in by_version.items()):
+            if rts <= source_ts:
+                best = (rts, v)
+        if best is None:
+            raise LookupError(
+                f"no syncpoint at or below source ts {source_ts}"
+            )
+        return best
+
+    def read_at_source_ts(self, source_ts: int, **kw) -> DataFrame:
+        """Consistent snapshot read: the table state that corresponds to
+        the newest syncpoint at or below ``source_ts`` (time-travel via the
+        version half of the pair). What a cross-system consistency check
+        runs downstream while the upstream sits at ``source_ts``."""
+        return self.read(version=self.syncpoint_for(source_ts)[1], **kw)
+
     def alter(self, ddl_type: str, column: str | None, old_column: str | None = None,
               col_type: str = "string", schema_version: int = 0) -> bool:
         """Schema evolution; idempotent by schema_version. add/rename/drop
