@@ -64,10 +64,17 @@ def test_failure_isolation_and_resume_clears_error(spark, tmp_path):
     mgr.create("cf-bad", Boom())
     mgr.create("cf-good", _engine(spark, tmp_path, "cf-good", spec))
     res = mgr.tick()
-    # the bad feed fails; the good one still completes this SAME tick
-    assert "failed" in res["cf-bad"] and res["cf-good"]["events"] == spec.n_events
-    assert mgr.state("cf-bad") == "failed"
+    # the bad feed enters WARNING (retried next tick — the
+    # feedStateManager posture); the good one still completes this tick
+    assert res["cf-bad"] == {"retrying": "sink exploded", "attempt": 1}
+    assert res["cf-good"]["events"] == spec.n_events
+    assert mgr.state("cf-bad") == "warning"
     assert "sink exploded" in mgr.list()[0]["error"]
+    # retry budget (max_retries=3): two more consecutive errors fail it hard
+    mgr.tick()
+    res3 = mgr.tick()
+    assert "failed" in res3["cf-bad"]
+    assert mgr.state("cf-bad") == "failed"
     with pytest.raises(ValueError, match="cannot resume"):
         mgr.resume("cf-good")  # normal feeds don't resume
     mgr.resume("cf-bad")  # failed feeds do, clearing the error
@@ -138,3 +145,60 @@ def test_manager_drives_multi_table_feed(spark, tmp_path):
         want = expected_final_state(gen_binlog(spark, s), SchemaRegistry(),
                                     s.max_commit_ts, KEY)
         assert_df_equal(mt.read(t), want, KEY)
+
+
+def test_target_ts_feed_reaches_finished_state(spark, tmp_path):
+    """A feed created with target_ts transitions to the TERMINAL finished
+    state on the tick that reaches it; finished feeds are skipped by later
+    ticks and can neither pause nor resume (changefeed.go state rules)."""
+    mgr = ChangefeedManager(str(tmp_path / "mgr"))
+    spec = BinlogSpec(n_events=3_000, n_convs=80, seed=7)
+    tgt = spec.base_ts + 2 * spec.block
+    eng = Changefeed(
+        spark, gen_binlog(spark, spec), gen_resolved_log(spark, spec), None,
+        LakeTable(spark, f"{tmp_path}/cf-fin"),
+        ChangefeedConfig(changefeed_id="cf-fin", n_buckets=4, target_ts=tgt),
+    )
+    mgr.create("cf-fin", eng)
+    res = mgr.tick()
+    assert res["cf-fin"]["finished"] and res["cf-fin"]["checkpoint_ts"] == tgt
+    assert mgr.state("cf-fin") == "finished"
+    assert mgr.tick() == {}  # terminal: skipped entirely
+    with pytest.raises(ValueError, match="cannot pause"):
+        mgr.pause("cf-fin")
+    with pytest.raises(ValueError, match="cannot resume"):
+        mgr.resume("cf-fin")
+
+
+def test_warning_feed_recovers_on_success(spark, tmp_path):
+    """A transient error (fails once, then works) leaves the feed in
+    warning for one tick and back to normal on the next successful run —
+    error cleared, retry counter reset (sink_retry analog)."""
+    mgr = ChangefeedManager(str(tmp_path / "mgr"))
+    spec = BinlogSpec(n_events=2_000, n_convs=60, seed=9)
+    inner = _engine(spark, tmp_path, "cf-flaky", spec)
+
+    class Flaky:
+        def __init__(self):
+            self.calls = 0
+
+        def run(self, *a, **k):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("transient broker hiccup")
+            return inner.run(*a, **k)
+
+        @property
+        def is_synced(self):
+            return inner.is_synced
+
+        target = inner.target
+
+    mgr.create("cf-flaky", Flaky())
+    res1 = mgr.tick()
+    assert "retrying" in res1["cf-flaky"] and mgr.state("cf-flaky") == "warning"
+    res2 = mgr.tick()
+    assert res2["cf-flaky"]["events"] == spec.n_events
+    assert mgr.state("cf-flaky") == "normal"
+    rec = {r["changefeed_id"]: r for r in mgr.list()}["cf-flaky"]
+    assert rec["error"] is None and rec["consecutive_errors"] == 0

@@ -526,3 +526,21 @@ def test_heterogeneous_window_write_batching(spark, tmp_path):
         assert f"xcol_{int(t[1:])}" in mt.read(t).columns
     # scoped columns never leak across tables
     assert "xcol_1" not in mt.read("c0").columns
+
+
+def test_multi_target_ts_finish(spark, tmp_path):
+    """Fleet finish-at: every table stops exactly at target_ts, the feed is
+    terminal, and each table equals the LWW oracle over its own stream
+    clamped to target_ts (changefeed_finish over a multi-table feed)."""
+    tgt = 2_500  # mid-stream, past t1's scoped DDL, before the global one
+    mt, specs = _build(spark, str(tmp_path / "fin"),
+                       cfg=ChangefeedConfig(changefeed_id="mt-fin",
+                                            n_buckets=4, target_ts=tgt))
+    mt.run()
+    assert mt.is_finished and mt.checkpoint() == tgt
+    s2 = mt.run()  # terminal no-op
+    assert s2["merges"] == 0 and s2["events"] == 0
+    for t, spec in specs.items():
+        want = expected_final_state(
+            gen_binlog(spark, spec), mt.feeds[t].registry, tgt, KEY)
+        assert_df_equal(mt.read(t), want, KEY)

@@ -303,3 +303,23 @@ def test_batched_windows_resume_mid_span(spark, tmp_table_path):
     cf2, s2 = _run(spark, spec, tmp_table_path, cfg=cfg)
     assert s2["merges"] == 4
     _check_final(spark, spec, cf2)
+
+
+def test_target_ts_finish(spark, tmp_table_path, tmp_path):
+    """changefeed_finish (tests/integration_tests/changefeed_finish): a feed
+    with target_ts stops exactly AT it — no later event replicates, the
+    checkpoint lands on target_ts, the feed is terminal (re-run no-op),
+    and the state equals the LWW oracle over commit_ts <= target_ts."""
+    spec = BinlogSpec(n_events=6_000, n_convs=150, n_partitions=4)
+    tgt = spec.base_ts + 3 * spec.block + spec.block // 2  # mid-window
+    cfg = ChangefeedConfig(changefeed_id="fin", target_ts=tgt)
+    cf, stats = _run(spark, spec, tmp_table_path, cfg=cfg)
+    assert stats["checkpoint"] == tgt
+    assert cf.is_finished
+    cf2, s2 = _run(spark, spec, tmp_table_path, cfg=cfg)  # terminal no-op
+    assert s2["merges"] == 0 and s2["events"] == 0
+    want = expected_final_state(gen_binlog(spark, spec), cf.registry, tgt, KEY)
+    assert_df_equal(cf.target.read(), want, KEY)
+    # an unbounded feed over the same stream is NOT finished
+    cfu, _ = _run(spark, spec, str(tmp_path / "nofin"))
+    assert not cfu.is_finished

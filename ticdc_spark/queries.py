@@ -1447,6 +1447,25 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_cdc_target_ts_e2e(spark, sf_dir):
+    """changefeed_finish (W5 finish-at; TargetTs in cdc/model/changefeed.go,
+    tests/integration_tests/changefeed_finish): the engine replays with
+    target_ts at the 2/3-stream boundary, stops exactly there (terminal
+    state), and the final table equals the LWW oracle over events with
+    commit_ts <= target_ts — the same SQL as the syncpoint consistent
+    read, reached by a different mechanism (feed finish vs time travel)."""
+    work = _work_dir("ticdc_tgt_")
+    n = _events(spark, sf_dir).count()
+    bound = (1000 + n) * 2 // 3
+    cf = _run_engine(spark, sf_dir, os.path.join(work, "t"),
+                     cfg_extra={"target_ts": bound})
+    assert cf.is_finished
+    out = cf.target.read()
+    if "tool_args" not in out.columns:
+        out = out.withColumn("tool_args", F.lit(None).cast("string"))
+    return out
+
+
 def q_cdc_restart_resume(spark, sf_dir):
     """Same replay, but killed after 1 merge and resumed from the manifest
     checkpoint by a fresh engine instance — final state must be identical
@@ -3528,6 +3547,7 @@ QUERIES = {
     "cdc_pipeline_e2e_mor": q_cdc_pipeline_e2e_mor,
     "cdc_restart_resume": q_cdc_restart_resume,
     "cdc_syncpoint_read": q_cdc_syncpoint_read,
+    "cdc_target_ts_e2e": q_cdc_target_ts_e2e,
     "cdc_keychange_e2e": q_cdc_keychange_e2e,
     "cdc_filtered_e2e": q_cdc_filtered_e2e,
     "cdc_multi_table_e2e": q_cdc_multi_table_e2e,
@@ -3619,6 +3639,7 @@ ORACLES = {
     "cdc_pipeline_e2e_mor": SQL_CDC_E2E,
     "cdc_restart_resume": SQL_CDC_E2E,
     "cdc_syncpoint_read": SQL_CDC_SYNCPOINT_READ,
+    "cdc_target_ts_e2e": SQL_CDC_SYNCPOINT_READ,
     "cdc_keychange_e2e": SQL_CDC_KEYCHANGE_E2E,
     "cdc_filtered_e2e": SQL_CDC_FILTERED_E2E,
     "cdc_multi_table_e2e": SQL_CDC_MULTI_TABLE_E2E,
@@ -3759,6 +3780,9 @@ _DEMOTED = [
     # family keeps open/claim-check roundtrips, consumer-apply and the
     # router in-window.
     "mq_csv_encode",
+    # W5 finish-at: in-family with cdc_restart_resume (state machine) and
+    # value-identical to cdc_syncpoint_read's oracle — judge-run covered
+    "cdc_target_ts_e2e",
     "cdc_pipeline_e2e",
     "conv_stats",
     "corpus_prep_pipeline",

@@ -19,10 +19,14 @@ management OBJECT: durable feed registry + state machine + tick loop.
 - ``pause`` / ``resume`` flip ``normal`` <-> ``stopped`` with the same
   legality rules as the reference state machine (only a running feed can
   pause; stopped OR failed feeds can resume — resume clears the error).
-- ``tick()`` advances every ``normal`` feed by one driver round
-  (bounded by ``max_merges_per_tick`` so one feed cannot starve the
-  rest — the owner-tick fairness analog); a feed whose run raises
-  transitions to ``failed`` with the error recorded, others keep going.
+- ``tick()`` advances every ``normal`` (or retrying ``warning``) feed by
+  one driver round (bounded by ``max_merges_per_tick`` so one feed cannot
+  starve the rest — the owner-tick fairness analog); a feed whose run
+  raises enters ``warning`` and is RETRIED on subsequent ticks (the
+  feedStateManager backoff analog — changefeed_error /
+  kafka_sink_error_resume integration tests) until ``max_retries``
+  consecutive errors, after which it is ``failed`` hard; other feeds keep
+  going either way. A successful run clears the error and the counter.
 - ``remove(feed_id)`` forgets the feed (replicated data retained, as the
   reference's removal semantics).
 - ``list()`` returns each feed's state, checkpoint and error.
@@ -40,12 +44,16 @@ import os
 import time
 import uuid
 
-STATES = ("normal", "stopped", "failed", "finished")
+STATES = ("normal", "warning", "stopped", "failed", "finished")
 
 
 class ChangefeedManager:
-    def __init__(self, root: str):
+    def __init__(self, root: str, max_retries: int = 3):
         self.root = root
+        # consecutive run() errors a feed may accumulate before the owner
+        # stops retrying and fails it hard (feedStateManager's retry
+        # budget; cdc/owner/feed_state_manager.go)
+        self.max_retries = max_retries
         os.makedirs(root, exist_ok=True)
         self.registry_path = os.path.join(root, "changefeeds.json")
         self._feeds: dict = {}      # feed_id -> control-plane record
@@ -73,7 +81,7 @@ class ChangefeedManager:
         if feed_id in self._feeds:
             raise ValueError(f"changefeed {feed_id!r} already exists")
         rec = {"state": "normal", "created_at": time.time(), "error": None,
-               "note": note, "checkpoint_ts": 0}
+               "note": note, "checkpoint_ts": 0, "consecutive_errors": 0}
         self._feeds[feed_id] = rec
         self._save()
         if engine is not None:
@@ -89,7 +97,7 @@ class ChangefeedManager:
 
     def pause(self, feed_id: str) -> None:
         rec = self._feeds[feed_id]
-        if rec["state"] != "normal":
+        if rec["state"] not in ("normal", "warning"):
             raise ValueError(
                 f"cannot pause changefeed in state {rec['state']!r} "
                 "(only a running feed pauses — changefeed.go state rules)")
@@ -103,6 +111,7 @@ class ChangefeedManager:
                 f"cannot resume changefeed in state {rec['state']!r}")
         rec["state"] = "normal"
         rec["error"] = None
+        rec["consecutive_errors"] = 0
         self._save()
 
     def remove(self, feed_id: str) -> None:
@@ -144,7 +153,7 @@ class ChangefeedManager:
         synced=True in the result."""
         results: dict = {}
         for fid in sorted(self._feeds):
-            if self._feeds[fid]["state"] != "normal":
+            if self._feeds[fid]["state"] not in ("normal", "warning"):
                 continue
             engine = self._engines.get(fid)
             if engine is None:
@@ -170,17 +179,39 @@ class ChangefeedManager:
                         stats = engine.run(max_merges_per_tick)
                 ckpt = self._engine_checkpoint(engine)
                 self._feeds[fid]["checkpoint_ts"] = ckpt
+                if self._feeds[fid]["state"] == "warning":
+                    # recovered: the error was transient (sink_retry /
+                    # kafka_sink_error_resume posture)
+                    self._feeds[fid]["state"] = "normal"
+                    self._feeds[fid]["error"] = None
+                self._feeds[fid]["consecutive_errors"] = 0
                 synced = getattr(engine, "is_synced", None)
+                finished = bool(getattr(engine, "is_finished", False))
+                if finished:
+                    # terminal state (changefeed.go: finished feeds never
+                    # pause/resume and are skipped by subsequent ticks)
+                    self._feeds[fid]["state"] = "finished"
                 results[fid] = {
                     "merges": stats.get("merges", 0),
                     "events": stats.get("events", 0),
                     "checkpoint_ts": ckpt,
                     "synced": bool(synced()) if callable(synced) else None,
+                    "finished": finished,
                 }
             except Exception as e:  # noqa: BLE001 — feed isolation is the point
-                self._feeds[fid]["state"] = "failed"
-                self._feeds[fid]["error"] = f"{type(e).__name__}: {e}"
-                results[fid] = {"failed": str(e)}
+                rec = self._feeds[fid]
+                rec["consecutive_errors"] = rec.get("consecutive_errors", 0) + 1
+                rec["error"] = f"{type(e).__name__}: {e}"
+                if rec["consecutive_errors"] >= self.max_retries:
+                    # retry budget exhausted: fail hard (terminal until an
+                    # operator resumes it)
+                    rec["state"] = "failed"
+                    results[fid] = {"failed": str(e)}
+                else:
+                    # transient-error posture: keep retrying on later ticks
+                    rec["state"] = "warning"
+                    results[fid] = {"retrying": str(e),
+                                    "attempt": rec["consecutive_errors"]}
         self._save()
         return results
 
@@ -192,7 +223,7 @@ class ChangefeedManager:
             res = self.tick(max_merges_per_tick)
             live = [r for r in res.values()
                     if "failed" not in r and "skipped" not in r]
-            if all(r.get("synced") in (True, None) and r.get("merges", 0) == 0
-                   for r in live) or not live:
+            if all("retrying" not in r and r.get("synced") in (True, None)
+                   and r.get("merges", 0) == 0 for r in live) or not live:
                 return i + 1
         return max_ticks

@@ -197,6 +197,18 @@ class MultiTableChangefeed:
                 if f.target.exists()]
         return min(vals) if vals else 0
 
+    @property
+    def is_finished(self) -> bool:
+        """Finish-at state (changefeed_finish): target_ts set and EVERY
+        table's checkpoint has reached it — terminal for the whole fleet."""
+        t = self.config.target_ts
+        if t is None or not self.feeds:
+            return False
+        return all(
+            f.target.exists() and f.target.checkpoint["resolved_ts"] >= t
+            for f in self.feeds.values()
+        )
+
     def is_synced(self) -> bool:
         """Synced when every table's checkpoint reached the shared global
         frontier — computed ONCE (the per-feed form would run one frontier
@@ -372,6 +384,14 @@ class MultiTableChangefeed:
         uppers = steps[k - 1 :: k]
         if steps and (not uppers or uppers[-1] != steps[-1]):
             uppers.append(steps[-1])
+        tgt = self.config.target_ts
+        if tgt is not None:
+            # finish-at (changefeed_finish): the whole fleet stops AT
+            # target_ts — same clamp rule as the single-table feed
+            reached = bool(steps) and steps[-1] >= tgt
+            uppers = [u for u in uppers if u < tgt]
+            if reached and ckpt < tgt:
+                uppers.append(tgt)
 
         stats = {"tables": len(self.feeds), "merges": 0, "events": 0,
                  "windows": 0, "wal_scans_per_window": 1}

@@ -58,6 +58,12 @@ class ChangefeedConfig:
     safe_mode_ts: int = 0  # updates with commit_ts <= this split into D+I (S5)
     defaults: dict = field(default_factory=dict)
     start_ts: int = 0
+    # finish-at semantics (changefeed_finish integration test; TargetTs in
+    # cdc/model/changefeed.go): nothing with commit_ts > target_ts ever
+    # replicates; once the source frontier resolves past it the final
+    # window clamps AT target_ts, the checkpoint reaches it, and the feed
+    # is FINISHED (terminal — run() becomes a no-op). None = unbounded.
+    target_ts: int | None = None
     # sink mode: "mor" appends LWW deltas and compacts every `compact_every`
     # batches (LSM trade — O(batch) ingest; the production default), "cow"
     # rewrites affected buckets per batch (Iceberg copy-on-write MERGE
@@ -545,6 +551,17 @@ class Changefeed:
             self._cached_frontier = gf
         return self.target.checkpoint["resolved_ts"] >= gf
 
+    @property
+    def is_finished(self) -> bool:
+        """Finish-at state (W5; changefeed_finish integration test): a feed
+        with target_ts set is terminal once its sink checkpoint reaches it.
+        The owner (ChangefeedManager) flips the registry state to
+        ``finished`` on observing this."""
+        t = self.config.target_ts
+        if t is None or not self.target.exists():
+            return False
+        return max(self.target.checkpoint["resolved_ts"], self.config.start_ts) >= t
+
     def syncpoints(self) -> list:
         """Syncpoint store analog (K8,
         /root/reference/cdc/syncpointstore/mysql_syncpoint_store.go:133-180):
@@ -589,6 +606,14 @@ class Changefeed:
         uppers = steps[k - 1 :: k]
         if steps and (not uppers or uppers[-1] != steps[-1]):
             uppers.append(steps[-1])
+        tgt = self.config.target_ts
+        if tgt is not None:
+            # finish-at: windows past target_ts never run; the last window
+            # clamps AT target_ts once the frontier has resolved past it
+            reached = bool(steps) and steps[-1] >= tgt
+            uppers = [u for u in uppers if u < tgt]
+            if reached and ckpt < tgt:
+                uppers.append(tgt)
 
         merges = 0
         events = 0
