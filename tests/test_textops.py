@@ -448,3 +448,55 @@ def test_quality_classifier_decisions(spark):
         want = ("keep" if r["score_cbp"] >= 100000
                 else "borderline" if r["score_cbp"] >= 0 else "drop")
         assert r["decision"] == want
+
+
+def test_substring_dedup_flags_shared_spans(spark):
+    from ticdc_spark.functions.textops import substring_dedup
+
+    shared = " ".join(f"w{i}" for i in range(16))
+    d = spark.createDataFrame(
+        [
+            (1, shared + " tail1 " + " ".join(f"a{i}" for i in range(20))),
+            (2, shared + " tail2 " + " ".join(f"b{i}" for i in range(20))),
+            (3, " ".join(f"c{i}" for i in range(40))),
+            (4, "short doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in substring_dedup(d, window=16, stride=8).collect()}
+    # docs 1 and 2 share the leading 16-token span verbatim
+    assert rows[1]["n_dup_spans"] >= 1 and rows[2]["n_dup_spans"] >= 1
+    assert rows[3]["n_dup_spans"] == 0
+    # a doc shorter than the window still emits exactly one (whole-doc) span
+    assert rows[4]["n_spans"] == 1 and rows[4]["n_dup_spans"] == 0
+    for r in rows.values():
+        assert r["dup_span_bp"] == (r["n_dup_spans"] * 10000) // r["n_spans"]
+
+
+def test_substring_dedup_partitioning_independent(spark):
+    from ticdc_spark.functions.textops import substring_dedup
+
+    docs = _docs(spark)
+    a = {tuple(r) for r in substring_dedup(docs.repartition(1)).collect()}
+    b = {tuple(r) for r in substring_dedup(docs.repartition(13)).collect()}
+    assert a == b
+
+
+def test_lm_score_orders_junk_below_common_text(spark):
+    from ticdc_spark.functions.textops import lm_score
+
+    d = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(9)]
+        + [(100, "zzqx9 glorpth mxyzptlk vqwert")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["lm_score_ppb"] for r in lm_score(d).collect()}
+    assert rows[100] < rows[0]
+    # exact closed-form check on a tiny corpus: total=58 tokens,
+    # 'the' appears 18 times -> freq 18e9 div 58 per occurrence
+    total = 9 * 6 + 4
+    the_ppb = (18 * 10**9) // total
+    assert rows[0] == (
+        2 * the_ppb
+        + sum((9 * 10**9) // total for _ in range(4))
+    ) // 6

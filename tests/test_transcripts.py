@@ -235,3 +235,46 @@ def test_line_dedup_repeat_within_one_doc_survives(spark):
     d = _doc(spark, [(1, "same\nsame\nend"), (2, "different")])
     got = {r["doc_id"]: r for r in line_dedup(d, min_docs=2).collect()}
     assert got[1]["n_kept"] == 3
+
+
+def test_preference_pairs_chosen_rejected(spark):
+    from ticdc_spark.functions.transcripts import preference_pairs
+
+    rows = [
+        # prompt P drew three replies across conversations; longest wins
+        ("c1", 1, "user", "P", None),
+        ("c1", 2, "assistant", "one two three four", None),
+        ("c2", 1, "user", "P", None),
+        ("c2", 2, "assistant", "one", None),
+        ("c3", 1, "user", "P", None),
+        ("c3", 2, "assistant", "one two", None),
+        # prompt Q drew the SAME reply twice -> no pair (n_replies < 2)
+        ("c4", 1, "user", "Q", None),
+        ("c4", 2, "assistant", "same", None),
+        ("c5", 1, "user", "Q", None),
+        ("c5", 2, "assistant", "same", None),
+        # prompt R appears once -> no pair
+        ("c6", 1, "user", "R", None),
+        ("c6", 2, "assistant", "solo", None),
+    ]
+    out = {r["prompt"]: r for r in preference_pairs(_tr(spark, rows)).collect()}
+    assert set(out) == {"P"}
+    p = out["P"]
+    assert p["n_candidates"] == 3 and p["n_replies"] == 3
+    assert p["chosen_reply"] == "one two three four" and p["chosen_score"] == 4
+    assert p["rejected_reply"] == "one" and p["rejected_score"] == 1
+    assert p["chosen_conv"] == "c1" and p["rejected_conv"] == "c2"
+
+
+def test_preference_pairs_tie_breaks_deterministically(spark):
+    from ticdc_spark.functions.transcripts import preference_pairs
+
+    rows = [
+        ("c1", 1, "user", "P", None),
+        ("c1", 2, "assistant", "b b", None),
+        ("c2", 1, "user", "P", None),
+        ("c2", 2, "assistant", "a a", None),
+    ]
+    out = preference_pairs(_tr(spark, rows)).collect()[0]
+    # equal score -> lexicographic reply breaks the tie, same on any engine
+    assert out["chosen_reply"] == "b b" and out["rejected_reply"] == "a a"

@@ -932,3 +932,85 @@ def quality_classifier(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .when(score >= 0, "borderline")
         .otherwise("drop").alias("decision"),
     )
+
+
+def substring_dedup(docs: DataFrame, window: int = 16, stride: int = 8,
+                    text_col: str = "text") -> DataFrame:
+    """Cross-document EXACT SUBSTRING dedup signals (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": duplicated
+    token SPANS, not whole documents, are what LMs memorize). Documents
+    are cut into rolling ``window``-token spans at ``stride`` offsets; a
+    span that appears verbatim in >= 2 distinct documents is a duplicate
+    span. Output per doc: distinct span count, duplicated span count, and
+    the duplicated share in integer basis points (exact arithmetic,
+    hash-stable on any engine).
+
+    The reference full-suffix-array construction is a single-machine
+    algorithm; the Spark-honest equivalent is this fixed-window rolling
+    shingle: one posexplode projection (narrow), one (doc, span) distinct
+    exchange, one span-keyed count exchange, and a span-keyed semi-join
+    that REUSES the same exchange shape. Span keys are Zipf-skewed at
+    100 TB — production would hash spans (xxhash64) and salt the heavy
+    head exactly like operators/skew.py; the small-scale oracle joins on
+    the span text so DuckDB reproduces it bit-for-bit.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    offs = F.when(
+        n >= window, F.sequence(F.lit(0), n - window, F.lit(stride))
+    ).otherwise(F.array(F.lit(0)))
+    spans = docs.select(
+        "doc_id",
+        F.explode(offs).alias("off"),
+        toks.alias("_t"),
+    ).select(
+        "doc_id",
+        F.array_join(F.slice(F.col("_t"), F.col("off") + 1, window), " ").alias("span"),
+    ).distinct()
+    per_span = spans.groupBy("span").agg(F.count(F.lit(1)).alias("nd"))
+    flagged = spans.join(per_span, "span").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.count(F.when(F.col("nd") >= 2, 1)).cast("long").alias("n_dup_spans"),
+    )
+    return flagged.select(
+        "doc_id", "n_spans", "n_dup_spans",
+        F.expr("(n_dup_spans * 10000) div n_spans").cast("long").alias("dup_span_bp"),
+    )
+
+
+def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Statistical language-model quality score (the CCNet shape — Wenzek
+    et al. 2020 score web text with a KenLM model and keep the
+    well-scoring head): here the model is the corpus's OWN unigram
+    frequency table, so the operator is closed over its input and needs
+    no external artifact. Per-doc score = mean corpus frequency of the
+    doc's tokens in parts-per-billion — integer arithmetic end-to-end
+    (each token's frequency is ``(count * 1e9) div total`` and the doc
+    mean is an integer div), hash-stable on any engine. Low score = the
+    doc is full of tokens the corpus has never seen (mojibake, boilerplate
+    IDs, binary junk) — the same junk-tail CCNet's perplexity cut drops.
+
+    Scale shape: tokens are pre-aggregated per (doc, token) BEFORE the
+    vocab join, so join input is bounded by per-doc distinct tokens, and
+    the vocab aggregate is a map-side-combining count. The token-keyed
+    join is Zipf-skewed at 100 TB: production splits the head (top ~1M
+    tokens, broadcast) from the tail (shuffle join) — operators/skew.py
+    holds the salting primitive; at oracle scale the plain join is exact
+    and identical. The corpus total rides a 1-row broadcast cross join,
+    never a driver collect."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
+    vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("_total"))
+    scored = doc_tok.join(vocab, "tok").crossJoin(F.broadcast(total))
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.sum(F.col("k") * F.expr("(c * 1000000000) div _total")).cast("long").alias("_s"),
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens",
+        F.expr("_s div n_tokens").cast("long").alias("lm_score_ppb"),
+    )

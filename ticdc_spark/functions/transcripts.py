@@ -72,3 +72,49 @@ def conversation_stats(tr: DataFrame) -> DataFrame:
             (F.col("n_turns") >= 4) & (F.col("n_user") > 0) & (F.col("n_assistant") > 0)
         ).alias("sft_eligible"),
     )
+
+
+def preference_pairs(tr: DataFrame) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF post-training: adjacent
+    (user prompt -> assistant reply) turns are candidate responses; every
+    prompt that drew >= 2 DISTINCT replies across the corpus emits ONE
+    (chosen, rejected) pair — chosen is the lexicographic MAX of
+    struct(score, reply, conv_id), rejected the MIN, where score is the
+    reply's whitespace-token count (the integer quality proxy; any scorer
+    column drops in). Max/min of a struct is order-deterministic and
+    hash-stable on any engine, and one-pair-per-prompt keeps output
+    linear in prompt groups — never the quadratic all-pairs blowup.
+
+    Scale shape: the prompt->reply adjacency is ONE equi-join
+    co-partitioned on (conv_id, turn) — both sides are the same
+    transcript scan, so AQE plans it as a single exchange shape — and the
+    pair reduction is ONE combining hash aggregate keyed by prompt text
+    (production would key by a prompt fingerprint; oracle scale keys the
+    raw text so an external engine reproduces it exactly). Prompt groups
+    are bounded by how often a prompt repeats — the natural cap a
+    dedup-ed corpus already enforces."""
+    u = tr.filter(F.col("role") == "user").select(
+        "conv_id", (F.col("turn_idx") + 1).alias("_j"), F.col("text").alias("prompt")
+    )
+    a = tr.filter(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("_j"), F.col("text").alias("reply")
+    )
+    cand = u.join(a, ["conv_id", "_j"]).select(
+        "prompt", "reply", "conv_id",
+        F.size(F.split(F.trim(F.col("reply")), r"\s+")).cast("long").alias("score"),
+    )
+    g = cand.groupBy("prompt").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.size(F.collect_set("reply")).cast("long").alias("n_replies"),
+        F.max(F.struct("score", "reply", "conv_id")).alias("_ch"),
+        F.min(F.struct("score", "reply", "conv_id")).alias("_rj"),
+    )
+    return g.filter(F.col("n_replies") >= 2).select(
+        "prompt", "n_candidates", "n_replies",
+        F.col("_ch.score").alias("chosen_score"),
+        F.col("_ch.reply").alias("chosen_reply"),
+        F.col("_ch.conv_id").alias("chosen_conv"),
+        F.col("_rj.score").alias("rejected_score"),
+        F.col("_rj.reply").alias("rejected_reply"),
+        F.col("_rj.conv_id").alias("rejected_conv"),
+    )

@@ -3539,6 +3539,111 @@ FROM packed p JOIN stats s USING (shard, pack_seq)
 
 
 # ---------------------------------------------------------------------------
+# substring dedup / corpus LM scoring / preference pairs
+# ---------------------------------------------------------------------------
+
+
+def q_doc_substring_dedup(spark, sf_dir):
+    """Cross-document exact-substring duplication signals (Lee et al.
+    2022): rolling 16-token spans at stride 8; a span verbatim in >= 2
+    distinct docs is duplicated text. Per doc: distinct spans, duplicated
+    spans, duplicated share in integer basis points."""
+    from ticdc_spark.functions.textops import substring_dedup
+
+    return substring_dedup(_docs(spark, sf_dir), window=16, stride=8)
+
+
+SQL_DOC_SUBSTRING_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+o AS (
+  SELECT doc_id, toks,
+         unnest(CASE WHEN len(toks) >= 16
+                     THEN generate_series(0, len(toks) - 16, 8)
+                     ELSE [0] END) AS off
+  FROM t),
+spans AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, off + 1, off + 16), ' ') AS span
+  FROM o),
+per_span AS (
+  SELECT span, count(*) AS nd FROM spans GROUP BY span),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(count(*) FILTER (WHERE nd >= 2) AS BIGINT) AS n_dup_spans
+  FROM spans JOIN per_span USING (span) GROUP BY doc_id)
+SELECT doc_id, n_spans, n_dup_spans,
+       CAST((n_dup_spans * 10000) // n_spans AS BIGINT) AS dup_span_bp
+FROM agg
+"""
+
+
+def q_doc_lm_score(spark, sf_dir):
+    """Corpus-statistical LM quality score (CCNet shape, Wenzek et al.
+    2020): the model is the corpus's own unigram table; per-doc mean
+    token frequency in parts-per-billion, integer arithmetic end to
+    end."""
+    from ticdc_spark.functions.textops import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
+SQL_DOC_LM_SCORE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+dt AS (SELECT doc_id, tok, count(*) AS k FROM tok GROUP BY doc_id, tok),
+v AS (SELECT tok, sum(k) AS c FROM dt GROUP BY tok),
+tt AS (SELECT sum(c) AS _total FROM v),
+per AS (
+  SELECT doc_id,
+         CAST(sum(k) AS BIGINT) AS n_tokens,
+         sum(k * ((c * 1000000000) // _total)) AS _s
+  FROM dt JOIN v USING (tok) CROSS JOIN tt
+  GROUP BY doc_id)
+SELECT doc_id, n_tokens, CAST(_s // n_tokens AS BIGINT) AS lm_score_ppb
+FROM per
+"""
+
+
+def q_tr_preference_pairs(spark, sf_dir):
+    """DPO/RLHF preference-pair construction over the transcript corpus:
+    adjacent user->assistant turns are candidate replies; each prompt
+    with >= 2 distinct replies emits ONE (chosen, rejected) pair by
+    deterministic struct max/min on (score, reply, conv_id)."""
+    from ticdc_spark.functions.transcripts import preference_pairs
+
+    return preference_pairs(transcripts_from_events(spark, sf_dir))
+
+
+SQL_TR_PREFERENCE_PAIRS = f"""
+WITH {TRANSCRIPTS_CTE},
+u AS (
+  SELECT conv_id, turn_idx + 1 AS _j, text AS prompt
+  FROM transcripts WHERE role = 'user'),
+a AS (
+  SELECT conv_id, turn_idx AS _j, text AS reply
+  FROM transcripts WHERE role = 'assistant'),
+cand AS (
+  SELECT prompt, reply, conv_id,
+         CAST(len(string_split_regex(trim(reply), '\\s+')) AS BIGINT) AS score
+  FROM u JOIN a USING (conv_id, _j)),
+g AS (
+  SELECT prompt,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(DISTINCT reply) AS BIGINT) AS n_replies,
+         max(struct_pack(score := score, reply := reply, conv_id := conv_id)) AS _ch,
+         min(struct_pack(score := score, reply := reply, conv_id := conv_id)) AS _rj
+  FROM cand GROUP BY prompt)
+SELECT prompt, n_candidates, n_replies,
+       _ch.score AS chosen_score, _ch.reply AS chosen_reply, _ch.conv_id AS chosen_conv,
+       _rj.score AS rejected_score, _rj.reply AS rejected_reply, _rj.conv_id AS rejected_conv
+FROM g WHERE n_replies >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3625,6 +3730,9 @@ QUERIES = {
     "doc_stratified_sample": q_doc_stratified_sample,
     "doc_ngram_jaccard": q_doc_ngram_jaccard,
     "doc_simhash16": q_doc_simhash16,
+    "doc_substring_dedup": q_doc_substring_dedup,
+    "doc_lm_score": q_doc_lm_score,
+    "tr_preference_pairs": q_tr_preference_pairs,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_sign_lsh": q_emb_sign_lsh,
     "emb_rp_lsh": q_emb_rp_lsh,
@@ -3717,6 +3825,9 @@ ORACLES = {
     "doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
     "doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
     "doc_simhash16": SQL_DOC_SIMHASH16,
+    "doc_substring_dedup": SQL_DOC_SUBSTRING_DEDUP,
+    "doc_lm_score": SQL_DOC_LM_SCORE,
+    "tr_preference_pairs": SQL_TR_PREFERENCE_PAIRS,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_sign_lsh": SQL_EMB_SIGN_LSH,
     "emb_rp_lsh": SQL_EMB_RP_LSH,
@@ -3820,6 +3931,20 @@ _DEMOTED = [
     "cdc_truncate_e2e",
     "mq_resolved_broadcast",
     "doc_minhash_bands",
+    # round-5 window swaps for the three NEW families (substring dedup,
+    # corpus-LM scoring, preference pairs), each demotion in-family:
+    #   doc_simhash16 -> doc_neardup_clusters (near-dup signature family;
+    #     minhash banding + verify is the in-window representative, and
+    #     doc_substring_dedup now covers the span-level dedup axis);
+    #   emb_neardup_pairs -> emb_semdedup (the same bucketed cosine
+    #     near-dup + exact re-rank, exercised per-cluster end-to-end) +
+    #     emb_ivf_topk keeps the embedding join surface in-window;
+    #   doc_vocab_topk -> doc_lm_score (a strict superset: the identical
+    #     map-side-combining token-frequency aggregate, then joined back
+    #     per doc) + doc_bpe_encode keeps the trained-vocab surface.
+    "doc_simhash16",
+    "emb_neardup_pairs",
+    "doc_vocab_topk",
 ]
 
 DRIVER_CAP = 50
