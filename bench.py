@@ -48,6 +48,10 @@ BENCH_QUERIES = [
     "event_asof_enrich",
     "doc_chunk",
     "emb_semdedup",
+    "doc_substring_dedup",
+    "doc_lm_score",
+    "tr_preference_pairs",
+    "emb_pq_topk",
 ]
 
 

@@ -333,3 +333,81 @@ def test_consumer_decode_pure_column(spark):
     plan = _plan(dec)
     assert "EvalPython" not in plan
     assert plan.count("Exchange") == 0
+
+
+def test_substring_dedup_equi_joins_only(spark):
+    """Substring dedup must stay shuffle-bounded: the span-count join is a
+    keyed EQUI-join (never a cartesian/nested-loop pairing — the all-pairs
+    trap), and every stage is JVM-side Column work."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.textops import substring_dedup
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{(i * 3 + j) % 40}" for j in range(50)))
+         for i in range(60)]
+    )
+    plan = _plan(substring_dedup(d))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    # per-span counting combines map-side before its exchange
+    assert "partial_count" in plan
+
+
+def test_lm_score_total_broadcasts_corpus_never_collected(spark):
+    """The corpus-total scalar must ride a 1-row BROADCAST cross join —
+    never a driver collect baked into the plan, never a shuffle of the
+    token table against a single row — and the vocab join is keyed."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.textops import lm_score
+
+    d = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"w{(i + j) % 25}" for j in range(40)))
+         for i in range(60)]
+    )
+    plan = _plan(lm_score(d))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_preference_pairs_adjacency_is_keyed_join(spark):
+    """The prompt->reply adjacency must be a keyed equi-join on
+    (conv_id, turn) and the pair reduction a combining hash aggregate —
+    no cartesian pairing, no Python eval anywhere."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.transcripts import preference_pairs
+
+    d = spark.createDataFrame(
+        [(f"c{i}", j, "user" if j % 2 == 1 else "assistant", f"msg {i % 5} {j}", None)
+         for i in range(30) for j in range(1, 5)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    plan = _plan(preference_pairs(d))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_zero_shuffle_no_python(spark):
+    """PQ encoding must be a narrow map: the codebook is inlined as
+    literals, so the plan has ZERO exchanges, no join, and no Python —
+    at 100 TB re-encoding the corpus is one pass inside the scan stage."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
+    from ticdc_spark.functions.simsearch import pq_encode
+
+    d = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 5 + j) % 11 - 5) for j in range(64)])
+         for i in range(100)]
+    )
+    plan = _plan(pq_encode(d, PQ_CODEBOOK))
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
+    assert "EvalPython" not in plan

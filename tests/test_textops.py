@@ -500,3 +500,77 @@ def test_lm_score_orders_junk_below_common_text(spark):
         2 * the_ppb
         + sum((9 * 10**9) // total for _ in range(4))
     ) // 6
+
+
+def test_pq_encode_total_and_partitioning_independent(spark):
+    from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
+    from ticdc_spark.functions.simsearch import pq_encode
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = embs.count()
+    enc = pq_encode(embs, PQ_CODEBOOK)
+    rows = enc.collect()
+    assert len(rows) == n  # every vector gets a code
+    for r in rows[:50]:
+        assert len(r["code"]) == 8 and all(0 <= c < 16 for c in r["code"])
+    again = {r["vec_id"]: list(r["code"])
+             for r in pq_encode(embs.repartition(7), PQ_CODEBOOK).collect()}
+    assert {r["vec_id"]: list(r["code"]) for r in rows} == again
+
+
+def test_pq_adc_exact_when_codebook_is_lossless(spark):
+    """With a codebook holding every subvector that actually occurs,
+    encoding is lossless and ADC equals the exact L2 ranking."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.simsearch import pq_topk
+
+    # each vector's 8 subspace slices are one of 4 canonical patterns
+    pats = [[float(p)] * 8 for p in (0, 1, 3, 7)]
+    vecs = [
+        [x for s in range(8) for x in pats[(i * (s + 1)) % 4]]
+        for i in range(12)
+    ]
+    d = spark.createDataFrame([Row(vec_id=i, embedding=v) for i, v in enumerate(vecs)])
+    cb = [[list(p) for p in pats] for _ in range(8)]
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+           for r in pq_topk(d, n_queries=3, k=3, codebook=cb).collect()}
+    import itertools
+    for q in range(3):
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[q], vecs[j])), j)
+            for j in range(12) if j != q
+        )
+        for rank, (dist, j) in enumerate(exact[:3], 1):
+            nb, adist = got[(q, rank)]
+            assert nb == j
+            assert abs(adist - dist) < 1e-6
+
+
+def test_pq_recall_against_exact_l2(spark):
+    """Trained-codebook PQ@3 recall vs exact L2 top-3 on real embeddings:
+    compressed 64->8 scoring must still recover most true neighbors."""
+    from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
+    from ticdc_spark.functions.simsearch import pq_topk
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in embs.collect()}
+    approx = pq_topk(embs, n_queries=8, k=3, codebook=PQ_CODEBOOK).collect()
+    hits = total = 0
+    for q in range(8):
+        exact = sorted(
+            (sum((a - b) ** 2 for a, b in zip(vecs[q], vecs[j])), j)
+            for j in vecs if j != q
+        )
+        want = {j for _, j in exact[:3]}
+        got = {r["neighbor_id"] for r in approx if r["query_id"] == q}
+        hits += len(want & got)
+        total += 3
+    assert total == 24
+    # the synthetic embeddings are near-isotropic noise — the hardest case
+    # for any quantizer — so the floor is "far above chance", not a fixed
+    # recall: random top-3 guessing hits 3/(N-1) per query. Exactness of
+    # the ADC machinery itself is proven by the lossless test above.
+    random_recall = 3 / (len(vecs) - 1)
+    assert hits / total >= max(0.1, 5 * random_recall)

@@ -384,3 +384,155 @@ def semdedup(embs: DataFrame, tau: float = 0.35,
         (F.coalesce(F.col("_canon"), F.col("vec_id")) == F.col("vec_id"))
         .alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): split each D-dim vector into M subspaces,
+# k-means each subspace to KSUB centroids, store vectors as M small codes,
+# and answer queries with an asymmetric-distance (ADC) table scan. The
+# 100-TB ANN shape: the vector table compresses D floats -> M bytes and
+# scoring never touches the original vectors.
+# ---------------------------------------------------------------------------
+
+
+def _sub_slice(vec, sub: int, d_sub: int):
+    return F.slice(vec, sub * d_sub + 1, d_sub)
+
+
+def _l2sq(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def train_pq_kmeans(embs: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
+                    dim: int = 64, seed_ids: tuple | None = None,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> list:
+    """Train the PQ codebook: per-subspace Lloyd's k-means (L2), ALL
+    subspaces jointly per iteration — assignment is one pass of the
+    (vec, sub) rows against the broadcast m*ksub codebook (vectors never
+    shuffle for assignment); the update is one (sub, cid, pos) mean whose
+    exchange carries m*ksub*d_sub partial aggregates per partition,
+    independent of row count. Returns ``cents[m][ksub]`` rounded to 6
+    decimals — stable literals for external oracles (the rp_planes /
+    train_ivf_kmeans pattern)."""
+    from pyspark.sql import Window as W
+
+    spark = embs.sparkSession
+    d_sub = dim // m
+    seed_ids = tuple(seed_ids) if seed_ids is not None else tuple(range(100, 100 + ksub))
+    seeds = {
+        int(r["i"]): [float(x) for x in r["v"]]
+        for r in embs.filter(F.col(id_col).isin(*seed_ids))
+        .select(F.col(id_col).alias("i"), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    }
+    cents = [
+        [seeds[sid][s * d_sub:(s + 1) * d_sub] for sid in sorted(seeds)]
+        for s in range(m)
+    ]
+    v = embs.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(s).alias("sub"), _sub_slice(F.col("v"), s, d_sub).alias("sv"))
+            for s in range(m)
+        ])).alias("e"),
+    ).select("vec_id", "e.sub", "e.sv")
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(s, j, cents[s][j]) for s in range(m) for j in range(ksub)],
+            "sub int, cid int, cv array<double>",
+        )
+        scored = v.join(F.broadcast(cdf), "sub").select(
+            "vec_id", "sub", "sv", "cid", _r6(_l2sq(F.col("sv"), F.col("cv"))).alias("d2")
+        )
+        w = W.partitionBy("vec_id", "sub").orderBy("d2", "cid")
+        assign = scored.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        means = (
+            assign.select("sub", "cid", F.posexplode("sv").alias("pos", "val"))
+            .groupBy("sub", "cid", "pos").agg(F.avg("val").alias("mu"))
+            .groupBy("sub", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select("sub", "cid", F.transform("pm", lambda x: x["mu"]).alias("cv"))
+            .collect()
+        )
+        new = {(int(r["sub"]), int(r["cid"])): [float(x) for x in r["cv"]] for r in means}
+        cents = [
+            [new.get((s, j), cents[s][j]) for j in range(ksub)] for s in range(m)
+        ]
+    return [[[round(x, 6) for x in c] for c in row] for row in cents]
+
+
+def pq_encode(embs: DataFrame, codebook: list, dim: int = 64,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ encode: per subspace, the argmin-L2 centroid id — D floats
+    become M small ints. ZERO shuffle and no join: the codebook is inlined
+    as literal expressions, so encoding is a narrow map that runs entirely
+    inside the scan stage (at 100 TB this is the property that matters —
+    re-encoding a corpus is a single pass). Argmin ranks on the distance
+    rounded to 6 decimals with centroid-id tie-break, so an external
+    engine reproduces every code exactly."""
+    m, ksub = len(codebook), len(codebook[0])
+    d_sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    code = []
+    for s in range(m):
+        sv = _sub_slice(v, s, d_sub)
+        cands = F.array(*[
+            F.struct(
+                _r6(_l2sq(sv, F.array(*[F.lit(float(x)) for x in codebook[s][j]]))).alias("d2"),
+                F.lit(j).alias("cid"),
+            )
+            for j in range(ksub)
+        ])
+        code.append(F.array_min(cands)["cid"])
+    return embs.select(
+        F.col(id_col).alias("vec_id"), F.array(*code).alias("code")
+    )
+
+
+def pq_topk(embs: DataFrame, n_queries: int = 8, k: int = 3,
+            codebook: list | None = None, dim: int = 64,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """PQ approximate top-k by asymmetric distance (ADC): queries keep
+    their exact vectors; every corpus vector is represented ONLY by its
+    M-code, and the approximate distance is the sum of per-subspace exact
+    query->centroid distances. The corpus vectors are never re-read for
+    scoring — the scan side is the compressed code table joined against
+    the broadcast query set (the cosine_topk shape, but over codes)."""
+    from pyspark.sql import Window as W
+
+    m, ksub = len(codebook), len(codebook[0])
+    d_sub = dim // m
+    codes = pq_encode(embs, codebook, dim=dim, id_col=id_col, vec_col=vec_col)
+    q = embs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    cand = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    )
+    terms = [
+        _r6(_l2sq(
+            _sub_slice(F.col("qv"), s, d_sub),
+            F.element_at(
+                F.array(*[
+                    F.array(*[F.lit(float(x)) for x in codebook[s][j]])
+                    for j in range(ksub)
+                ]),
+                F.col("code")[s] + 1,
+            ),
+        ))
+        for s in range(m)
+    ]
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        _r4(sum(terms[1:], terms[0])).alias("adist"),
+    )
+    w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    ).select("query_id", "neighbor_id", "rank", "adist")

@@ -3643,6 +3643,66 @@ FROM g WHERE n_replies >= 2
 """
 
 
+def q_emb_pq_topk(spark, sf_dir):
+    """ANN scale path #3: product quantization (Jegou et al. 2011) with a
+    TRAINED per-subspace k-means codebook (scripts/train_pq.py; literals
+    pinned into pq_codebook.py and shared verbatim with the oracle).
+    Encode is a ZERO-shuffle narrow map (64 floats -> 8 codes, codebook
+    inlined as literals); queries score by asymmetric distance (ADC) over
+    the compressed codes — the corpus vectors are never re-read."""
+    from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
+    from ticdc_spark.functions.simsearch import pq_topk
+
+    return pq_topk(_embs(spark, sf_dir), n_queries=8, k=3, codebook=PQ_CODEBOOK)
+
+
+def _pq_cb_sql() -> str:
+    """DuckDB twin of the trained PQ codebook: the SAME literal doubles."""
+    from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
+
+    vals = ",\n    ".join(
+        f"({s}, {j}, {c!r}::DOUBLE[])"
+        for s, row in enumerate(PQ_CODEBOOK) for j, c in enumerate(row)
+    )
+    return f"SELECT * FROM (VALUES {vals}) t(sub, cid, cv)"
+
+
+SQL_EMB_PQ_TOPK = f"""
+WITH cb AS (
+  {_pq_cb_sql()}),
+enc0 AS (
+  SELECT e.vec_id, c.sub, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id, c.sub
+           ORDER BY floor(list_sum(list_transform(generate_series(1, 8),
+                      i -> (CAST(e.embedding[c.sub * 8 + i] AS DOUBLE) - c.cv[i])
+                         * (CAST(e.embedding[c.sub * 8 + i] AS DOUBLE) - c.cv[i])))
+                      * 1000000 + 0.5) / 1000000,
+                    c.cid) AS rn
+  FROM embeddings e CROSS JOIN cb c),
+enc AS (SELECT vec_id, sub, cid FROM enc0 WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8),
+terms AS (
+  SELECT q.query_id, enc.vec_id AS neighbor_id, enc.sub,
+         floor(list_sum(list_transform(generate_series(1, 8),
+           i -> (q.qv[enc.sub * 8 + i] - c.cv[i])
+              * (q.qv[enc.sub * 8 + i] - c.cv[i])))
+           * 1000000 + 0.5) / 1000000 AS t
+  FROM enc JOIN cb c USING (sub, cid) CROSS JOIN q
+  WHERE enc.vec_id <> q.query_id),
+scored AS (
+  SELECT query_id, neighbor_id, floor(sum(t) * 10000 + 0.5) / 10000 AS adist
+  FROM terms GROUP BY query_id, neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3739,6 +3799,7 @@ QUERIES = {
     "emb_ivf_topk": q_emb_ivf_topk,
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "emb_semdedup": q_emb_semdedup,
+    "emb_pq_topk": q_emb_pq_topk,
     "media_features": q_media_features,
 }
 
@@ -3834,6 +3895,7 @@ ORACLES = {
     "emb_ivf_topk": SQL_EMB_IVF_TOPK,
     "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
     "emb_semdedup": SQL_EMB_SEMDEDUP,
+    "emb_pq_topk": SQL_EMB_PQ_TOPK,
     "media_features": SQL_MEDIA_FEATURES,
 }
 
@@ -3945,6 +4007,9 @@ _DEMOTED = [
     "doc_simhash16",
     "emb_neardup_pairs",
     "doc_vocab_topk",
+    # ANN family: emb_ivf_topk is the in-window representative; PQ/ADC is
+    # the in-family compressed-scoring variant, judge-run at the tail.
+    "emb_pq_topk",
 ]
 
 DRIVER_CAP = 50
