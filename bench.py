@@ -52,6 +52,8 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "tr_preference_pairs",
     "emb_pq_topk",
+    "tr_context_fit",
+    "tr_tool_call_audit",
 ]
 
 

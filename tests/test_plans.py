@@ -411,3 +411,33 @@ def test_pq_encode_zero_shuffle_no_python(spark):
     assert plan.count("Exchange") == 0
     assert "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_context_fit_single_window_exchange(spark):
+    """Context fitting must be ONE hash exchange (the conv_id window) —
+    no join, no global sort, no Python."""
+    from ticdc_spark.functions.transcripts import context_fit
+
+    d = spark.createDataFrame(
+        [(f"c{i % 7}", i, "user", f"w{i} x y", None) for i in range(100)],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    plan = _plan(context_fit(d))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_tool_call_audit_jvm_json_path(spark):
+    """The args audit must extract JSON in codegen (get_json_object) and
+    reduce with a combining aggregate — no Python eval anywhere."""
+    from ticdc_spark.functions.transcripts import tool_call_audit
+
+    d = spark.createDataFrame(
+        [(f"c{i}", i, "tool", "t", "search", '{"q":"a b"}') for i in range(50)],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, tool_args string",
+    )
+    plan = _plan(tool_call_audit(d))
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan

@@ -278,3 +278,48 @@ def test_preference_pairs_tie_breaks_deterministically(spark):
     out = preference_pairs(_tr(spark, rows)).collect()[0]
     # equal score -> lexicographic reply breaks the tie, same on any engine
     assert out["chosen_reply"] == "b b" and out["rejected_reply"] == "a a"
+
+
+def test_context_fit_keeps_suffix_within_budget(spark):
+    from ticdc_spark.functions.transcripts import context_fit
+
+    rows = [
+        ("c1", 1, "user", "a b c d e", None),       # 5 tokens
+        ("c1", 2, "assistant", "f g h", None),      # 3
+        ("c1", 3, "user", "i j", None),             # 2
+        ("c1", 4, "assistant", "k", None),          # 1
+        ("c2", 1, "user", " ".join(["w"] * 20), None),  # alone over budget
+    ]
+    out = {(r["conv_id"], r["turn_idx"]): r
+           for r in context_fit(_tr(spark, rows), budget_tokens=6).collect()}
+    # suffix sums from the end: turn4=1, turn3=3, turn2=6, turn1=11
+    assert [out[("c1", i)]["cum_from_end"] for i in (4, 3, 2, 1)] == [1, 3, 6, 11]
+    assert [out[("c1", i)]["kept"] for i in (4, 3, 2, 1)] == [True, True, True, False]
+    # a single turn larger than the budget is dropped (nothing fits)
+    assert out[("c2", 1)]["kept"] is False
+
+
+def test_tool_call_audit_counts_defects(spark):
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.transcripts import tool_call_audit
+
+    rows = [
+        Row(conv_id="c1", turn_idx=1, role="tool", text="t", tool="search",
+            tool_args='{"q":"alpha beta"}'),
+        Row(conv_id="c1", turn_idx=2, role="tool", text="t", tool="search",
+            tool_args='{"q":"gamma"'),          # malformed
+        Row(conv_id="c2", turn_idx=1, role="tool", text="t", tool="search",
+            tool_args='{"nope":1}'),            # missing required arg
+        Row(conv_id="c2", turn_idx=2, role="tool", text="t", tool="calc",
+            tool_args='{"q":"1 + 1"}'),
+        Row(conv_id="c3", turn_idx=1, role="user", text="t", tool=None,
+            tool_args=None),                    # not a tool turn
+    ]
+    out = {r["tool"]: r for r in tool_call_audit(spark.createDataFrame(rows)).collect()}
+    s = out["search"]
+    assert (s["n_calls"], s["n_valid"], s["n_convs"]) == (3, 1, 2)
+    assert s["valid_bp"] == 3333
+    assert s["q_tokens"] == 2  # "alpha beta"
+    c = out["calc"]
+    assert (c["n_calls"], c["n_valid"], c["valid_bp"], c["q_tokens"]) == (1, 1, 10000, 3)

@@ -482,13 +482,17 @@ def pq_encode(embs: DataFrame, codebook: list, dim: int = 64,
     code = []
     for s in range(m):
         sv = _sub_slice(v, s, d_sub)
-        cands = F.array(*[
-            F.struct(
-                _r6(_l2sq(sv, F.array(*[F.lit(float(x)) for x in codebook[s][j]]))).alias("d2"),
-                F.lit(j).alias("cid"),
-            )
-            for j in range(ksub)
+        cbl = F.array(*[
+            F.array(*[F.lit(float(x)) for x in codebook[s][j]]) for j in range(ksub)
         ])
+        # one transform + one zip_with per subspace (not ksub inlined
+        # aggregates — keeps the codegen'd expression tree small)
+        dists = F.transform(cbl, lambda c: _r6(_l2sq(sv, c)))
+        cands = F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda d, i: F.struct(d.alias("d2"), i.alias("cid")),
+        )
         code.append(F.array_min(cands)["cid"])
     return embs.select(
         F.col(id_col).alias("vec_id"), F.array(*code).alias("code")

@@ -118,3 +118,62 @@ def preference_pairs(tr: DataFrame) -> DataFrame:
         F.col("_rj.reply").alias("rejected_reply"),
         F.col("_rj.conv_id").alias("rejected_conv"),
     )
+
+
+def context_fit(tr: DataFrame, budget_tokens: int = 64) -> DataFrame:
+    """Context-window fitting for SFT assembly: keep the SUFFIX of each
+    conversation that fits a token budget, cutting only at turn
+    boundaries (training on the most recent turns is the standard trade
+    when a conversation exceeds the model's context). Per turn: its
+    whitespace-token count, the cumulative tokens from the conversation
+    END down to this turn, and the keep flag ``cum_from_end <= budget``.
+    Integer arithmetic only — hash-stable on any engine.
+
+    Scale shape: ONE window (partition by conv_id, order by turn_idx
+    desc, running sum) — a single hash exchange on the same conv_id key
+    the CDC sink clusters by; no global sort, no join. Conversations are
+    bounded (thousands of turns, not billions), so per-partition sort
+    cost is flat."""
+    from pyspark.sql import Window as W
+
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return tr.select(
+        "conv_id", "turn_idx", "role",
+        toks.alias("n_tokens"),
+    ).withColumn("cum_from_end", F.sum("n_tokens").over(w)).withColumn(
+        "kept", F.col("cum_from_end") <= budget_tokens
+    )
+
+
+def tool_call_audit(tr: DataFrame) -> DataFrame:
+    """Tool-call curation for agentic training data: audit every tool
+    turn's arguments payload (a JSON string column ``tool_args``) — how
+    many calls parse, how many carry the required argument, and the
+    argument-validity share per tool in integer basis points. Malformed
+    tool calls are the single most common defect in agent transcripts;
+    this is the gate that drops them before SFT.
+
+    Extraction is ``get_json_object`` (NULL on malformed input — the
+    codegen'd JVM path, no Python) and the reduction is ONE combining
+    hash aggregate keyed by tool name (tools are a tiny domain, so the
+    exchange carries one row per tool per task)."""
+    calls = tr.filter(F.col("tool").isNotNull()).select(
+        "conv_id", "tool",
+        F.get_json_object(F.col("tool_args"), "$.q").alias("_q"),
+    )
+    return calls.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.count("_q").cast("long").alias("n_valid"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum(F.when(F.col("_q").isNotNull(),
+                     F.size(F.split(F.trim(F.col("_q")), r"\s+")))
+              .otherwise(0)).cast("long").alias("q_tokens"),
+    ).select(
+        "tool", "n_calls", "n_valid", "n_convs", "q_tokens",
+        F.expr("(n_valid * 10000) div n_calls").cast("long").alias("valid_bp"),
+    )

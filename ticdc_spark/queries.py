@@ -3643,6 +3643,93 @@ FROM g WHERE n_replies >= 2
 """
 
 
+def q_tr_context_fit(spark, sf_dir):
+    """Context-window fitting: keep each conversation's suffix that fits
+    a 24-token budget, cutting at turn boundaries — one window over the
+    conv_id key, integer arithmetic only."""
+    from ticdc_spark.functions.transcripts import context_fit
+
+    return context_fit(transcripts_from_events(spark, sf_dir), budget_tokens=24)
+
+
+SQL_TR_CONTEXT_FIT = f"""
+WITH {TRANSCRIPTS_CTE},
+c AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+  FROM transcripts),
+s AS (
+  SELECT *, CAST(sum(n_tokens) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_from_end
+  FROM c)
+SELECT conv_id, turn_idx, role, n_tokens, cum_from_end,
+       cum_from_end <= 24 AS kept
+FROM s
+"""
+
+
+def _tool_args_spark(base):
+    """Deterministic tool-call synthesis shared (in spirit) with the SQL
+    twin below: the synthetic corpus has no args payload, so each tool
+    turn gets a JSON args string with salted defects — every 5th turn
+    malformed JSON, every 7th missing the required argument."""
+    three = F.element_at(
+        F.array(F.lit("search"), F.lit("calc"), F.lit("code")),
+        (F.col("turn_idx") % 3) + 1,
+    )
+    ti = F.col("turn_idx").cast("string")
+    args = (
+        F.when(F.col("turn_idx") % 7 == 0, F.lit('{"nope":1}'))
+        .when(F.col("turn_idx") % 5 == 0,
+              F.concat(F.lit('{"q":"run '), ti, F.lit(' now"')))
+        .otherwise(F.concat(F.lit('{"q":"run '), ti, F.lit(' now"}')))
+    )
+    has = F.col("tool").isNotNull()
+    return base.withColumn("tool", F.when(has, three)).withColumn(
+        "tool_args", F.when(has, args)
+    )
+
+
+def q_tr_tool_call_audit(spark, sf_dir):
+    """Agentic-data curation: audit tool-call argument payloads per tool
+    (parse rate, required-arg presence, validity share in basis points) —
+    get_json_object in codegen, one tiny keyed aggregate."""
+    from ticdc_spark.functions.transcripts import tool_call_audit
+
+    return tool_call_audit(_tool_args_spark(transcripts_from_events(spark, sf_dir)))
+
+
+SQL_TR_TOOL_CALL_AUDIT = f"""
+WITH {TRANSCRIPTS_CTE},
+calls AS (
+  SELECT conv_id,
+         CASE (turn_idx % 3) WHEN 0 THEN 'search' WHEN 1 THEN 'calc'
+              ELSE 'code' END AS tool,
+         CASE WHEN turn_idx % 7 = 0 THEN '{{"nope":1}}'
+              WHEN turn_idx % 5 = 0
+                THEN '{{"q":"run ' || CAST(turn_idx AS VARCHAR) || ' now"'
+              ELSE '{{"q":"run ' || CAST(turn_idx AS VARCHAR) || ' now"}}'
+         END AS tool_args
+  FROM transcripts WHERE tool IS NOT NULL),
+ex AS (
+  SELECT conv_id, tool,
+         CASE WHEN json_valid(tool_args)
+              THEN json_extract_string(tool_args, '$.q') END AS _q
+  FROM calls)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(_q) AS BIGINT) AS n_valid,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(CASE WHEN _q IS NOT NULL
+                THEN len(string_split_regex(trim(_q), '\\s+')) ELSE 0 END)
+            AS BIGINT) AS q_tokens,
+       CAST((count(_q) * 10000) // count(*) AS BIGINT) AS valid_bp
+FROM ex GROUP BY tool
+"""
+
+
 def q_emb_pq_topk(spark, sf_dir):
     """ANN scale path #3: product quantization (Jegou et al. 2011) with a
     TRAINED per-subspace k-means codebook (scripts/train_pq.py; literals
@@ -3800,6 +3887,8 @@ QUERIES = {
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "emb_semdedup": q_emb_semdedup,
     "emb_pq_topk": q_emb_pq_topk,
+    "tr_context_fit": q_tr_context_fit,
+    "tr_tool_call_audit": q_tr_tool_call_audit,
     "media_features": q_media_features,
 }
 
@@ -3896,6 +3985,8 @@ ORACLES = {
     "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
     "emb_semdedup": SQL_EMB_SEMDEDUP,
     "emb_pq_topk": SQL_EMB_PQ_TOPK,
+    "tr_context_fit": SQL_TR_CONTEXT_FIT,
+    "tr_tool_call_audit": SQL_TR_TOOL_CALL_AUDIT,
     "media_features": SQL_MEDIA_FEATURES,
 }
 
@@ -4010,6 +4101,11 @@ _DEMOTED = [
     # ANN family: emb_ivf_topk is the in-window representative; PQ/ADC is
     # the in-family compressed-scoring variant, judge-run at the tail.
     "emb_pq_topk",
+    # transcript-prep family: tr_preference_pairs is the in-window
+    # representative (with conv_flatten + sft_prep_pipeline); the
+    # context-fit and tool-audit variants are judge-run at the tail.
+    "tr_context_fit",
+    "tr_tool_call_audit",
 ]
 
 DRIVER_CAP = 50
