@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "emb_pq_topk",
     "tr_context_fit",
     "tr_tool_call_audit",
+    "tr_loss_mask",
+    "doc_mixture_plan",
 ]
 
 

@@ -574,3 +574,31 @@ def test_pq_recall_against_exact_l2(spark):
     # the ADC machinery itself is proven by the lossless test above.
     random_recall = 3 / (len(vecs) - 1)
     assert hits / total >= max(0.1, 5 * random_recall)
+
+
+def test_mixture_plan_integer_plan(spark):
+    from ticdc_spark.functions.textops import mixture_plan
+
+    d = spark.createDataFrame(
+        [(i, "w " * 10, "web") for i in range(70)]
+        + [(100 + i, "c " * 10, "code") for i in range(20)]
+        + [(200 + i, "b " * 10, "books") for i in range(10)],
+        ["doc_id", "text", "domain"],
+    )
+    plan = {r["domain"]: r for r in
+            mixture_plan(d, {"web": 2000, "code": 4000, "books": 4000},
+                         budget_tokens=10_000).collect()}
+    # natural shares mirror the skew; targets come from the weights
+    assert plan["web"]["natural_bp"] == 7000
+    assert plan["web"]["target_bp"] == 2000
+    assert plan["web"]["target_tokens"] == 2000
+    # web: 700 tokens available, 2000 owed -> heavy downsample? No:
+    # epochs_bp = owed / available in bp
+    assert plan["web"]["epochs_bp"] == (2000 * 10000) // 700
+    # books is upsampled hard: 100 tokens available, 4000 owed
+    assert plan["books"]["tokens_avail"] == 100
+    assert plan["books"]["epochs_bp"] == 400000  # 40 epochs
+    # a domain absent from the weights gets target 0
+    plan2 = {r["domain"]: r for r in
+             mixture_plan(d, {"web": 10000}, budget_tokens=100).collect()}
+    assert plan2["code"]["target_bp"] == 0 and plan2["code"]["target_tokens"] == 0

@@ -323,3 +323,21 @@ def test_tool_call_audit_counts_defects(spark):
     assert s["q_tokens"] == 2  # "alpha beta"
     c = out["calc"]
     assert (c["n_calls"], c["n_valid"], c["valid_bp"], c["q_tokens"]) == (1, 1, 10000, 3)
+
+
+def test_loss_mask_spans_offsets_and_masks(spark):
+    from ticdc_spark.functions.transcripts import loss_mask_spans
+
+    rows = [
+        ("c1", 1, "user", "hello there", None),     # line = 1 + 2 = 3 tokens
+        ("c1", 2, "assistant", "hi", None),         # 1 + 1 = 2
+        ("c1", 3, "user", "a b c", None),           # 1 + 3 = 4
+        ("c1", 4, "assistant", "d e", None),        # 1 + 2 = 3
+    ]
+    out = {r["turn_idx"]: r for r in loss_mask_spans(_tr(spark, rows)).collect()}
+    spans = [(out[i]["tok_start"], out[i]["tok_end"]) for i in (1, 2, 3, 4)]
+    assert spans == [(0, 3), (3, 5), (5, 9), (9, 12)]
+    assert [out[i]["train_mask"] for i in (1, 2, 3, 4)] == [False, True, False, True]
+    # spans tile the flattened document exactly: end(i) == start(i+1)
+    for i in (1, 2, 3):
+        assert out[i]["tok_end"] == out[i + 1]["tok_start"]

@@ -1014,3 +1014,42 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id", "n_tokens",
         F.expr("_s div n_tokens").cast("long").alias("lm_score_ppb"),
     )
+
+
+def mixture_plan(docs: DataFrame, weights: dict, budget_tokens: int,
+                 domain_col: str = "domain", text_col: str = "text") -> DataFrame:
+    """Data-mixing plan for a training run (the static-mixture shape used
+    by published LLM recipes: per-domain target proportions over a fixed
+    token budget): per domain, the available tokens, its natural share of
+    the corpus, the target share (caller-supplied basis points), the
+    token budget it must supply, and the implied epoch factor in basis
+    points — >10000 means the domain REPEATS (multi-epoch upsampling),
+    <10000 means it is downsampled. Integer arithmetic end to end.
+
+    Scale shape: one map-side-combining aggregate keyed by domain (the
+    corpus is touched exactly once, projected to two columns), a
+    broadcast literal weight map, and a 1-row broadcast total — the plan
+    output is O(domains), never a driver collect of data rows."""
+    per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long").alias("tokens_avail"),
+    )
+    total = per.agg(F.sum("tokens_avail").cast("long").alias("_total"))
+    wmap = F.create_map(*[
+        x for d, bp in sorted(weights.items()) for x in (F.lit(d), F.lit(int(bp)))
+    ])
+    out = per.crossJoin(F.broadcast(total)).select(
+        "domain", "n_docs", "tokens_avail",
+        F.expr("(tokens_avail * 10000) div _total").cast("long").alias("natural_bp"),
+        F.coalesce(wmap[F.col("domain")], F.lit(0)).cast("long").alias("target_bp"),
+    )
+    return out.select(
+        "*",
+        F.expr(f"(target_bp * {int(budget_tokens)}) div 10000")
+        .cast("long").alias("target_tokens"),
+    ).select(
+        "*",
+        F.expr("(target_tokens * 10000) div tokens_avail")
+        .cast("long").alias("epochs_bp"),
+    )

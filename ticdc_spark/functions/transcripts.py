@@ -177,3 +177,36 @@ def tool_call_audit(tr: DataFrame) -> DataFrame:
         "tool", "n_calls", "n_valid", "n_convs", "q_tokens",
         F.expr("(n_valid * 10000) div n_calls").cast("long").alias("valid_bp"),
     )
+
+
+def loss_mask_spans(tr: DataFrame) -> DataFrame:
+    """Loss-mask span computation for SFT: after
+    :func:`flatten_conversations` renders a conversation as ``role: text``
+    lines, training loss is taken only on assistant turns. Emit each
+    turn's token span ``[tok_start, tok_end)`` in the flattened document's
+    whitespace-token space — a line contributes 1 token for the
+    ``role:`` tag plus the text's token count — and the ``train_mask``
+    flag the dataloader applies. Integer arithmetic only.
+
+    Scale shape: ONE conv_id window (running sum in turn order) — the
+    same single-exchange shape as context_fit, on the key the CDC sink
+    already clusters by."""
+    from pyspark.sql import Window as W
+
+    line_toks = (
+        F.lit(1) + F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    ).cast("long")
+    w = (
+        W.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = tr.select(
+        "conv_id", "turn_idx", "role", line_toks.alias("n_line_tokens")
+    ).withColumn("tok_end", F.sum("n_line_tokens").over(w).cast("long"))
+    return out.select(
+        "conv_id", "turn_idx", "role", "n_line_tokens",
+        (F.col("tok_end") - F.col("n_line_tokens")).cast("long").alias("tok_start"),
+        "tok_end",
+        (F.col("role") == "assistant").alias("train_mask"),
+    )

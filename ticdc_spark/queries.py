@@ -3730,6 +3730,80 @@ FROM ex GROUP BY tool
 """
 
 
+def q_tr_loss_mask(spark, sf_dir):
+    """SFT loss-mask spans: each turn's [tok_start, tok_end) range in the
+    flattened 'role: text' document token space, with the assistant-only
+    train_mask flag — one conv_id window, integer arithmetic."""
+    from ticdc_spark.functions.transcripts import loss_mask_spans
+
+    return loss_mask_spans(transcripts_from_events(spark, sf_dir))
+
+
+SQL_TR_LOSS_MASK = f"""
+WITH {TRANSCRIPTS_CTE},
+c AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(1 + len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_line_tokens
+  FROM transcripts),
+s AS (
+  SELECT *, CAST(sum(n_line_tokens) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tok_end
+  FROM c)
+SELECT conv_id, turn_idx, role, n_line_tokens,
+       CAST(tok_end - n_line_tokens AS BIGINT) AS tok_start, tok_end,
+       role = 'assistant' AS train_mask
+FROM s
+"""
+
+
+_MIX_WEIGHTS = {"web": 5000, "code": 3000, "books": 2000}
+_MIX_BUDGET = 1_000_000
+_MIX_DOMAIN_SQL = """CASE WHEN CAST(substring(source, 4, 10) AS INT) < 14 THEN 'web'
+         WHEN CAST(substring(source, 4, 10) AS INT) < 18 THEN 'code'
+         ELSE 'books' END"""
+
+
+def q_doc_mixture_plan(spark, sf_dir):
+    """Static data-mixing plan: per-domain available tokens, natural vs
+    target share (basis points), token budget owed, and the implied epoch
+    factor (>10000 bp = multi-epoch upsampling). One combining aggregate
+    over the corpus; output is O(domains)."""
+    from ticdc_spark.functions.textops import mixture_plan
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "domain", F.expr(_MIX_DOMAIN_SQL)
+    )
+    return mixture_plan(docs, _MIX_WEIGHTS, _MIX_BUDGET)
+
+
+SQL_DOC_MIXTURE_PLAN = f"""
+WITH d AS (
+  SELECT {_MIX_DOMAIN_SQL} AS domain,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS toks
+  FROM documents),
+per AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(toks) AS BIGINT) AS tokens_avail
+  FROM d GROUP BY domain),
+tt AS (SELECT sum(tokens_avail) AS _total FROM per),
+w AS (SELECT * FROM (VALUES ('web', 5000), ('code', 3000), ('books', 2000))
+      t(domain, target_bp)),
+base AS (
+  SELECT per.domain, per.n_docs, per.tokens_avail,
+         CAST((per.tokens_avail * 10000) // tt._total AS BIGINT) AS natural_bp,
+         CAST(coalesce(w.target_bp, 0) AS BIGINT) AS target_bp
+  FROM per LEFT JOIN w USING (domain) CROSS JOIN tt)
+SELECT *,
+       CAST((target_bp * {_MIX_BUDGET}) // 10000 AS BIGINT) AS target_tokens,
+       CAST(((target_bp * {_MIX_BUDGET}) // 10000) * 10000 // tokens_avail
+            AS BIGINT) AS epochs_bp
+FROM base
+"""
+
+
 def q_emb_pq_topk(spark, sf_dir):
     """ANN scale path #3: product quantization (Jegou et al. 2011) with a
     TRAINED per-subspace k-means codebook (scripts/train_pq.py; literals
@@ -3889,6 +3963,8 @@ QUERIES = {
     "emb_pq_topk": q_emb_pq_topk,
     "tr_context_fit": q_tr_context_fit,
     "tr_tool_call_audit": q_tr_tool_call_audit,
+    "tr_loss_mask": q_tr_loss_mask,
+    "doc_mixture_plan": q_doc_mixture_plan,
     "media_features": q_media_features,
 }
 
@@ -3987,6 +4063,8 @@ ORACLES = {
     "emb_pq_topk": SQL_EMB_PQ_TOPK,
     "tr_context_fit": SQL_TR_CONTEXT_FIT,
     "tr_tool_call_audit": SQL_TR_TOOL_CALL_AUDIT,
+    "tr_loss_mask": SQL_TR_LOSS_MASK,
+    "doc_mixture_plan": SQL_DOC_MIXTURE_PLAN,
     "media_features": SQL_MEDIA_FEATURES,
 }
 
@@ -4106,6 +4184,11 @@ _DEMOTED = [
     # context-fit and tool-audit variants are judge-run at the tail.
     "tr_context_fit",
     "tr_tool_call_audit",
+    # same-family tails: loss-mask shares context_fit's single-window
+    # shape; mixture_plan shares doc_domain_resample's (in-window)
+    # domain-rebalancing family.
+    "tr_loss_mask",
+    "doc_mixture_plan",
 ]
 
 DRIVER_CAP = 50
