@@ -341,3 +341,28 @@ def test_loss_mask_spans_offsets_and_masks(spark):
     # spans tile the flattened document exactly: end(i) == start(i+1)
     for i in (1, 2, 3):
         assert out[i]["tok_end"] == out[i + 1]["tok_start"]
+
+
+def test_rlhf_prep_decontaminates_against_train_split(spark):
+    """The composed RLHF capstone: its output is exactly the preference
+    pairs whose prompt no train-split SFT conversation uttered."""
+    from ticdc_spark.functions.transcripts import conversation_stats, preference_pairs
+    from ticdc_spark.queries import q_rlhf_prep_pipeline, transcripts_from_events
+
+    sf = "/root/testdata/sf0.001"
+    out = q_rlhf_prep_pipeline(spark, sf).collect()
+    assert len(out) > 0
+    tr = transcripts_from_events(spark, sf)
+    train = {
+        r["conv_id"]
+        for r in conversation_stats(tr).filter("sft_eligible").collect()
+        if int(r["conv_id"][12]) < 1
+    }
+    train_prompts = {
+        r["text"]
+        for r in tr.filter(F.col("role") == "user").collect()
+        if r["conv_id"] in train
+    }
+    all_pairs = {r["prompt"] for r in preference_pairs(tr).collect()}
+    got = {r["prompt"] for r in out}
+    assert got == {p for p in all_pairs if p not in train_prompts}

@@ -997,7 +997,10 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tokens, broadcast) from the tail (shuffle join) — operators/skew.py
     holds the salting primitive; at oracle scale the plain join is exact
     and identical. The corpus total rides a 1-row broadcast cross join,
-    never a driver collect."""
+    never a driver collect. Long arithmetic bound: ``c * 1e9`` overflows
+    int64 only when one token exceeds ~9.2e9 occurrences; a corpus that
+    large scores through DECIMAL(38,0) (swap the two div expressions) —
+    the oracle's HUGEINT side already computes exactly."""
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),

@@ -3759,6 +3759,76 @@ FROM s
 """
 
 
+def q_rlhf_prep_pipeline(spark, sf_dir):
+    """RLHF data-prep capstone, composed: preference pairs (struct
+    max/min per repeated prompt) LEFT-ANTI-joined against the SFT
+    training set's user prompts — a DPO prompt that also trains in SFT
+    leaks supervision across stages (the cross-stage analog of benchmark
+    decontamination). Scale shape: the SFT prompt set is DISTINCT user
+    turns of gate-eligible conversations (bounded by distinct prompts,
+    not turns) and the anti-join is keyed on the same prompt hash the
+    pair reduction already grouped by."""
+    from ticdc_spark.functions.transcripts import conversation_stats, preference_pairs
+
+    tr = transcripts_from_events(spark, sf_dir)
+    pairs = preference_pairs(tr)
+    # SFT train split = eligible convs in the first of five deterministic
+    # conv-id shards (the conv suffix digit); a DPO prompt is dropped iff
+    # a user turn of a TRAIN conversation uttered it
+    sft_convs = (
+        conversation_stats(tr).filter("sft_eligible")
+        .filter(F.substring("conv_id", 13, 1).cast("int") < 1)
+        .select("conv_id")
+    )
+    sft_prompts = (
+        tr.join(sft_convs, "conv_id")
+        .filter(F.col("role") == "user")
+        .select(F.col("text").alias("prompt"))
+        .distinct()
+    )
+    return pairs.join(sft_prompts, "prompt", "left_anti")
+
+
+SQL_RLHF_PREP_PIPELINE = f"""
+WITH {TRANSCRIPTS_CTE},
+u AS (
+  SELECT conv_id, turn_idx + 1 AS _j, text AS prompt
+  FROM transcripts WHERE role = 'user'),
+a AS (
+  SELECT conv_id, turn_idx AS _j, text AS reply
+  FROM transcripts WHERE role = 'assistant'),
+cand AS (
+  SELECT prompt, reply, conv_id,
+         CAST(len(string_split_regex(trim(reply), '\\s+')) AS BIGINT) AS score
+  FROM u JOIN a USING (conv_id, _j)),
+g AS (
+  SELECT prompt,
+         CAST(count(*) AS BIGINT) AS n_candidates,
+         CAST(count(DISTINCT reply) AS BIGINT) AS n_replies,
+         max(struct_pack(score := score, reply := reply, conv_id := conv_id)) AS _ch,
+         min(struct_pack(score := score, reply := reply, conv_id := conv_id)) AS _rj
+  FROM cand GROUP BY prompt),
+pairs AS (
+  SELECT prompt, n_candidates, n_replies,
+         _ch.score AS chosen_score, _ch.reply AS chosen_reply, _ch.conv_id AS chosen_conv,
+         _rj.score AS rejected_score, _rj.reply AS rejected_reply, _rj.conv_id AS rejected_conv
+  FROM g WHERE n_replies >= 2),
+gate AS (
+  SELECT conv_id FROM transcripts GROUP BY conv_id
+  HAVING count(*) >= 4
+     AND count(*) FILTER (WHERE role = 'user') > 0
+     AND count(*) FILTER (WHERE role = 'assistant') > 0),
+train AS (
+  SELECT conv_id FROM gate WHERE CAST(substring(conv_id, 13, 1) AS INT) < 1),
+sft_prompts AS (
+  SELECT DISTINCT t.text AS prompt
+  FROM transcripts t JOIN train USING (conv_id)
+  WHERE t.role = 'user')
+SELECT p.* FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM sft_prompts s WHERE s.prompt = p.prompt)
+"""
+
+
 _MIX_WEIGHTS = {"web": 5000, "code": 3000, "books": 2000}
 _MIX_BUDGET = 1_000_000
 _MIX_DOMAIN_SQL = """CASE WHEN CAST(substring(source, 4, 10) AS INT) < 14 THEN 'web'
@@ -3965,6 +4035,7 @@ QUERIES = {
     "tr_tool_call_audit": q_tr_tool_call_audit,
     "tr_loss_mask": q_tr_loss_mask,
     "doc_mixture_plan": q_doc_mixture_plan,
+    "rlhf_prep_pipeline": q_rlhf_prep_pipeline,
     "media_features": q_media_features,
 }
 
@@ -4065,6 +4136,7 @@ ORACLES = {
     "tr_tool_call_audit": SQL_TR_TOOL_CALL_AUDIT,
     "tr_loss_mask": SQL_TR_LOSS_MASK,
     "doc_mixture_plan": SQL_DOC_MIXTURE_PLAN,
+    "rlhf_prep_pipeline": SQL_RLHF_PREP_PIPELINE,
     "media_features": SQL_MEDIA_FEATURES,
 }
 
@@ -4189,6 +4261,9 @@ _DEMOTED = [
     # domain-rebalancing family.
     "tr_loss_mask",
     "doc_mixture_plan",
+    # composed capstone over stages each verified in-window
+    # (tr_preference_pairs, conv_stats gate via sft_prep_pipeline)
+    "rlhf_prep_pipeline",
 ]
 
 DRIVER_CAP = 50
