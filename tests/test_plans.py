@@ -351,8 +351,12 @@ def test_substring_dedup_equi_joins_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
-    # per-span counting combines map-side before its exchange
-    assert "partial_count" in plan
+    # the span-count is a window over the distinct rows, NOT a self-join
+    # that would recompute the explode+distinct subplan twice: exactly
+    # three exchanges (distinct, span window, per-doc fold) and one scan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 3
+    assert plan.count("Generate") == 1
 
 
 def test_lm_score_total_broadcasts_corpus_never_collected(spark):

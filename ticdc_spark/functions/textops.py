@@ -947,9 +947,9 @@ def substring_dedup(docs: DataFrame, window: int = 16, stride: int = 8,
 
     The reference full-suffix-array construction is a single-machine
     algorithm; the Spark-honest equivalent is this fixed-window rolling
-    shingle: one posexplode projection (narrow), one (doc, span) distinct
-    exchange, one span-keyed count exchange, and a span-keyed semi-join
-    that REUSES the same exchange shape. Span keys are Zipf-skewed at
+    shingle: one explode projection (narrow), one (doc, span) distinct
+    exchange, one span-partitioned window count, one per-doc fold — a
+    single scan, three exchanges, no join. Span keys are Zipf-skewed at
     100 TB — production would hash spans (xxhash64) and salt the heavy
     head exactly like operators/skew.py; the small-scale oracle joins on
     the span text so DuckDB reproduces it bit-for-bit.
@@ -959,6 +959,8 @@ def substring_dedup(docs: DataFrame, window: int = 16, stride: int = 8,
     offs = F.when(
         n >= window, F.sequence(F.lit(0), n - window, F.lit(stride))
     ).otherwise(F.array(F.lit(0)))
+    from pyspark.sql import Window as W
+
     spans = docs.select(
         "doc_id",
         F.explode(offs).alias("off"),
@@ -967,8 +969,12 @@ def substring_dedup(docs: DataFrame, window: int = 16, stride: int = 8,
         "doc_id",
         F.array_join(F.slice(F.col("_t"), F.col("off") + 1, window), " ").alias("span"),
     ).distinct()
-    per_span = spans.groupBy("span").agg(F.count(F.lit(1)).alias("nd"))
-    flagged = spans.join(per_span, "span").groupBy("doc_id").agg(
+    # cross-doc span count as a WINDOW over the distinct rows (not a
+    # self-join): one scan and three exchanges total — distinct on
+    # (doc_id, span), the span-partitioned count, the per-doc fold —
+    # where the join form recomputed the explode+distinct subplan twice
+    nd = F.count(F.lit(1)).over(W.partitionBy("span"))
+    flagged = spans.withColumn("nd", nd).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.count(F.when(F.col("nd") >= 2, 1)).cast("long").alias("n_dup_spans"),
     )
