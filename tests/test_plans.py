@@ -376,6 +376,11 @@ def test_lm_score_total_broadcasts_corpus_never_collected(spark):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "partial_count" in plan or "partial_sum" in plan
+    # vocab frequency is a window over the (doc, tok) aggregate and the
+    # corpus total is a narrow no-explode scan: ONE Generate, no
+    # tok-keyed self-join recomputing the explode subplan
+    assert plan.count("Generate") == 1
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_preference_pairs_adjacency_is_keyed_join(spark):

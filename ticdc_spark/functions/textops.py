@@ -996,25 +996,35 @@ def lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     doc is full of tokens the corpus has never seen (mojibake, boilerplate
     IDs, binary junk) — the same junk-tail CCNet's perplexity cut drops.
 
-    Scale shape: tokens are pre-aggregated per (doc, token) BEFORE the
-    vocab join, so join input is bounded by per-doc distinct tokens, and
-    the vocab aggregate is a map-side-combining count. The token-keyed
-    join is Zipf-skewed at 100 TB: production splits the head (top ~1M
-    tokens, broadcast) from the tail (shuffle join) — operators/skew.py
-    holds the salting primitive; at oracle scale the plain join is exact
-    and identical. The corpus total rides a 1-row broadcast cross join,
-    never a driver collect. Long arithmetic bound: ``c * 1e9`` overflows
+    Scale shape: tokens are pre-aggregated per (doc, token) first, so the
+    vocab stage sees per-doc distinct tokens, and the corpus frequency is
+    a token-partitioned WINDOW over that aggregate — no self-join, one
+    explode. The token key is Zipf-skewed at 100 TB: production splits
+    the head (top ~1M tokens, broadcast map) from the windowed tail —
+    operators/skew.py holds the salting primitive; at oracle scale the
+    plain window is exact and identical. The corpus total is a narrow
+    no-explode scan riding a 1-row broadcast cross join, never a driver
+    collect. Long arithmetic bound: ``c * 1e9`` overflows
     int64 only when one token exceeds ~9.2e9 occurrences; a corpus that
     large scores through DECIMAL(38,0) (swap the two div expressions) —
     the oracle's HUGEINT side already computes exactly."""
+    from pyspark.sql import Window as W
+
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )
     doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("k"))
-    vocab = doc_tok.groupBy("tok").agg(F.sum("k").alias("c"))
-    total = vocab.agg(F.sum("c").cast("long").alias("_total"))
-    scored = doc_tok.join(vocab, "tok").crossJoin(F.broadcast(total))
+    # vocab frequency as a WINDOW over the (doc, tok) aggregate (not a
+    # groupBy + self-join, which would recompute the explode subplan
+    # twice), and the corpus total from a NARROW scan of the raw docs
+    # (no explode): one Generate, four exchanges instead of nine
+    vocab = doc_tok.withColumn("c", F.sum("k").over(W.partitionBy("tok")))
+    total = docs.agg(
+        F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .cast("long").alias("_total")
+    )
+    scored = vocab.crossJoin(F.broadcast(total))
     per_doc = scored.groupBy("doc_id").agg(
         F.sum("k").cast("long").alias("n_tokens"),
         F.sum(F.col("k") * F.expr("(c * 1000000000) div _total")).cast("long").alias("_s"),
