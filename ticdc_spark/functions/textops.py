@@ -1049,16 +1049,23 @@ def mixture_plan(docs: DataFrame, weights: dict, budget_tokens: int,
     corpus is touched exactly once, projected to two columns), a
     broadcast literal weight map, and a 1-row broadcast total — the plan
     output is O(domains), never a driver collect of data rows."""
+    from pyspark.sql import Window as W
+
     per = docs.groupBy(F.col(domain_col).alias("domain")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
         .cast("long").alias("tokens_avail"),
     )
-    total = per.agg(F.sum("tokens_avail").cast("long").alias("_total"))
     wmap = F.create_map(*[
         x for d, bp in sorted(weights.items()) for x in (F.lit(d), F.lit(int(bp)))
     ])
-    out = per.crossJoin(F.broadcast(total)).select(
+    # the corpus total is a GLOBAL window over the per-domain aggregate —
+    # O(domains) rows in one partition, so the single-partition window is
+    # free, and the corpus is scanned exactly once (an agg + cross join
+    # would rebuild the corpus aggregate a second time)
+    out = per.withColumn(
+        "_total", F.sum("tokens_avail").over(W.partitionBy()).cast("long")
+    ).select(
         "domain", "n_docs", "tokens_avail",
         F.expr("(tokens_avail * 10000) div _total").cast("long").alias("natural_bp"),
         F.coalesce(wmap[F.col("domain")], F.lit(0)).cast("long").alias("target_bp"),
