@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "tr_tool_call_audit",
     "tr_loss_mask",
     "doc_mixture_plan",
+    "emb_ivfpq_topk",
 ]
 
 

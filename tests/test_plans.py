@@ -450,3 +450,32 @@ def test_tool_call_audit_jvm_json_path(spark):
     plan = _plan(tool_call_audit(d))
     assert "EvalPython" not in plan
     assert "partial_count" in plan
+
+
+def test_ivfpq_corpus_never_shuffled_before_topk(spark):
+    """IVFPQ's corpus side must be ONE narrow pass (inline assignment +
+    codes), joined to the probes by BROADCAST, with the per-query top-k
+    window as the only hash exchange of corpus-derived rows."""
+    from pyspark.sql import Row
+
+    from ticdc_spark.functions.ivf_codebook import CENTROIDS
+    from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
+    from ticdc_spark.functions.simsearch import ivfpq_topk
+
+    d = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 5 + j) % 11 - 5) for j in range(64)])
+         for i in range(100)]
+    )
+    plan = _plan(ivfpq_topk(d, n_queries=4, k=3, n_probe=2,
+                            centroids=CENTROIDS, codebook=PQ_CODEBOOK))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # broadcast probe join, not a shuffled one
+    assert "BroadcastHashJoin" in plan
+    # hash exchanges: the probe side's tiny per-query windows may shuffle,
+    # but corpus-derived rows reach the final rank window through exactly
+    # one query_id exchange — no exchange may partition on the corpus row
+    # identity (neighbor/vec id)
+    import re
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert not any("neighbor_id" in l or "vec_id" in l for l in hash_ex)

@@ -602,3 +602,34 @@ def test_mixture_plan_integer_plan(spark):
     plan2 = {r["domain"]: r for r in
              mixture_plan(d, {"web": 10000}, budget_tokens=100).collect()}
     assert plan2["code"]["target_bp"] == 0 and plan2["code"]["target_tokens"] == 0
+
+
+def test_ivfpq_full_probe_equals_pq(spark):
+    """IVFPQ with n_probe = all lists scores every candidate — it must
+    reproduce plain PQ/ADC top-k exactly; with fewer probes its neighbors
+    must come from the query's probed centroid lists."""
+    from ticdc_spark.functions.ivf_codebook import CENTROIDS
+    from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
+    from ticdc_spark.functions.simsearch import (
+        ivf_assign, ivfpq_topk, pq_topk,
+    )
+
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = ivfpq_topk(embs, n_queries=4, k=3, n_probe=len(CENTROIDS),
+                      centroids=CENTROIDS, codebook=PQ_CODEBOOK)
+    plain = pq_topk(embs, n_queries=4, k=3, codebook=PQ_CODEBOOK)
+    got = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+           for r in full.collect()}
+    want = {(r["query_id"], r["rank"]): (r["neighbor_id"], r["adist"])
+            for r in plain.collect()}
+    assert got == want
+    # pruned probes: every neighbor sits in a probed list
+    pruned = ivfpq_topk(embs, n_queries=4, k=3, n_probe=2,
+                        centroids=CENTROIDS, codebook=PQ_CODEBOOK).collect()
+    assign = {r["vec_id"]: r["centroid_id"]
+              for r in ivf_assign(embs, centroids=CENTROIDS).collect()}
+    by_q = {}
+    for r in pruned:
+        by_q.setdefault(r["query_id"], set()).add(assign[r["neighbor_id"]])
+    for q, lists in by_q.items():
+        assert len(lists) <= 2

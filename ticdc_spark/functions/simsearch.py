@@ -467,6 +467,30 @@ def train_pq_kmeans(embs: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
     return [[[round(x, 6) for x in c] for c in row] for row in cents]
 
 
+def _pq_code_expr(v, codebook: list, dim: int):
+    """The M-code of a vector as a narrow Column expression: per subspace,
+    one transform (distances to the ksub literal centroids) + one zip_with
+    (attach ids) + array_min (argmin with id tie-break) — not ksub inlined
+    aggregates, keeping the codegen'd tree small. ``v`` must already be
+    array<double>."""
+    m, ksub = len(codebook), len(codebook[0])
+    d_sub = dim // m
+    code = []
+    for s in range(m):
+        sv = _sub_slice(v, s, d_sub)
+        cbl = F.array(*[
+            F.array(*[F.lit(float(x)) for x in codebook[s][j]]) for j in range(ksub)
+        ])
+        dists = F.transform(cbl, lambda c: _r6(_l2sq(sv, c)))
+        cands = F.zip_with(
+            dists,
+            F.sequence(F.lit(0), F.lit(ksub - 1)),
+            lambda d, i: F.struct(d.alias("d2"), i.alias("cid")),
+        )
+        code.append(F.array_min(cands)["cid"])
+    return F.array(*code)
+
+
 def pq_encode(embs: DataFrame, codebook: list, dim: int = 64,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """PQ encode: per subspace, the argmin-L2 centroid id — D floats
@@ -476,26 +500,10 @@ def pq_encode(embs: DataFrame, codebook: list, dim: int = 64,
     re-encoding a corpus is a single pass). Argmin ranks on the distance
     rounded to 6 decimals with centroid-id tie-break, so an external
     engine reproduces every code exactly."""
-    m, ksub = len(codebook), len(codebook[0])
-    d_sub = dim // m
     v = F.col(vec_col).cast("array<double>")
-    code = []
-    for s in range(m):
-        sv = _sub_slice(v, s, d_sub)
-        cbl = F.array(*[
-            F.array(*[F.lit(float(x)) for x in codebook[s][j]]) for j in range(ksub)
-        ])
-        # one transform + one zip_with per subspace (not ksub inlined
-        # aggregates — keeps the codegen'd expression tree small)
-        dists = F.transform(cbl, lambda c: _r6(_l2sq(sv, c)))
-        cands = F.zip_with(
-            dists,
-            F.sequence(F.lit(0), F.lit(ksub - 1)),
-            lambda d, i: F.struct(d.alias("d2"), i.alias("cid")),
-        )
-        code.append(F.array_min(cands)["cid"])
     return embs.select(
-        F.col(id_col).alias("vec_id"), F.array(*code).alias("code")
+        F.col(id_col).alias("vec_id"),
+        _pq_code_expr(v, codebook, dim).alias("code"),
     )
 
 
@@ -538,5 +546,83 @@ def pq_topk(embs: DataFrame, n_queries: int = 8, k: int = 3,
     )
     w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    ).select("query_id", "neighbor_id", "rank", "adist")
+
+
+def ivf_assign_inline(vec, centroids: list):
+    """Expression-form IVF coarse assignment: argmax rounded-cosine over
+    the literal codebook with lowest-centroid-id tie-break — the SAME
+    ranking rule as :func:`ivf_assign`, but as a narrow Column (zero
+    shuffle, no join): the assignment happens inside the scan stage.
+    ``vec`` must already be array<double>."""
+    k = len(centroids)
+    cbl = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids
+    ])
+    sims = F.transform(cbl, lambda c: -_r4(cosine(vec, c)))
+    cands = F.zip_with(
+        sims, F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda s, i: F.struct(s.alias("negc"), i.alias("cid")),
+    )
+    return F.array_min(cands)["cid"]
+
+
+def ivfpq_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2,
+               centroids: list | None = None, codebook: list | None = None,
+               dim: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the production composition (the FAISS IVFPQ shape) —
+    coarse-quantize AND PQ-encode every vector in ONE narrow pass (both
+    codebooks inlined as literals: zero shuffle, no join on the corpus
+    side), broadcast the probed (query, centroid) set, score candidates
+    by asymmetric distance over the codes alone, and rank per query.
+    The ONLY exchange over corpus-derived rows is the final per-query
+    top-k window, whose input is already probe-pruned; the corpus
+    vectors are read exactly once and never shuffled."""
+    from pyspark.sql import Window as W
+
+    m, ksub = len(codebook), len(codebook[0])
+    d_sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    enc = embs.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_assign_inline(v, centroids).alias("centroid_id"),
+        _pq_code_expr(v, codebook, dim).alias("code"),
+    )
+    cents = _centroid_df(embs, None, centroids, id_col, vec_col)
+    q = embs.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    qs = q.join(F.broadcast(cents)).select(
+        "query_id", "qv", "centroid_id",
+        _r4(cosine(F.col("qv"), F.col("cv").cast("array<double>"))).alias("c"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("centroid_id"))
+    probes = qs.withColumn("rn", F.row_number().over(wq)).filter(
+        F.col("rn") <= n_probe
+    ).select("query_id", "qv", "centroid_id")
+    cand = enc.join(F.broadcast(probes), "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    terms = [
+        _r6(_l2sq(
+            _sub_slice(F.col("qv"), s, d_sub),
+            F.element_at(
+                F.array(*[
+                    F.array(*[F.lit(float(x)) for x in codebook[s][j]])
+                    for j in range(ksub)
+                ]),
+                F.col("code")[s] + 1,
+            ),
+        ))
+        for s in range(m)
+    ]
+    scored = cand.select(
+        "query_id", "neighbor_id",
+        _r4(sum(terms[1:], terms[0])).alias("adist"),
+    )
+    wr = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
         F.col("rank") <= k
     ).select("query_id", "neighbor_id", "rank", "adist")

@@ -3643,6 +3643,78 @@ FROM g WHERE n_replies >= 2
 """
 
 
+def q_emb_ivfpq_topk(spark, sf_dir):
+    """ANN scale path #4 — the production composition (FAISS IVFPQ shape):
+    IVF coarse assignment AND PQ codes computed in ONE narrow pass (both
+    trained codebooks inlined as literals — the corpus is read once and
+    never shuffled), probed (query, centroid) set broadcast, asymmetric-
+    distance scoring over codes alone, one tiny per-query top-k window."""
+    from ticdc_spark.functions.ivf_codebook import CENTROIDS
+    from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
+    from ticdc_spark.functions.simsearch import ivfpq_topk
+
+    return ivfpq_topk(_embs(spark, sf_dir), n_queries=8, k=3, n_probe=2,
+                      centroids=CENTROIDS, codebook=PQ_CODEBOOK)
+
+
+SQL_EMB_IVFPQ_TOPK = f"""
+WITH cents AS (
+  {{IVF_CENTS}}),
+cb AS (
+  {{PQ_CB}}),
+assign0 AS (
+  SELECT e.vec_id, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.cv AS DOUBLE[])) * 10000 + 0.5) / 10000 DESC,
+                    c.centroid_id) AS rn
+  FROM embeddings e CROSS JOIN cents c),
+assign AS (SELECT vec_id, centroid_id FROM assign0 WHERE rn = 1),
+enc0 AS (
+  SELECT e.vec_id, c.sub, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id, c.sub
+           ORDER BY floor(list_sum(list_transform(generate_series(1, 8),
+                      i -> (CAST(e.embedding[c.sub * 8 + i] AS DOUBLE) - c.cv[i])
+                         * (CAST(e.embedding[c.sub * 8 + i] AS DOUBLE) - c.cv[i])))
+                      * 1000000 + 0.5) / 1000000,
+                    c.cid) AS rn
+  FROM embeddings e CROSS JOIN cb c),
+enc AS (SELECT vec_id, sub, cid FROM enc0 WHERE rn = 1),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8),
+probes0 AS (
+  SELECT q.query_id, q.qv, c.centroid_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY floor(list_cosine_similarity(q.qv, CAST(c.cv AS DOUBLE[])) * 10000 + 0.5) / 10000 DESC,
+                    c.centroid_id) AS rn
+  FROM q CROSS JOIN cents c),
+probes AS (SELECT query_id, qv, centroid_id FROM probes0 WHERE rn <= 2),
+cand AS (
+  SELECT p.query_id, p.qv, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE a.vec_id <> p.query_id),
+terms AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         floor(list_sum(list_transform(generate_series(1, 8),
+           i -> (cd.qv[e.sub * 8 + i] - c.cv[i])
+              * (cd.qv[e.sub * 8 + i] - c.cv[i])))
+           * 1000000 + 0.5) / 1000000 AS t
+  FROM cand cd JOIN enc e ON e.vec_id = cd.neighbor_id
+  JOIN cb c USING (sub, cid)),
+scored AS (
+  SELECT query_id, neighbor_id, floor(sum(t) * 10000 + 0.5) / 10000 AS adist
+  FROM terms GROUP BY query_id, neighbor_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 3
+"""
+
+
 def q_tr_context_fit(spark, sf_dir):
     """Context-window fitting: keep each conversation's suffix that fits
     a 24-token budget, cutting at turn boundaries — one window over the
@@ -3933,6 +4005,12 @@ ranked AS (
 SELECT query_id, neighbor_id, rank, adist FROM ranked WHERE rank <= 3
 """
 
+# splice the trained-codebook literals into the IVFPQ oracle (the helper
+# defs sit beside their primary oracles above)
+SQL_EMB_IVFPQ_TOPK = SQL_EMB_IVFPQ_TOPK.format(
+    IVF_CENTS=_ivf_cents_sql(), PQ_CB=_pq_cb_sql()
+)
+
 
 # ---------------------------------------------------------------------------
 # registry
@@ -4031,6 +4109,7 @@ QUERIES = {
     "emb_neardup_pairs": q_emb_neardup_pairs,
     "emb_semdedup": q_emb_semdedup,
     "emb_pq_topk": q_emb_pq_topk,
+    "emb_ivfpq_topk": q_emb_ivfpq_topk,
     "tr_context_fit": q_tr_context_fit,
     "tr_tool_call_audit": q_tr_tool_call_audit,
     "tr_loss_mask": q_tr_loss_mask,
@@ -4132,6 +4211,7 @@ ORACLES = {
     "emb_neardup_pairs": SQL_EMB_NEARDUP_PAIRS,
     "emb_semdedup": SQL_EMB_SEMDEDUP,
     "emb_pq_topk": SQL_EMB_PQ_TOPK,
+    "emb_ivfpq_topk": SQL_EMB_IVFPQ_TOPK,
     "tr_context_fit": SQL_TR_CONTEXT_FIT,
     "tr_tool_call_audit": SQL_TR_TOOL_CALL_AUDIT,
     "tr_loss_mask": SQL_TR_LOSS_MASK,
@@ -4251,6 +4331,7 @@ _DEMOTED = [
     # ANN family: emb_ivf_topk is the in-window representative; PQ/ADC is
     # the in-family compressed-scoring variant, judge-run at the tail.
     "emb_pq_topk",
+    "emb_ivfpq_topk",
     # transcript-prep family: tr_preference_pairs is the in-window
     # representative (with conv_flatten + sft_prep_pipeline); the
     # context-fit and tool-audit variants are judge-run at the tail.
