@@ -579,7 +579,12 @@ def ivfpq_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2
     by asymmetric distance over the codes alone, and rank per query.
     The ONLY exchange over corpus-derived rows is the final per-query
     top-k window, whose input is already probe-pruned; the corpus
-    vectors are read exactly once and never shuffled."""
+    vectors are read exactly once and never shuffled.
+
+    Codes quantize the RAW vectors (the by_residual=false variant):
+    full-probe IVFPQ is then bit-identical to plain PQ/ADC (the tested
+    invariant). Residual encoding would need a residual-trained codebook
+    and trades that equivalence for recall."""
     from pyspark.sql import Window as W
 
     m, ksub = len(codebook), len(codebook[0])
