@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "tr_loss_mask",
     "doc_mixture_plan",
     "emb_ivfpq_topk",
+    "tr_turn_dedup",
+    "doc_corpus_rollup",
+    "doc_tfidf_topk",
 ]
 
 

@@ -479,3 +479,47 @@ def test_ivfpq_corpus_never_shuffled_before_topk(spark):
     import re
     hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert not any("neighbor_id" in l or "vec_id" in l for l in hash_ex)
+
+
+def test_tfidf_topk_zero_shuffle_scoring_take_ordered(spark):
+    """TF scoring must stay a pure-Column array filter over the token
+    split (no Python eval), the DF/N side must reach the score as a
+    BROADCAST nested-loop of ONE aggregated row (the corpus is never
+    shuffled for scoring), and top-k must be TakeOrderedAndProject."""
+    from ticdc_spark.functions.textops import tfidf_topk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(tfidf_topk(docs, k=100))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # only the single-row stats aggregate exchanges (SinglePartition +
+    # its broadcast); the corpus is NEVER hash-shuffled
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_corpus_rollup_single_expand_single_aggregate(spark):
+    """ROLLUP must compile to ONE Expand + ONE hash aggregate with a
+    map-side partial pass — never three scans of the corpus."""
+    from ticdc_spark.functions.textops import corpus_rollup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(corpus_rollup(docs))
+    assert plan.count("Expand") == 1
+    assert "partial_count" in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_turn_dedup_boilerplate_joins_broadcast(spark):
+    """Both removal joins must BROADCAST the (tiny) boilerplate set — the
+    transcript corpus itself is never shuffled for the join; the only
+    wide exchanges are the keyed aggregates."""
+    from ticdc_spark.functions.transcripts import turn_dedup
+    from ticdc_spark.queries import transcripts_from_events
+
+    tr = transcripts_from_events(spark, "/root/testdata/sf0.001")
+    plan = _plan(turn_dedup(tr))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan

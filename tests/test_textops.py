@@ -633,3 +633,51 @@ def test_ivfpq_full_probe_equals_pq(spark):
         by_q.setdefault(r["query_id"], set()).add(assign[r["neighbor_id"]])
     for q, lists in by_q.items():
         assert len(lists) <= 2
+
+
+def test_corpus_rollup_levels_and_totals(spark):
+    from ticdc_spark.functions.textops import corpus_rollup
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a", 10), (2, "en", "a", 30), (3, "en", "b", 20), (4, "es", "b", 40)],
+        "doc_id long, lang string, source string, n_chars int",
+    )
+    out = {(r["lang"], r["source"]): r for r in corpus_rollup(docs, ("lang", "source")).collect()}
+    assert len(out) == 3 + 2 + 1  # cells + per-lang + grand total
+    cell = out[("en", "a")]
+    assert (cell["n_docs"], cell["total_chars"], cell["g1"], cell["g2"]) == (2, 40, 0, 0)
+    sub = out[("en", None)]
+    assert (sub["n_docs"], sub["total_chars"], sub["g1"], sub["g2"]) == (3, 60, 0, 1)
+    tot = out[(None, None)]
+    assert (tot["n_docs"], tot["total_chars"], tot["g1"], tot["g2"]) == (4, 100, 1, 1)
+    assert tot["mean_chars_bp"] == 100 * 10000 // 4
+
+
+def test_tfidf_topk_scores_and_order(spark):
+    from ticdc_spark.functions.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join"),   # tf: spark=2 join=1
+            (2, "join"),               # tf: join=1
+            (3, "window window"),      # tf: window=2
+            (4, "nothing relevant"),   # score 0 → excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, terms=("spark", "join", "window"), k=10).collect()
+    # N=4; df: spark=1 join=2 window=1 → idf_bp: 40000, 20000, 40000
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores == {1: 2 * 40000 + 20000, 2: 20000, 3: 2 * 40000}
+    # ordering: score desc then doc_id asc
+    assert [r["doc_id"] for r in out] == [1, 3, 2]
+
+
+def test_tfidf_topk_ties_break_by_doc_id(spark):
+    from ticdc_spark.functions.textops import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, "spark") for i in (5, 3, 9, 1)], "doc_id long, text string"
+    )
+    out = tfidf_topk(docs, terms=("spark",), k=3).collect()
+    assert [r["doc_id"] for r in out] == [1, 3, 5]

@@ -366,3 +366,49 @@ def test_rlhf_prep_decontaminates_against_train_split(spark):
     all_pairs = {r["prompt"] for r in preference_pairs(tr).collect()}
     got = {r["prompt"] for r in out}
     assert got == {p for p in all_pairs if p not in train_prompts}
+
+
+def test_turn_dedup_drops_corpus_repeated_assistant_turns(spark):
+    from ticdc_spark.functions.transcripts import turn_dedup
+
+    # "Sure,  I can help" normalizes to the same text in 3 conversations →
+    # boilerplate; the unique assistant reply and ALL user turns survive.
+    rows = [
+        ("c1", 1, "user", "q one", None),
+        ("c1", 2, "assistant", "Sure,  I can help", None),
+        ("c1", 3, "assistant", "unique analysis", None),
+        ("c2", 1, "user", "q two", None),
+        ("c2", 2, "assistant", "sure, i can  help", None),
+        ("c3", 1, "user", "q three", None),
+        ("c3", 2, "assistant", "Sure, I can help", None),
+    ]
+    out = {r["conv_id"]: r for r in turn_dedup(_tr(spark, rows), min_convs=3).collect()}
+    assert (out["c1"]["n_kept"], out["c1"]["n_dropped"]) == (2, 1)
+    assert out["c1"]["doc"] == "user: q one\nassistant: unique analysis"
+    assert (out["c2"]["n_kept"], out["c2"]["n_dropped"]) == (1, 1)
+    assert (out["c3"]["n_kept"], out["c3"]["n_dropped"]) == (1, 1)
+
+
+def test_turn_dedup_never_drops_user_turns(spark):
+    from ticdc_spark.functions.transcripts import turn_dedup
+
+    # the same user text repeats in 3 convs but user turns are prompt-side
+    rows = [
+        (f"c{i}", 1, "user", "same question", None) for i in range(3)
+    ] + [(f"c{i}", 2, "assistant", f"answer {i}", None) for i in range(3)]
+    out = turn_dedup(_tr(spark, rows), min_convs=3).collect()
+    assert all(r["n_dropped"] == 0 and r["n_kept"] == 2 for r in out)
+
+
+def test_turn_dedup_threshold_counts_distinct_conversations(spark):
+    from ticdc_spark.functions.transcripts import turn_dedup
+
+    # the repeated reply appears twice in ONE conversation — one distinct
+    # conv, below min_convs=2, so nothing is boilerplate
+    rows = [
+        ("c1", 1, "assistant", "retry", None),
+        ("c1", 2, "assistant", "retry", None),
+        ("c1", 3, "user", "ok", None),
+    ]
+    out = turn_dedup(_tr(spark, rows), min_convs=2).collect()
+    assert out[0]["n_dropped"] == 0 and out[0]["n_kept"] == 3

@@ -1079,3 +1079,80 @@ def mixture_plan(docs: DataFrame, weights: dict, budget_tokens: int,
         F.expr("(target_tokens * 10000) div tokens_avail")
         .cast("long").alias("epochs_bp"),
     )
+
+
+def corpus_rollup(docs: DataFrame, dims=("lang", "source")) -> DataFrame:
+    """Hierarchical corpus statistics in ONE pass: ROLLUP over
+    (lang, source) emits per-(lang, source) cells, per-lang subtotals and
+    the corpus grand total, each tagged with GROUPING() flags — the
+    corpus-health dashboard a curation pipeline watches (doc counts,
+    volume, mean doc length) without three separate aggregation jobs.
+
+    Scale shape: Catalyst expands ROLLUP into one Expand + ONE hash
+    aggregate with map-side combine — a single exchange keyed on the
+    grouping-set id + dims, 3x the (tiny) group cardinality, never 3
+    scans of the corpus. Mean doc length is integer basis points
+    (chars*10000 div docs) — no float division, hash-stable."""
+    d1, d2 = dims
+    return (
+        docs.rollup(d1, d2)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+            F.grouping(d1).cast("long").alias("g1"),
+            F.grouping(d2).cast("long").alias("g2"),
+        )
+        .select(
+            d1, d2, "g1", "g2", "n_docs", "total_chars",
+            F.expr("(total_chars * 10000L) div n_docs").alias("mean_chars_bp"),
+        )
+    )
+
+
+# fixed retrieval query for the TF-IDF oracle — terms drawn from the
+# synthetic corpus vocabulary so document frequencies are non-degenerate
+TFIDF_TERMS = ("spark", "join", "window")
+
+
+def tfidf_topk(docs: DataFrame, terms=TFIDF_TERMS, k: int = 100,
+               text_col: str = "text") -> DataFrame:
+    """Retrieval-scored curation: rank documents against a fixed query
+    term set by TF-IDF and keep the top k — the "quality by relevance to
+    a seed query" selection step (e.g. harvesting domain-specific
+    training data from a general crawl).
+
+    IDF is the integer rational ``(N * 10000) div df`` (basis points of
+    inverse document frequency) rather than a float log — order-preserving
+    within a term, and exactly reproducible in any engine (the log-IDF
+    variant is NOT hash-stable across libm implementations). Term
+    frequency is an exact token-equality count.
+
+    Scale shape: per-document TF is a pure-Column array filter over the
+    token split — zero shuffle, embarrassingly parallel over input
+    splits; the document-frequency side aggregates to ONE broadcast row
+    (len(terms) counters + N); scoring is a broadcast nested-loop join of
+    one row; top-k is TakeOrdered (per-partition heads, no global sort
+    materialization)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    tf_cols = [
+        F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("long").alias(f"_tf{i}")
+        for i, t in enumerate(terms)
+    ]
+    per_doc = docs.select("doc_id", *tf_cols)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(terms)):
+        contrib = F.when(
+            F.col(f"_df{i}") > 0,
+            F.col(f"_tf{i}") * F.expr(f"(_n * 10000L) div _df{i}"),
+        ).otherwise(F.lit(0)).cast("long")
+        score = contrib if score is None else score + contrib
+    out = scored.select("doc_id", score.alias("score")).filter(F.col("score") > 0)
+    return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

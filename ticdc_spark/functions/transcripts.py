@@ -210,3 +210,60 @@ def loss_mask_spans(tr: DataFrame) -> DataFrame:
         "tok_end",
         (F.col("role") == "assistant").alias("train_mask"),
     )
+
+
+def turn_dedup(tr: DataFrame, min_convs: int = 3) -> DataFrame:
+    """Corpus-wide boilerplate-TURN removal — the transcript analog of
+    C4's line-level dedup (:func:`ticdc_spark.functions.textops.line_dedup`):
+    an assistant turn whose normalized text (lowercased, whitespace
+    collapsed) appears in >= ``min_convs`` DISTINCT conversations is
+    canned boilerplate ("how can I help", templated refusals, retry
+    apologies) and is dropped from EVERY conversation before SFT
+    assembly; user/system/tool turns are never dropped (they are the
+    prompt side). Each conversation is re-emitted as one row with kept /
+    dropped counts and the reassembled kept-only document.
+
+    Scale shape: the boilerplate-frequency aggregate is keyed on the
+    normalized text with map-side combine (repeated turns collapse per
+    task before the exchange); the surviving boilerplate set is tiny
+    relative to the corpus, so the removal join broadcasts at cluster
+    scale (left_anti on the normalized key); reassembly is ONE combining
+    aggregate on conv_id — the key the CDC sink already clusters by —
+    with array_sort restoring turn order (no window, no global sort)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    turns = tr.select("conv_id", "turn_idx", "role", "text",
+                      norm.alias("_ntext"))
+    boiler = (
+        turns.filter(F.col("role") == "assistant")
+        .groupBy("_ntext")
+        .agg(F.countDistinct("conv_id").alias("_nc"))
+        .filter(F.col("_nc") >= min_convs)
+        .select("_ntext")
+    )
+    dropped = turns.filter(F.col("role") == "assistant").join(
+        F.broadcast(boiler), "_ntext"
+    )
+    kept = turns.join(
+        F.broadcast(boiler.withColumn("_boiler", F.lit(True))),
+        "_ntext", "left",
+    ).filter((F.col("role") != "assistant") | F.col("_boiler").isNull())
+    n_drop = dropped.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    return (
+        kept.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_sort(
+                F.collect_list(F.struct(
+                    F.col("turn_idx").alias("i"),
+                    F.concat_ws(": ", "role", "text").alias("l"),
+                ))
+            ).alias("_ls"),
+        )
+        .join(n_drop, "conv_id", "left")
+        .select(
+            "conv_id", "n_kept",
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            F.array_join(F.transform("_ls", lambda x: x["l"]), "\n").alias("doc"),
+        )
+    )

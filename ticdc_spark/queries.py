@@ -4012,6 +4012,104 @@ SQL_EMB_IVFPQ_TOPK = SQL_EMB_IVFPQ_TOPK.format(
 )
 
 
+def q_tr_turn_dedup(spark, sf_dir):
+    """Boilerplate-turn removal over transcripts (the C4 line-dedup shape
+    lifted to the turn level): assistant turns whose normalized text
+    repeats across >= 3 distinct conversations are dropped corpus-wide;
+    each conversation re-emitted with kept/dropped counts and the
+    reassembled kept-only document."""
+    from ticdc_spark.functions.transcripts import turn_dedup
+
+    return turn_dedup(transcripts_from_events(spark, sf_dir), min_convs=3)
+
+
+SQL_TR_TURN_DEDUP = f"""
+WITH {TRANSCRIPTS_CTE},
+t AS (
+  SELECT conv_id, turn_idx, role, text,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS ntext
+  FROM transcripts),
+boiler AS (
+  SELECT ntext FROM t WHERE role = 'assistant'
+  GROUP BY ntext HAVING count(DISTINCT conv_id) >= 3),
+kept AS (
+  SELECT t.* FROM t LEFT JOIN boiler b USING (ntext)
+  WHERE t.role <> 'assistant' OR b.ntext IS NULL),
+nd AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_dropped
+  FROM t JOIN boiler USING (ntext) WHERE role = 'assistant'
+  GROUP BY conv_id)
+SELECT k.conv_id,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(coalesce(any_value(nd.n_dropped), 0) AS BIGINT) AS n_dropped,
+       string_agg(k.role || ': ' || k.text, chr(10) ORDER BY k.turn_idx) AS doc
+FROM kept k LEFT JOIN nd ON k.conv_id = nd.conv_id
+GROUP BY k.conv_id
+"""
+
+
+def q_doc_corpus_rollup(spark, sf_dir):
+    """Hierarchical corpus stats in one pass: ROLLUP(lang, source) —
+    per-cell, per-lang and grand-total doc counts / volume / mean length
+    (integer basis points), GROUPING()-tagged, one Expand + one hash
+    aggregate instead of three scans."""
+    from ticdc_spark.functions.textops import corpus_rollup
+
+    return corpus_rollup(_docs(spark, sf_dir))
+
+
+SQL_DOC_CORPUS_ROLLUP = """
+SELECT lang, source,
+       CAST(GROUPING(lang) AS BIGINT) AS g1,
+       CAST(GROUPING(source) AS BIGINT) AS g2,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT)
+         AS mean_chars_bp
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Retrieval-scored curation: top-100 documents by integer-rational
+    TF-IDF against the fixed query terms (spark, join, window) — exact
+    token-equality TF (zero-shuffle array filter), one broadcast DF/N
+    row, TakeOrdered top-k."""
+    from ticdc_spark.functions.textops import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf_dir), k=100)
+
+
+SQL_DOC_TFIDF_TOPK = r"""
+WITH tf AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x = 'spark')) AS BIGINT) AS tf0,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x = 'join')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              x -> x = 'window')) AS BIGINT) AS tf2
+  FROM documents),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+  FROM tf),
+scored AS (
+  SELECT doc_id,
+         (CASE WHEN df0 > 0 THEN tf0 * ((n * 10000) // df0) ELSE 0 END
+        + CASE WHEN df1 > 0 THEN tf1 * ((n * 10000) // df1) ELSE 0 END
+        + CASE WHEN df2 > 0 THEN tf2 * ((n * 10000) // df2) ELSE 0 END)
+           AS score
+  FROM tf CROSS JOIN st)
+SELECT doc_id, CAST(score AS BIGINT) AS score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4102,6 +4200,9 @@ QUERIES = {
     "doc_substring_dedup": q_doc_substring_dedup,
     "doc_lm_score": q_doc_lm_score,
     "tr_preference_pairs": q_tr_preference_pairs,
+    "tr_turn_dedup": q_tr_turn_dedup,
+    "doc_corpus_rollup": q_doc_corpus_rollup,
+    "doc_tfidf_topk": q_doc_tfidf_topk,
     "emb_cosine_topk": q_emb_cosine_topk,
     "emb_sign_lsh": q_emb_sign_lsh,
     "emb_rp_lsh": q_emb_rp_lsh,
@@ -4204,6 +4305,9 @@ ORACLES = {
     "doc_substring_dedup": SQL_DOC_SUBSTRING_DEDUP,
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "tr_preference_pairs": SQL_TR_PREFERENCE_PAIRS,
+    "tr_turn_dedup": SQL_TR_TURN_DEDUP,
+    "doc_corpus_rollup": SQL_DOC_CORPUS_ROLLUP,
+    "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
     "emb_sign_lsh": SQL_EMB_SIGN_LSH,
     "emb_rp_lsh": SQL_EMB_RP_LSH,
@@ -4328,6 +4432,18 @@ _DEMOTED = [
     "doc_simhash16",
     "emb_neardup_pairs",
     "doc_vocab_topk",
+    # round-5 continuation swaps/tails:
+    #   key_change_split -> tr_turn_dedup in-window (S5b's unit twin is
+    #     in-family with safe_mode_split AND e2e-verified by
+    #     cdc_keychange_e2e, both in-window; turn-level boilerplate
+    #     removal is the new transcript-dedup family representative);
+    #   doc_corpus_rollup tails in-family with doc_domain_resample (the
+    #     in-window corpus-group-stats aggregate);
+    #   doc_tfidf_topk tails in-family with doc_lm_score (the in-window
+    #     corpus-statistical relevance/quality scorer).
+    "key_change_split",
+    "doc_corpus_rollup",
+    "doc_tfidf_topk",
     # ANN family: emb_ivf_topk is the in-window representative; PQ/ADC is
     # the in-family compressed-scoring variant, judge-run at the tail.
     "emb_pq_topk",
