@@ -544,3 +544,96 @@ def test_multi_target_ts_finish(spark, tmp_path):
         want = expected_final_state(
             gen_binlog(spark, spec), mt.feeds[t].registry, tgt, KEY)
         assert_df_equal(mt.read(t), want, KEY)
+
+
+def test_partition_add_truncate_reorganize_drop(spark, tmp_path):
+    """The remaining upstream partition DDLs
+    (/root/reference/cdc/entry/schema_storage_test.go:824-833):
+    ADD PARTITION activates a new span at its barrier, TRUNCATE PARTITION
+    clears the span's target, REORGANIZE PARTITION re-shards the old
+    span's final state into new spans by the range predicates carried in
+    the DDL (post-barrier DML arrives under the new span names), DROP
+    PARTITION removes the span from the logical table. Resume replays all
+    four barriers idempotently."""
+    X1, X2, X3, X4 = 1_500, 2_000, 2_500, 3_000
+    sp = BinlogSpec(n_events=4_000, n_convs=100, n_turns=8, seed=31)
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    raw = gen_binlog(spark, sp)
+    # family 2's span exists only in (X1, X4] — upstream rows can only be
+    # written to a partition while it exists
+    raw = raw.filter(~((h == 2) & ((F.col("commit_ts") <= X1) | (F.col("commit_ts") > X4))))
+    tbl = (
+        F.when(h == 1, "pt#p1")
+        .when(h == 2, "pt#p2")
+        # family 0: physical home is p0 until the reorganize, then the
+        # key's hash partition — the routing key must be IMMUTABLE under
+        # key-changing updates (conv_id is; turn_idx is not), exactly as
+        # upstream ranges are defined over the partition key
+        .when(F.col("commit_ts") <= X3, "pt#p0")
+        .when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, "pt#p0a")
+        .otherwise("pt#p0b")
+    )
+    binlog = raw.withColumn("table_name", tbl)
+    ddl_rows = [
+        {"commit_ts": X1, "ddl_type": "add_table_partition",
+         "query": "ALTER TABLE pt ADD PARTITION (PARTITION p2 VALUES LESS THAN (25))",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": X1, "table_name": "pt#p2"},
+        {"commit_ts": X2, "ddl_type": "truncate_table_partition",
+         "query": "ALTER TABLE pt TRUNCATE PARTITION p1",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": X2, "table_name": "pt#p1"},
+        {"commit_ts": X3, "ddl_type": "reorganize_partition",
+         "query": "ALTER TABLE pt REORGANIZE PARTITION p0 INTO "
+                  "(PARTITION p0a, PARTITION p0b)",
+         "column": "p0a,p0b", "old_column": "p0",
+         "col_type": "pmod(xxhash64(conv_id), 2) = 0",
+         "schema_version": X3, "table_name": "pt"},
+        {"commit_ts": X4, "ddl_type": "drop_table_partition",
+         "query": "ALTER TABLE pt DROP PARTITION p2",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": X4, "table_name": "pt#p2"},
+    ]
+
+    def build():
+        return MultiTableChangefeed(
+            spark, binlog, gen_resolved_log(spark, sp), ddl_rows,
+            table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t.replace('#', '_')}"),
+            config=ChangefeedConfig(changefeed_id="pr", n_buckets=4),
+            tables=["pt"],
+            partitions={"pt": ["p0", "p1"]},
+        )
+
+    mt = build()
+    assert sorted(mt.feeds) == ["pt#p0", "pt#p1"]
+    mt.run()
+    assert sorted(mt.feeds) == ["pt#p0a", "pt#p0b", "pt#p1"]
+    # the reorganize re-shards by the key predicate, so each family-0 key's
+    # final LWW state lands in exactly one new span (per-span registries:
+    # the truncate DDL is scoped to pt#p1 alone)
+    reg0 = mt.feeds["pt#p0a"].registry
+    h2 = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    want_a = expected_final_state(
+        raw.filter((h == 0) & (h2 == 0)), reg0, sp.max_commit_ts, KEY)
+    want_b = expected_final_state(
+        raw.filter((h == 0) & (h2 == 1)), reg0, sp.max_commit_ts, KEY)
+    assert_df_equal(mt.read("pt#p0a"), want_a, KEY)
+    assert_df_equal(mt.read("pt#p0b"), want_b, KEY)
+    # truncate at X2: only post-X2 events of p1 survive
+    want_p1 = expected_final_state(
+        raw.filter(h == 1), mt.feeds["pt#p1"].registry, sp.max_commit_ts, KEY)
+    assert_df_equal(mt.read("pt#p1"), want_p1, KEY)
+    # dropped partition left the logical table
+    with pytest.raises(KeyError):
+        mt.read("pt#p2")
+    assert (
+        mt.read_logical("pt").count()
+        == want_a.count() + want_b.count() + want_p1.count()
+    )
+    # resume: replaying add/truncate/reorganize/drop is idempotent — the
+    # migration merge is recognized, no regression of post-barrier writes
+    mt2 = build()
+    mt2.run()
+    assert_df_equal(mt2.read("pt#p0a"), want_a, KEY)
+    assert_df_equal(mt2.read("pt#p0b"), want_b, KEY)
+    assert_df_equal(mt2.read("pt#p1"), want_p1, KEY)

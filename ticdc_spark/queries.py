@@ -4110,6 +4110,156 @@ ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
+def q_cdc_reorg_partition_e2e(spark, sf_dir):
+    """The remaining upstream partition DDLs in one replay
+    (/root/reference/cdc/entry/schema_storage_test.go:824-833): ADD
+    PARTITION activates span pt#p2 at barrier X1; TRUNCATE PARTITION
+    clears pt#p1 at X2; REORGANIZE PARTITION re-shards pt#p0 into
+    pt#p0a/pt#p0b at X3 by the range predicate carried in the DDL
+    (post-X3 DML arrives under the new span names, migrated rows keep
+    their original LWW order metadata); DROP PARTITION removes pt#p2 —
+    and its rows — from the logical table at X4. Result = the surviving
+    spans' final states."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.streaming.multi import MultiTableChangefeed
+    from ticdc_spark.streaming.pipeline import ChangefeedConfig
+
+    n = _events(spark, sf_dir).count()
+    X1, X2, X3, X4 = (1000 + n // 5, 1000 + 2 * n // 5,
+                      1000 + 3 * n // 5, 1000 + 4 * n // 5)
+    e = _events(spark, sf_dir)
+    ct = (F.lit(1000) + F.col("event_id"))
+    fam = F.col("user_id") % 3
+    # partition p2 exists only in (X1, X4]: rows can only be written to it
+    # while it exists
+    e = e.filter(~((fam == 2) & ((ct <= X1) | (ct > X4))))
+    par0 = F.expr("cast(substring(conv_id, 6, 6) as int) % 2 = 0")
+    b = e.select(
+        ct.alias("commit_ts"),
+        (ct - 1 - (F.col("event_id") % 3)).alias("start_ts"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type").isin("click", "view"), "U")
+        .otherwise("I")
+        .alias("op"),
+        F.concat(F.lit("conv-"), F.lpad((F.col("user_id") % 40).cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("event_id") % 8).cast("int").alias("turn_idx"),
+        (F.col("user_id") % 4).cast("int").alias("partition_id"),
+        (F.col("user_id") % 3).alias("_fam"),
+    )
+    tbl = (
+        F.when(F.col("_fam") == 1, "pt#p1")
+        .when(F.col("_fam") == 2, "pt#p2")
+        .when(F.col("commit_ts") <= X3, "pt#p0")
+        .when(par0, "pt#p0a")
+        .otherwise("pt#p0b")
+    )
+    role = (
+        F.when(F.col("turn_idx") % 4 == 0, "user")
+        .when(F.col("turn_idx") % 4 == 1, "assistant")
+        .when(F.col("turn_idx") % 4 == 2, "system")
+        .otherwise("tool")
+    )
+    cts = F.col("commit_ts").cast("string")
+    payload = F.to_json(F.struct(
+        role.alias("role"), F.concat(F.lit("txt-"), cts).alias("text"),
+        F.when(role == "tool", F.lit("search")).otherwise(F.lit(None).cast("string")).alias("tool"),
+        ((F.lit(1_700_000_000) + F.col("commit_ts")) * F.lit(1_000_000)).alias("ts"),
+    ))
+    binlog = b.select(
+        "commit_ts", "start_ts", "op", "conv_id", "turn_idx",
+        F.when(F.col("op") == "D", F.lit(None).cast("string")).otherwise(payload).alias("payload"),
+        F.lit(None).cast("string").alias("pre_payload"),
+        F.lit(0).cast("long").alias("schema_version"), "partition_id",
+        tbl.alias("table_name"),
+    )
+    max_ts = 1000 + n
+    bounds = sorted({X1, X2, X3, X4} | {max_ts * i // 3 for i in range(1, 4)} | {max_ts})
+    resolved = spark.createDataFrame(
+        [(p, r, i) for p in range(4) for i, r in enumerate(bounds)],
+        "partition_id int, resolved_ts long, emit_seq long",
+    )
+    ddl_rows = [
+        {"commit_ts": X1, "ddl_type": "add_table_partition",
+         "query": "ALTER TABLE pt ADD PARTITION (PARTITION p2 VALUES LESS THAN (25))",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": X1, "table_name": "pt#p2"},
+        {"commit_ts": X2, "ddl_type": "truncate_table_partition",
+         "query": "ALTER TABLE pt TRUNCATE PARTITION p1",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": X2, "table_name": "pt#p1"},
+        {"commit_ts": X3, "ddl_type": "reorganize_partition",
+         "query": "ALTER TABLE pt REORGANIZE PARTITION p0 INTO (PARTITION p0a, PARTITION p0b)",
+         "column": "p0a,p0b", "old_column": "p0",
+         "col_type": "cast(substring(conv_id, 6, 6) as int) % 2 = 0",
+         "schema_version": X3, "table_name": "pt"},
+        {"commit_ts": X4, "ddl_type": "drop_table_partition",
+         "query": "ALTER TABLE pt DROP PARTITION p2",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": X4, "table_name": "pt#p2"},
+    ]
+    work = _work_dir("ticdc_rp_")
+    mt = MultiTableChangefeed(
+        spark, binlog, resolved, ddl_rows,
+        table_factory=lambda t: LakeTable(spark, os.path.join(work, t.replace("#", "_"))),
+        config=ChangefeedConfig(changefeed_id="rp-e2e", n_buckets=4,
+                                sink_mode="mor", compact_every=2),
+        tables=["pt"],
+        partitions={"pt": ["p0", "p1"]},
+    )
+    mt.run()
+    parts = []
+    for span in ["pt#p0a", "pt#p0b", "pt#p1"]:
+        parts.append(mt.read(span).withColumn("span", F.lit(span)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("span", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+SQL_CDC_REORG_PARTITION_E2E = """
+WITH bx AS (
+  SELECT 1000 + count(*) // 5 AS x1, 1000 + 2 * count(*) // 5 AS x2,
+         1000 + 3 * count(*) // 5 AS x3, 1000 + 4 * count(*) // 5 AS x4
+  FROM events),
+rb AS (
+  SELECT 1000 + event_id AS commit_ts,
+         1000 + event_id - 1 - (event_id % 3) AS start_ts,
+         CASE WHEN event_type = 'error' THEN 'D'
+              WHEN event_type IN ('click','view') THEN 'U'
+              ELSE 'I' END AS op,
+         'conv-' || lpad(CAST(user_id % 40 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 8 AS INT) AS turn_idx,
+         user_id % 3 AS fam,
+         -- conv number parity == user parity (40 is even); this is the
+         -- reorganize routing predicate on the immutable key column
+         user_id % 2 AS par
+  FROM events),
+-- dropped partition p2 (fam 2) leaves the logical table entirely;
+-- truncate at x2 discards pt#p1 rows at/below it
+routed AS (
+  SELECT rb.*,
+         CASE WHEN fam = 1 THEN 'pt#p1'
+              WHEN par = 0 THEN 'pt#p0a' ELSE 'pt#p0b' END AS span
+  FROM rb, bx
+  WHERE fam <> 2 AND NOT (fam = 1 AND commit_ts <= bx.x2)),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY span, conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC,
+             CASE op WHEN 'D' THEN 1 WHEN 'U' THEN 2 ELSE 3 END DESC) AS rn
+  FROM routed)
+SELECT span, conv_id, turn_idx,
+       CASE WHEN turn_idx % 4 = 0 THEN 'user'
+            WHEN turn_idx % 4 = 1 THEN 'assistant'
+            WHEN turn_idx % 4 = 2 THEN 'system'
+            ELSE 'tool' END AS role,
+       'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+       CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+       make_timestamp((1700000000 + commit_ts) * 1000000) AS ts
+FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4126,6 +4276,7 @@ QUERIES = {
     "cdc_multi_table_stream_e2e": q_cdc_multi_table_stream_e2e,
     "cdc_batch_add_table_e2e": q_cdc_batch_add_table_e2e,
     "cdc_partition_table_e2e": q_cdc_partition_table_e2e,
+    "cdc_reorg_partition_e2e": q_cdc_reorg_partition_e2e,
     "cdc_drop_readd_e2e": q_cdc_drop_readd_e2e,
     "cdc_truncate_e2e": q_cdc_truncate_e2e,
     "cdc_modify_column_e2e": q_cdc_modify_column_e2e,
@@ -4231,6 +4382,7 @@ ORACLES = {
     "cdc_multi_table_stream_e2e": SQL_CDC_MULTI_TABLE_E2E,
     "cdc_batch_add_table_e2e": SQL_CDC_BATCH_ADD_TABLE_E2E,
     "cdc_partition_table_e2e": SQL_CDC_PARTITION_TABLE_E2E,
+    "cdc_reorg_partition_e2e": SQL_CDC_REORG_PARTITION_E2E,
     "cdc_drop_readd_e2e": SQL_CDC_DROP_READD_E2E,
     "cdc_truncate_e2e": SQL_CDC_TRUNCATE_E2E,
     "cdc_modify_column_e2e": SQL_CDC_MODIFY_COLUMN_E2E,
@@ -4444,6 +4596,12 @@ _DEMOTED = [
     "key_change_split",
     "doc_corpus_rollup",
     "doc_tfidf_topk",
+    #   cdc_batch_add_table_e2e -> cdc_reorg_partition_e2e in-window: the
+    #     reorganize e2e is a superset of the mid-stream lifecycle-barrier
+    #     mechanics (span ACTIVATION at a barrier = batch-add's create,
+    #     plus truncate/re-shard/drop); batch-add's create+global-DDL
+    #     shape stays judge-run at the tail.
+    "cdc_batch_add_table_e2e",
     # ANN family: emb_ivf_topk is the in-window representative; PQ/ADC is
     # the in-family compressed-scoring variant, judge-run at the tail.
     "emb_pq_topk",

@@ -55,7 +55,8 @@ from ticdc_spark.sources.frontier import frontier_steps
 from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig, table_matches
 
 _LIFECYCLE = ("create_table", "drop_table", "rename_table",
-              "exchange_table_partition")
+              "exchange_table_partition", "add_table_partition",
+              "drop_table_partition", "reorganize_partition")
 
 
 def _logical(name: str) -> str:
@@ -112,6 +113,18 @@ class MultiTableChangefeed:
             self.ddl_rows = sorted(ddl_log or [], key=lambda r: r["commit_ts"])
         else:
             self.ddl_rows = sorted(ddl_log.collect(), key=lambda r: r["commit_ts"])
+        # ActionTruncateTablePartition (ALTER TABLE ... TRUNCATE PARTITION,
+        # /root/reference/cdc/entry/schema_storage_test.go:826): downstream
+        # it is exactly a truncate of the PARTITION SPAN's target — the
+        # existing per-span truncate_table path, scoped to the span key
+        self.ddl_rows = [
+            (
+                {**(r.asDict() if hasattr(r, "asDict") else dict(r)),
+                 "ddl_type": "truncate_table"}
+                if r["ddl_type"] == "truncate_table_partition" else r
+            )
+            for r in self.ddl_rows
+        ]
         self.lifecycle = [r for r in self.ddl_rows if r["ddl_type"] in _LIFECYCLE]
         created = {r[table_col] for r in self.lifecycle if r["ddl_type"] == "create_table"}
         if tables is None:
@@ -318,6 +331,101 @@ class MultiTableChangefeed:
                 if pk in self._state and nt in self._state:
                     self._state[pk], self._state[nt] = (
                         self._state[nt], self._state[pk])
+        elif d["ddl_type"] == "add_table_partition":
+            # ALTER TABLE <logical> ADD PARTITION (schema_storage_test.go:
+            # 825): a NEW replication span activates at the barrier — the
+            # partition id is a first-class physical table upstream
+            # (snapshot.go:64), so downstream this is create_table for the
+            # span key; global/logical column DDLs below the barrier catch
+            # the newborn span up, same as create.
+            if t in self.feeds or not table_matches(_logical(t), self.config):
+                return
+            self._add_feed(t, start_ts=ts)
+            f = self.feeds[t]
+            f.ensure_target()
+            f._reconcile_ddl(ts)
+            f._partitions = getattr(self, "_partitions", [])
+            self._load_state(t)
+        elif d["ddl_type"] == "drop_table_partition":
+            # ALTER TABLE <logical> DROP PARTITION (schema_storage_test.go:
+            # 824): upstream deletes the partition's rows by metadata, so
+            # the span leaves the logical table — replication stops and
+            # read_logical() no longer unions the span's target (files
+            # retained for time travel, same posture as drop_table).
+            self.feeds.pop(t, None)
+            self._source_name.pop(t, None)
+            self._state.pop(t, None)
+        elif d["ddl_type"] == "reorganize_partition":
+            self._apply_reorganize(d, ts)
+
+    def _apply_reorganize(self, d, ts: int) -> None:
+        """ALTER TABLE <logical> REORGANIZE PARTITION p.. INTO (p'.. VALUES
+        LESS THAN ..) (/root/reference/cdc/entry/schema_storage_test.go:833,
+        ActionReorganizePartition): upstream re-shards the named partitions'
+        rows into new physical partitions by the range metadata carried IN
+        the DDL. DDL row encoding: ``table_name`` = the logical table,
+        ``old_column`` = comma-joined old partition names, ``column`` =
+        comma-joined new partition names, ``col_type`` = ';'-joined SQL
+        boolean predicates routing a row to each new span in order (the
+        VALUES LESS THAN metadata; the LAST span takes the remainder, so
+        len(predicates) == len(new spans) - 1).
+
+        Downstream: the new spans activate at the barrier, the old spans'
+        final state (consistent — lifecycle barriers run between windows)
+        is re-sharded into the new targets by the routing predicates as ONE
+        LWW merge per new span, and the old spans leave the feed. Replay
+        safety: the migration merge carries batch_id ``reorg-<ts>`` and
+        resolved_ts=<ts>, so re-applying the barrier on resume is
+        recognized (batch-id tier, or checkpoint tier once later windows
+        advanced past ts) and skipped — exactly-once, no regression of
+        post-barrier writes."""
+        logical = d[self.table_col]
+        olds = [f"{logical}#{p}" for p in d["old_column"].split(",")]
+        news = [f"{logical}#{p}" for p in d["column"].split(",")]
+        preds = [p.strip() for p in (d["col_type"] or "").split(";") if p.strip()]
+        if len(preds) != len(news) - 1:
+            raise ValueError(
+                "reorganize_partition needs one routing predicate per new "
+                "span except the last (remainder)")
+        for nk in news:
+            if nk in self.feeds:
+                continue
+            self._add_feed(nk, start_ts=ts)
+            f = self.feeds[nk]
+            f.ensure_target()
+            f._reconcile_ddl(ts)
+            f._partitions = getattr(self, "_partitions", [])
+        src = None
+        for ok in olds:
+            f = self.feeds.pop(ok, None)
+            self._source_name.pop(ok, None)
+            self._state.pop(ok, None)
+            if f is not None and f.target.exists():
+                # include_meta: migrated rows keep their ORIGINAL LWW order
+                # metadata, so post-barrier events win ties exactly as if
+                # the rows had always lived in the new span
+                r = f.target.read(include_meta=True)
+                src = r if src is None else src.unionByName(r)
+        if src is not None:
+            route = None
+            for i, p in enumerate(preds):
+                cond = F.expr(p)
+                route = F.when(cond, i) if route is None else route.when(cond, i)
+            routed = src.withColumn(
+                "_route",
+                route.otherwise(len(news) - 1) if route is not None
+                else F.lit(0),
+            )
+            for i, nk in enumerate(news):
+                part = (
+                    routed.filter(F.col("_route") == i)
+                    .drop("_route")
+                    .withColumn("op", F.lit("I"))
+                )
+                self.feeds[nk].target.merge(
+                    part, batch_id=f"reorg-{ts}", resolved_ts=ts)
+        for nk in news:
+            self._load_state(nk)
 
     def _replay_lifecycle_below(self, ckpt: int) -> None:
         """Resume: re-apply lifecycle barriers at/below the checkpoint so a
