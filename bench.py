@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "tr_turn_dedup",
     "doc_corpus_rollup",
     "doc_tfidf_topk",
+    "event_range_join",
+    "doc_length_quantiles",
 ]
 
 

@@ -523,3 +523,29 @@ def test_turn_dedup_boilerplate_joins_broadcast(spark):
     plan = _plan(turn_dedup(tr))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_range_join_query_no_nested_loop_no_event_explode(spark):
+    """The driver query's range join must compile to an equi-join on the
+    bucket key (shuffle or broadcast hash), never BNLJ/Cartesian, and the
+    explode must sit on the INTERVAL side only (generate over the 20-row
+    range, not over the event scan)."""
+    from ticdc_spark.queries import q_event_range_join
+
+    df = q_event_range_join(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    gen = [l for l in plan.splitlines() if "Generate explode" in l]
+    assert gen and all("event_id" not in l.split("explode")[1][:80] for l in gen)
+
+
+def test_length_quantiles_single_group_exchange(spark):
+    """Exact quantiles = ONE hash exchange on the group key (window sort +
+    the combining aggregate reuse it) — no second shuffle, no global sort."""
+    from ticdc_spark.functions.textops import length_quantiles
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan(length_quantiles(docs))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan

@@ -681,3 +681,17 @@ def test_tfidf_topk_ties_break_by_doc_id(spark):
     )
     out = tfidf_topk(docs, terms=("spark",), k=3).collect()
     assert [r["doc_id"] for r in out] == [1, 3, 5]
+
+
+def test_length_quantiles_exact_ranks(spark):
+    from ticdc_spark.functions.textops import length_quantiles
+
+    # en: values 1..10 -> ceil-rank picks p50=5, p90=9, p99=10
+    rows = [(i, "en", "s", i) for i in range(1, 11)] + [(100, "es", "s", 7)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string, n_chars int")
+    out = {r["lang"]: r for r in length_quantiles(docs).collect()}
+    en = out["en"]
+    assert (en["n_docs"], en["min_v"], en["p50"], en["p90"], en["p99"], en["max_v"]) == (
+        10, 1, 5, 9, 10, 10)
+    es = out["es"]  # single value: every quantile is it
+    assert (es["p50"], es["p90"], es["p99"]) == (7, 7, 7)

@@ -1156,3 +1156,49 @@ def tfidf_topk(docs: DataFrame, terms=TFIDF_TERMS, k: int = 100,
         score = contrib if score is None else score + contrib
     out = scored.select("doc_id", score.alias("score")).filter(F.col("score") > 0)
     return out.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+def length_quantiles(docs: DataFrame, group_col: str = "lang",
+                     value_col: str = "n_chars") -> DataFrame:
+    """EXACT per-group length quantiles (p50/p90/p99) plus min/max/count —
+    the distribution panel a curation pipeline cuts length filters from.
+
+    Engine-portable discrete quantiles: the p-th quantile is the value at
+    rank ceil(p*n) in the group's sorted order (integer arithmetic, ties
+    broken by doc_id) — NOT percentile_cont/quantile interpolation, whose
+    float conventions differ across engines and are not hash-stable.
+
+    Scale shape: ONE hash exchange on the group key + an in-partition
+    sort (rank window), then a combining conditional aggregate — groups
+    are languages/domains (bounded cardinality, large groups), so the
+    per-group sort is the exact-quantile cost floor; the approximate path
+    at petabyte scale is percentile_approx over the same shape, traded in
+    by the caller when exactness is not required."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(F.col("_v"), F.col("doc_id"))
+    ranked = docs.select(
+        group_col, F.col(value_col).cast("long").alias("_v"), "doc_id"
+    ).withColumn("_rn", F.row_number().over(w))
+    # ceil(p*n) in integers: (n*pct + 99) div 100
+    def _pick(pct):
+        return F.max(
+            F.when(
+                F.col("_rn") == F.expr(f"(_n * {pct} + 99) div 100"),
+                F.col("_v"),
+            )
+        ).cast("long")
+
+    counted = ranked.withColumn(
+        "_n", F.count(F.lit(1)).over(W.partitionBy(group_col)))
+    return (
+        counted.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("_v").cast("long").alias("min_v"),
+            _pick(50).alias("p50"),
+            _pick(90).alias("p90"),
+            _pick(99).alias("p99"),
+            F.max("_v").cast("long").alias("max_v"),
+        )
+    )

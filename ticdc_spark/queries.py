@@ -4260,6 +4260,74 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_event_range_join(spark, sf_dir):
+    """Bucketized range join: events attributed to overlapping intervals
+    (lo <= event_id < hi) via coarse-bucket equi-join — never a nested
+    loop; per-interval event counts and id bounds."""
+    from ticdc_spark.operators.rangejoin import range_join
+
+    e = _events(spark, sf_dir)
+    n = e.count()
+    step, span = max(n // 25, 1), max(n // 10, 2)
+    iv = spark.range(20).select(
+        F.col("id").cast("long").alias("iv"),
+        (F.col("id") * step).cast("long").alias("lo"),
+        (F.col("id") * step + span).cast("long").alias("hi"),
+    )
+    pairs = range_join(
+        e.select("event_id"), iv,
+        ts_col="event_id", lo_col="lo", hi_col="hi",
+        bucket=max(n // 50, 1),
+    )
+    return pairs.groupBy("iv", "lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )
+
+
+SQL_EVENT_RANGE_JOIN = """
+WITH n AS (SELECT count(*) AS c FROM events),
+iv AS (
+  SELECT CAST(i AS BIGINT) AS iv,
+         CAST(i * greatest(c // 25, 1) AS BIGINT) AS lo,
+         CAST(i * greatest(c // 25, 1) + greatest(c // 10, 2) AS BIGINT) AS hi
+  FROM range(0, 20) t(i), n)
+SELECT iv, lo, hi,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS min_id,
+       CAST(max(event_id) AS BIGINT) AS max_id
+FROM iv JOIN events e ON e.event_id >= iv.lo AND e.event_id < iv.hi
+GROUP BY iv, lo, hi
+"""
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact per-language length quantiles (p50/p90/p99 at integer rank
+    ceil(p*n), ties by doc_id) + min/max/count — the distribution panel
+    length filters are cut from; one exchange + in-partition sort."""
+    from ticdc_spark.functions.textops import length_quantiles
+
+    return length_quantiles(_docs(spark, sf_dir))
+
+
+SQL_DOC_LENGTH_QUANTILES = """
+WITH ranked AS (
+  SELECT lang, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(v) AS BIGINT) AS min_v,
+       CAST(max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS BIGINT) AS p50,
+       CAST(max(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS BIGINT) AS p90,
+       CAST(max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS BIGINT) AS p99,
+       CAST(max(v) AS BIGINT) AS max_v
+FROM ranked GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4352,6 +4420,8 @@ QUERIES = {
     "doc_lm_score": q_doc_lm_score,
     "tr_preference_pairs": q_tr_preference_pairs,
     "tr_turn_dedup": q_tr_turn_dedup,
+    "event_range_join": q_event_range_join,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "doc_corpus_rollup": q_doc_corpus_rollup,
     "doc_tfidf_topk": q_doc_tfidf_topk,
     "emb_cosine_topk": q_emb_cosine_topk,
@@ -4458,6 +4528,8 @@ ORACLES = {
     "doc_lm_score": SQL_DOC_LM_SCORE,
     "tr_preference_pairs": SQL_TR_PREFERENCE_PAIRS,
     "tr_turn_dedup": SQL_TR_TURN_DEDUP,
+    "event_range_join": SQL_EVENT_RANGE_JOIN,
+    "doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
     "doc_corpus_rollup": SQL_DOC_CORPUS_ROLLUP,
     "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
     "emb_cosine_topk": SQL_EMB_COSINE_TOPK,
@@ -4602,6 +4674,13 @@ _DEMOTED = [
     #     plus truncate/re-shard/drop); batch-add's create+global-DDL
     #     shape stays judge-run at the tail.
     "cdc_batch_add_table_e2e",
+    #   event_range_join tails in-family with event_asof_enrich (the
+    #     in-window temporal-enrichment join; range join is its interval
+    #     sibling, plan-audited to never nest-loop);
+    #   doc_length_quantiles tails in-family with doc_corpus_rollup /
+    #     doc_domain_resample (corpus-group-stats aggregates).
+    "event_range_join",
+    "doc_length_quantiles",
     # ANN family: emb_ivf_topk is the in-window representative; PQ/ADC is
     # the in-family compressed-scoring variant, judge-run at the tail.
     "emb_pq_topk",
