@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "doc_tfidf_topk",
     "event_range_join",
     "doc_length_quantiles",
+    "conv_neardup",
 ]
 
 

@@ -637,3 +637,55 @@ def test_partition_add_truncate_reorganize_drop(spark, tmp_path):
     assert_df_equal(mt2.read("pt#p0a"), want_a, KEY)
     assert_df_equal(mt2.read("pt#p0b"), want_b, KEY)
     assert_df_equal(mt2.read("pt#p1"), want_p1, KEY)
+
+
+def test_rename_tables_atomic_swap(spark, tmp_path):
+    """ActionRenameTables (schema_storage.go:405): RENAME TABLE a TO b,
+    b TO a is ATOMIC — both feeds swap names against the pre-barrier
+    snapshot (sequential rename_table application would chain a->b->a
+    and collapse the two feeds onto one target). Each logical stream
+    stays continuous across the swap: ta's stream appears in the WAL as
+    'ta' before X and 'tb' after X, and lands on ONE target throughout."""
+    X = 3_000
+    sa = BinlogSpec(n_events=3_000, n_convs=80, seed=41)
+    sb = BinlogSpec(n_events=3_000, n_convs=80, seed=42)
+    a, b = gen_binlog(spark, sa), gen_binlog(spark, sb)
+    # the WAL name of each stream flips at the barrier
+    wal = (
+        a.withColumn("table_name",
+                     F.when(F.col("commit_ts") <= X, "ta").otherwise("tb"))
+        .unionByName(
+            b.withColumn("table_name",
+                         F.when(F.col("commit_ts") <= X, "tb").otherwise("ta")))
+    )
+    ddl_rows = [
+        {"commit_ts": X, "ddl_type": "rename_tables",
+         "query": "RENAME TABLE ta TO tb, tb TO ta",
+         "column": "tb,ta", "old_column": "ta,tb", "col_type": None,
+         "schema_version": X, "table_name": None},
+    ]
+
+    def build():
+        return MultiTableChangefeed(
+            spark, wal, gen_resolved_log(spark, sa), ddl_rows,
+            table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+            config=ChangefeedConfig(changefeed_id="rns", n_buckets=4),
+            tables=["ta", "tb"],
+        )
+
+    mt = build()
+    mt.run()
+    assert sorted(mt.feeds) == ["ta", "tb"]
+    # feed 'tb' post-swap IS the old 'ta' feed: its target holds stream a
+    want_a = expected_final_state(a, mt.feeds["tb"].registry, sa.max_commit_ts, KEY)
+    want_b = expected_final_state(b, mt.feeds["ta"].registry, sb.max_commit_ts, KEY)
+    assert_df_equal(mt.read("tb"), want_a, KEY)
+    assert_df_equal(mt.read("ta"), want_b, KEY)
+    # targets are physically continuous (the swap is metadata-only)
+    assert mt.feeds["tb"].target.path.endswith("/ta")
+    assert mt.feeds["ta"].target.path.endswith("/tb")
+    # resume replays the swap idempotently
+    mt2 = build()
+    mt2.run()
+    assert_df_equal(mt2.read("tb"), want_a, KEY)
+    assert_df_equal(mt2.read("ta"), want_b, KEY)

@@ -4328,6 +4328,44 @@ FROM ranked GROUP BY lang
 """
 
 
+def q_conv_neardup(spark, sf_dir):
+    """Conversation-level near-dup pairs — the SFT dedup step: flatten
+    each conversation to its role-tagged document, then MinHash-LSH band
+    pairs over the flattened docs (same shingle/band parameters as the
+    document path; bucket-capped). Composition of conv_flatten and the
+    near-dup pair generator over the transcript payload."""
+    from ticdc_spark.functions.textops import neardup_pairs
+    from ticdc_spark.functions.transcripts import flatten_conversations
+
+    docs = flatten_conversations(transcripts_from_events(spark, sf_dir)).select(
+        F.col("conv_id").alias("doc_id"), F.col("doc").alias("text")
+    )
+    return neardup_pairs(docs, min_bands=3, max_bucket=_LSH_MAX_BUCKET)
+
+
+SQL_CONV_NEARDUP = f"""
+WITH {TRANSCRIPTS_CTE},
+cdocs AS (
+  SELECT conv_id AS doc_id,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text
+  FROM transcripts GROUP BY conv_id),
+sh AS (
+  SELECT doc_id, md5(substr(text, CAST(i AS INT), 8)) AS h
+  FROM (SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 7, 1) + 1, 4)) AS i
+        FROM cdocs)),
+banded AS (
+  SELECT doc_id, band, md5(CAST(band AS VARCHAR) || h) AS bh
+  FROM sh, (SELECT unnest(range(0, 4)) AS band)),
+mh0 AS (SELECT doc_id, band, min(bh) AS minhash FROM banded GROUP BY doc_id, band),
+sz AS (SELECT band, minhash, count(*) AS c FROM mh0 GROUP BY band, minhash),
+mh AS (SELECT mh0.* FROM mh0 JOIN sz USING (band, minhash) WHERE sz.c <= {_LSH_MAX_BUCKET})
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, count(*) AS n_bands
+FROM mh a JOIN mh b ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4421,6 +4459,7 @@ QUERIES = {
     "tr_preference_pairs": q_tr_preference_pairs,
     "tr_turn_dedup": q_tr_turn_dedup,
     "event_range_join": q_event_range_join,
+    "conv_neardup": q_conv_neardup,
     "doc_length_quantiles": q_doc_length_quantiles,
     "doc_corpus_rollup": q_doc_corpus_rollup,
     "doc_tfidf_topk": q_doc_tfidf_topk,
@@ -4529,6 +4568,7 @@ ORACLES = {
     "tr_preference_pairs": SQL_TR_PREFERENCE_PAIRS,
     "tr_turn_dedup": SQL_TR_TURN_DEDUP,
     "event_range_join": SQL_EVENT_RANGE_JOIN,
+    "conv_neardup": SQL_CONV_NEARDUP,
     "doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
     "doc_corpus_rollup": SQL_DOC_CORPUS_ROLLUP,
     "doc_tfidf_topk": SQL_DOC_TFIDF_TOPK,
@@ -4681,6 +4721,9 @@ _DEMOTED = [
     #     doc_domain_resample (corpus-group-stats aggregates).
     "event_range_join",
     "doc_length_quantiles",
+    #   conv_neardup tails as a pure composition of two in-window stages
+    #     (conv_flatten x doc_neardup_clusters' pair generator).
+    "conv_neardup",
     # ANN family: emb_ivf_topk is the in-window representative; PQ/ADC is
     # the in-family compressed-scoring variant, judge-run at the tail.
     "emb_pq_topk",

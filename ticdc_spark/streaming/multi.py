@@ -54,7 +54,7 @@ from ticdc_spark.sinks.lake import LakeTable
 from ticdc_spark.sources.frontier import frontier_steps
 from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig, table_matches
 
-_LIFECYCLE = ("create_table", "drop_table", "rename_table",
+_LIFECYCLE = ("create_table", "drop_table", "rename_table", "rename_tables",
               "exchange_table_partition", "add_table_partition",
               "drop_table_partition", "reorganize_partition")
 
@@ -134,6 +134,13 @@ class MultiTableChangefeed:
             # renamed tables appear in the WAL under BOTH names; only the
             # original (pre-rename) name is a table of its own at start
             renamed_to = {r[table_col] for r in self.lifecycle if r["ddl_type"] == "rename_table"}
+            for r in self.lifecycle:
+                if r["ddl_type"] == "rename_tables":
+                    # atomic multi-rename: exclude new names NOT also being
+                    # renamed away at the same barrier (a cyclic swap keeps
+                    # every name live; a plain batch rename retires olds)
+                    olds = set(r["old_column"].split(","))
+                    renamed_to |= {n for n in r["column"].split(",") if n not in olds}
             tables = [t for t in tables if t not in renamed_to]
         # partitioned tables: expand each logical table into its spans
         self.partitions = dict(partitions or {})
@@ -317,6 +324,29 @@ class MultiTableChangefeed:
                 del self._source_name[old]
                 if old in self._state:
                     self._state[t] = self._state.pop(old)
+        elif d["ddl_type"] == "rename_tables":
+            # ActionRenameTables (RENAME TABLE a TO b, b TO a, ...;
+            # /root/reference/cdc/entry/schema_storage.go:405): ATOMIC
+            # multi-rename — all (old -> new) pairs swap simultaneously
+            # against a snapshot of the pre-barrier feed map, so cyclic
+            # renames (the a<->b swap) do not chain through intermediate
+            # states the way sequential rename_table applications would.
+            olds = d["old_column"].split(",")
+            news = d["column"].split(",")
+            snap = {o: (self.feeds.get(o), self._state.get(o)) for o in olds}
+            for o in olds:
+                if snap[o][0] is not None:
+                    self.feeds.pop(o, None)
+                    self._source_name.pop(o, None)
+                    self._state.pop(o, None)
+            for o, nn in zip(olds, news):
+                f, st = snap[o]
+                if f is None or nn in self.feeds:
+                    continue
+                self.feeds[nn] = f
+                self._source_name[nn] = nn  # WAL carries the new name after ts
+                if st is not None:
+                    self._state[nn] = st
         elif d["ddl_type"] == "exchange_table_partition":
             # ALTER TABLE <logical> EXCHANGE PARTITION p WITH TABLE <nt>
             # (snapshot.go:218-246 swaps the physical ids): upstream swaps
