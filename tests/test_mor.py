@@ -29,7 +29,9 @@ def _check(spark, spec, cf):
 
 def test_mor_matches_cow_and_oracle(spark, tmp_path):
     spec = BinlogSpec(n_events=8_000, n_convs=200)
-    mor_cfg = ChangefeedConfig(changefeed_id="mor", sink_mode="mor", compact_every=100)
+    # bootstrap off: this test exercises the DELTA machinery specifically
+    mor_cfg = ChangefeedConfig(changefeed_id="mor", sink_mode="mor", compact_every=100,
+                               bootstrap_fast_path=False)
     cf_mor, s_mor = _run(spark, spec, str(tmp_path / "mor"), mor_cfg)
     assert s_mor["events"] == spec.n_events
     _check(spark, spec, cf_mor)
@@ -73,7 +75,9 @@ def test_mor_ddl_during_dml(spark, tmp_path):
 def test_mor_delete_semantics(spark, tmp_path):
     """Tombstones hide rows pre-compaction; compaction physically drops them."""
     spec = BinlogSpec(n_events=4_000, n_convs=60, delete_pct=30)
-    cfg = ChangefeedConfig(changefeed_id="mort", sink_mode="mor", compact_every=100)
+    # bootstrap off: pre-compaction tombstone visibility is the subject
+    cfg = ChangefeedConfig(changefeed_id="mort", sink_mode="mor", compact_every=100,
+                           bootstrap_fast_path=False)
     cf, _ = _run(spark, spec, str(tmp_path / "t"), cfg)
     visible = cf.target.read()
     assert visible.filter("_deleted = 1").count() == 0
@@ -126,3 +130,40 @@ def test_bucketed_delta_read_prunes_files(spark, tmp_table_path):
     ).count()
     assert got.count() == n_b2
     assert got.count() > 0
+
+
+def test_bootstrap_fast_path_state_identical_and_single_write(spark, tmp_path):
+    """Initial-load fast path: the first DDL-free span on an empty table
+    writes the compacted BASE directly. Final state, checkpoint and
+    per-window batch ids are IDENTICAL to the normal delta+compact path;
+    the bootstrap table carries zero deltas and populated base buckets."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.sources.binlog_gen import BinlogSpec, gen_binlog, gen_resolved_log
+    from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
+
+    spec = BinlogSpec(n_events=6_000, n_convs=100, seed=61, block=1_500)
+    binlog, resolved = gen_binlog(spark, spec), gen_resolved_log(spark, spec)
+
+    def run(path, fast):
+        cf = Changefeed(
+            spark, binlog, resolved, None, LakeTable(spark, path),
+            ChangefeedConfig(changefeed_id="bst", n_buckets=4, sink_mode="mor",
+                             compact_every=2, bootstrap_fast_path=fast),
+        )
+        cf.run()
+        return cf.target
+
+    fast = run(f"{tmp_path}/fast", True)
+    slow = run(f"{tmp_path}/slow", False)
+    from tests.conftest import assert_df_equal
+    assert_df_equal(fast.read(), slow.read(), ["conv_id", "turn_idx"])
+    assert fast.checkpoint["resolved_ts"] == slow.checkpoint["resolved_ts"]
+    mf = fast.manifest()
+    assert not mf.get("deltas")  # the span landed as base, no delta epoch
+    assert any(info["files"] for info in mf["buckets"].values())
+    # every window is individually durable (batch ids + syncpoints)
+    assert set(fast.committed_batch_ids()) == set(slow.committed_batch_ids())
+    assert [s[0] for s in fast.syncpoints()] == [s[0] for s in slow.syncpoints()]
+    # replay recognition: re-running the whole feed is a no-op
+    again = run(f"{tmp_path}/fast", True)
+    assert_df_equal(again.read(), slow.read(), ["conv_id", "turn_idx"])

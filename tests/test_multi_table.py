@@ -689,3 +689,55 @@ def test_rename_tables_atomic_swap(spark, tmp_path):
     mt2.run()
     assert_df_equal(mt2.read("tb"), want_a, KEY)
     assert_df_equal(mt2.read("ta"), want_b, KEY)
+
+
+def test_recover_table_and_batch_create(spark, tmp_path):
+    """ActionRecoverTable (snapshot.go:51,492 — treated as create): a
+    dropped table's retained target IS the recovered content; DML in the
+    dropped gap never replicates; post-recover DML applies on top.
+    ActionCreateTables: one barrier creates several tables at once."""
+    X, Y = 2_000, 4_000
+    sa = BinlogSpec(n_events=5_000, n_convs=80, seed=51)
+    sb = BinlogSpec(n_events=5_000, n_convs=80, seed=52)
+    a = gen_binlog(spark, sa).withColumn("table_name", F.lit("ta"))
+    b = gen_binlog(spark, sb)
+    # two batch-created tables split one stream by conv hash
+    b = b.withColumn(
+        "table_name",
+        F.when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, "tn0").otherwise("tn1"),
+    ).filter(F.col("commit_ts") > X)
+    wal = a.unionByName(b)
+    ddl_rows = [
+        {"commit_ts": X, "ddl_type": "drop_table", "query": "DROP TABLE ta",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": X, "table_name": "ta"},
+        {"commit_ts": X, "ddl_type": "create_tables",
+         "query": "CREATE TABLE tn0 (...); CREATE TABLE tn1 (...)",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": X, "table_name": "tn0,tn1"},
+        {"commit_ts": Y, "ddl_type": "recover_table", "query": "RECOVER TABLE ta",
+         "column": None, "old_column": None, "col_type": None,
+         "schema_version": Y, "table_name": "ta"},
+    ]
+    mt = MultiTableChangefeed(
+        spark, wal, gen_resolved_log(spark, sa), ddl_rows,
+        table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
+        config=ChangefeedConfig(changefeed_id="rcv", n_buckets=4),
+        tables=["ta"],
+    )
+    mt.run()
+    assert sorted(mt.feeds) == ["ta", "tn0", "tn1"]
+    reg = mt.feeds["ta"].registry
+    # recovered = pre-drop state + post-recover DML; the gap (X, Y] is lost
+    want_a = expected_final_state(
+        gen_binlog(spark, sa).filter(
+            (F.col("commit_ts") <= X) | (F.col("commit_ts") > Y)),
+        reg, sa.max_commit_ts, KEY)
+    assert_df_equal(mt.read("ta"), want_a, KEY)
+    # batch-created tables consumed exactly their post-create events
+    h2 = F.pmod(F.xxhash64("conv_id"), F.lit(2))
+    for t, cond in (("tn0", h2 == 0), ("tn1", h2 == 1)):
+        want = expected_final_state(
+            gen_binlog(spark, sb).filter(cond & (F.col("commit_ts") > X)),
+            mt.feeds[t].registry, sb.max_commit_ts, KEY)
+        assert_df_equal(mt.read(t), want, KEY)

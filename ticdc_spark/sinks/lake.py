@@ -857,6 +857,59 @@ class LakeTable:
         return {"status": "committed", "batch_id": batch_id, "version": m["version"],
                 "lineage": rows}
 
+    def bootstrap_base_group(self, batches: list, bucket_files: dict) -> dict:
+        """Initial-load (bootstrap) commit: the first span's cross-window
+        LWW fold lands ONCE as the compacted BASE. On an empty table the
+        normal MOR path writes every window as a delta and then
+        immediately compacts — the data is written twice and the pre-fold
+        rows (one per key PER WINDOW) are all decoded; folding first
+        writes once and decodes one row per key. This is the 100-TB
+        initial-sync path: the first replication of a large table is one
+        giant DDL-free span, and 2x write + 3x decode there is the
+        difference between a day and half a day.
+
+        Only legal on an EMPTY table (no base files, no deltas, no
+        truncate incarnation) — the caller gates, this re-checks. Records
+        every window's batch id / syncpoint / lineage in the SAME atomic
+        manifest commit; the crash contract is identical to
+        :meth:`append_delta_files_group` (before the commit only
+        unreferenced staged files exist, reaped by snapshot expiry)."""
+        m = self.manifest()
+        if (any(info["files"] for info in m["buckets"].values())
+                or m.get("deltas") or m.get("truncate_ts", 0)):
+            raise RuntimeError("bootstrap_base_group requires an empty table")
+        if any(self._recognized(m, b["batch_id"], b.get("resolved_ts"), None)
+               for b in batches):
+            # the span (group commits are atomic, so all-or-nothing) was
+            # already applied — idempotent replay
+            return {"status": "skipped", "batches": 0, "lineage": []}
+        all_rows: list = []
+        n_total = 0
+        for b in batches:
+            rows = b.get("lineage_rows") or []
+            n_src = sum(r.get("event_count", 0) for r in rows)
+            self._record_batch(m, b["batch_id"], b.get("resolved_ts"), n_src,
+                               mode="mor")
+            all_rows.extend(rows)
+            n_total += n_src
+        for bs, files in bucket_files.items():
+            m["buckets"][str(bs)] = {"files": sorted(files),
+                                     "written_version": m["schema_version"]}
+        m["version"] += 1
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with open(os.path.join(self.meta_dir, "syncpoints.jsonl"), "a") as f:
+            for b in batches:
+                if b.get("resolved_ts") is not None:
+                    f.write(json.dumps([b["resolved_ts"], m["version"]]) + "\n")
+        if all_rows:
+            os.makedirs(self.lineage_dir, exist_ok=True)
+            with open(os.path.join(self.lineage_dir, f"v{m['version']:08d}.jsonl"), "w") as f:
+                for r in all_rows:
+                    f.write(json.dumps(r) + "\n")
+        self._commit(m)
+        return {"status": "committed", "batches": len(batches), "rows": n_total,
+                "version": m["version"], "lineage": all_rows}
+
     def append_delta_files_group(self, batches: list) -> dict:
         """Group-commit MANY already-written window batches in ONE manifest
         rewrite — the fold half of the multi-table feed journal

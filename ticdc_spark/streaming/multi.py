@@ -54,9 +54,10 @@ from ticdc_spark.sinks.lake import LakeTable
 from ticdc_spark.sources.frontier import frontier_steps
 from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig, table_matches
 
-_LIFECYCLE = ("create_table", "drop_table", "rename_table", "rename_tables",
-              "exchange_table_partition", "add_table_partition",
-              "drop_table_partition", "reorganize_partition")
+_LIFECYCLE = ("create_table", "recover_table", "drop_table", "rename_table",
+              "rename_tables", "exchange_table_partition",
+              "add_table_partition", "drop_table_partition",
+              "reorganize_partition")
 
 
 def _logical(name: str) -> str:
@@ -116,15 +117,24 @@ class MultiTableChangefeed:
         # ActionTruncateTablePartition (ALTER TABLE ... TRUNCATE PARTITION,
         # /root/reference/cdc/entry/schema_storage_test.go:826): downstream
         # it is exactly a truncate of the PARTITION SPAN's target — the
-        # existing per-span truncate_table path, scoped to the span key
-        self.ddl_rows = [
-            (
-                {**(r.asDict() if hasattr(r, "asDict") else dict(r)),
-                 "ddl_type": "truncate_table"}
-                if r["ddl_type"] == "truncate_table_partition" else r
-            )
-            for r in self.ddl_rows
-        ]
+        # existing per-span truncate_table path, scoped to the span key.
+        # ActionCreateTables (batch CREATE, snapshot.go:51): order-
+        # independent per-table creates at one barrier — normalize into
+        # individual create_table rows (table_name = comma-joined names).
+        normalized = []
+        for r in self.ddl_rows:
+            if r["ddl_type"] == "truncate_table_partition":
+                normalized.append(
+                    {**(r.asDict() if hasattr(r, "asDict") else dict(r)),
+                     "ddl_type": "truncate_table"})
+            elif r["ddl_type"] == "create_tables":
+                base = r.asDict() if hasattr(r, "asDict") else dict(r)
+                for t in r[table_col].split(","):
+                    normalized.append(
+                        {**base, "ddl_type": "create_table", table_col: t})
+            else:
+                normalized.append(r)
+        self.ddl_rows = normalized
         self.lifecycle = [r for r in self.ddl_rows if r["ddl_type"] in _LIFECYCLE]
         created = {r[table_col] for r in self.lifecycle if r["ddl_type"] == "create_table"}
         if tables is None:
@@ -299,7 +309,14 @@ class MultiTableChangefeed:
     def _apply_lifecycle(self, d) -> None:
         ts = int(d["commit_ts"])
         t = d[self.table_col]
-        if d["ddl_type"] == "create_table":
+        if d["ddl_type"] in ("create_table", "recover_table"):
+            # ActionRecoverTable (FLASHBACK/RECOVER, snapshot.go:51,492 —
+            # treated as create): drop_table RETAINS the target's data, so
+            # the recovered feed re-attaches to it — the pre-drop rows ARE
+            # the recovered content (TiDB recovers by un-deleting the
+            # physical table), and post-recover DML applies on top; events
+            # in the dropped gap never replicate, matching upstream where
+            # the table did not exist to receive writes.
             if t in self.feeds:
                 return  # idempotent replay (resume past this barrier)
             if not table_matches(t, self.config):

@@ -87,6 +87,16 @@ class ChangefeedConfig:
     # commit) across up to this many windows — the single-table twin of
     # the multi-table feed journal. 1 disables batching.
     max_windows_per_job: int = 16
+    # initial-load fast path: when the FIRST span lands on an EMPTY table
+    # (no base, no deltas, no truncate incarnation), fold it across
+    # windows and write the compacted BASE directly — the normal path
+    # would write every window as a delta and immediately compact,
+    # writing the data twice and decoding one row per key PER WINDOW.
+    # Exactly-once and final state are bit-identical (LWW is associative;
+    # every window still commits its own batch id/syncpoint/lineage
+    # atomically) — tests/test_mor.py proves state equality vs the flag
+    # off. The 100-TB initial-sync path.
+    bootstrap_fast_path: bool = True
     # multi-table homogeneous windows: at/above this many applying tables,
     # the window's delta is written as ONE SHARED per-bucket fileset (all
     # tables mixed, clustered by table within each bucket file) instead of
@@ -353,31 +363,72 @@ class Changefeed:
         df = df.withColumn("_win", wexpr.cast("int"))
         deduped = self._dedup_window(df, ["_win", *self.config.key]).persist()
         try:
-            mounted = mount(deduped, self.registry, as_of_ts=hi,
-                            defaults=self.config.defaults)
-            payload_cols = mounted_columns(self.registry, hi)
             m = self.target.manifest()
             bucketed = m.get("delta_layout", "flat") == "bucketed"
-            src = mounted.select(
-                "_win", *self.config.key, *payload_cols,
-                F.col("commit_ts").alias("_commit_ts"),
-                F.col("start_ts").alias("_start_ts"),
-                F.col("op_rank").alias("_op_rank"),
-                (F.col("op") == "D").cast("int").alias("_deleted"),
+            # initial-load fast path: on an EMPTY table the span IS the
+            # table's first content — fold it across windows (LWW is
+            # associative over (commit_ts, start_ts, op_rank)) and write
+            # the compacted BASE once, instead of delta-writing every
+            # window and immediately compacting (2x write, and decode of
+            # one row per key per WINDOW instead of per key)
+            bootstrap = (
+                self.config.bootstrap_fast_path
+                and not any(info["files"] for info in m["buckets"].values())
+                and not m.get("deltas")
+                and not m.get("truncate_ts", 0)
             )
-            pcols = ["_win"]
-            if bucketed:
-                src = src.withColumn(
-                    "_bucket",
-                    F.pmod(F.xxhash64(F.col(self.config.key[0])),
-                           F.lit(m["n_buckets"])).cast("int"),
-                )
-                pcols.append("_bucket")
             import os as _os
             import uuid as _uuid
 
             staging = _os.path.join(self.target.data_dir, _uuid.uuid4().hex)
-            src.write.partitionBy(*pcols).parquet(staging)
+            if bootstrap:
+                from ticdc_spark.operators.sortdedup import lww_dedup
+
+                final = lww_dedup(
+                    deduped.drop("_win", "_n_events", "_max_commit_ts"),
+                    list(self.config.key),
+                )
+                # final-state tombstones leave the base entirely — exactly
+                # what compact(drop_tombstones=True) produces in this mode
+                final = final.filter(F.col("op_rank") != 1)
+                mounted = mount(final, self.registry, as_of_ts=hi,
+                                defaults=self.config.defaults)
+                payload_cols = mounted_columns(self.registry, hi)
+                n_buckets = m["n_buckets"]
+                src = mounted.select(
+                    *self.config.key, *payload_cols,
+                    F.col("commit_ts").alias("_commit_ts"),
+                    F.col("start_ts").alias("_start_ts"),
+                    F.col("op_rank").alias("_op_rank"),
+                    (F.col("op") == "D").cast("int").alias("_deleted"),
+                ).withColumn(
+                    "_bucket", self.target._bucket_expr(n_buckets,
+                                                        self.config.key[0]),
+                )
+                (
+                    src.repartition(n_buckets, F.col("_bucket"))
+                    .write.partitionBy("_bucket").parquet(staging)
+                )
+            else:
+                mounted = mount(deduped, self.registry, as_of_ts=hi,
+                                defaults=self.config.defaults)
+                payload_cols = mounted_columns(self.registry, hi)
+                src = mounted.select(
+                    "_win", *self.config.key, *payload_cols,
+                    F.col("commit_ts").alias("_commit_ts"),
+                    F.col("start_ts").alias("_start_ts"),
+                    F.col("op_rank").alias("_op_rank"),
+                    (F.col("op") == "D").cast("int").alias("_deleted"),
+                )
+                pcols = ["_win"]
+                if bucketed:
+                    src = src.withColumn(
+                        "_bucket",
+                        F.pmod(F.xxhash64(F.col(self.config.key[0])),
+                               F.lit(m["n_buckets"])).cast("int"),
+                    )
+                    pcols.append("_bucket")
+                src.write.partitionBy(*pcols).parquet(staging)
             # per-(window, source partition) lineage off the cached dedup:
             # one metadata-cardinality job amortized over the whole span
             stats = (
@@ -396,7 +447,7 @@ class Changefeed:
                 wdir = _os.path.join(staging, f"_win={i}")
                 files: list = []
                 buckets: dict | None = None
-                if _os.path.isdir(wdir):
+                if not bootstrap and _os.path.isdir(wdir):
                     if bucketed:
                         buckets = {}
                         for d in sorted(_os.listdir(wdir)):
@@ -422,7 +473,18 @@ class Changefeed:
                 batches.append({"batch_id": batch_id, "files": files,
                                 "buckets": buckets, "resolved_ts": u,
                                 "lineage_rows": rows})
-            res = self.target.append_delta_files_group(batches)
+            if bootstrap:
+                bucket_files: dict = {}
+                for d in sorted(_os.listdir(staging)):
+                    if d.startswith("_bucket="):
+                        bdir = _os.path.join(staging, d)
+                        bucket_files[d.split("=", 1)[1]] = sorted(
+                            _os.path.join(bdir, x)
+                            for x in _os.listdir(bdir) if x.endswith(".parquet")
+                        )
+                res = self.target.bootstrap_base_group(batches, bucket_files)
+            else:
+                res = self.target.append_delta_files_group(batches)
         finally:
             deduped.unpersist()
         out = {"status": "committed" if res["status"] == "committed" else "skipped",
