@@ -167,3 +167,34 @@ def test_bootstrap_fast_path_state_identical_and_single_write(spark, tmp_path):
     # replay recognition: re-running the whole feed is a no-op
     again = run(f"{tmp_path}/fast", True)
     assert_df_equal(again.read(), slow.read(), ["conv_id", "turn_idx"])
+
+
+def test_bootstrap_fast_path_cow_state_identical(spark, tmp_path):
+    """CoW takes the span path ONLY for the bootstrap span: the folded
+    base write is sink-mode agnostic (no order metadata in a CoW schema),
+    and steady-state CoW windows stay per-window MERGEs after it."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.sources.binlog_gen import BinlogSpec, DDLSpec, gen_binlog, gen_resolved_log
+    from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
+
+    # DDL mid-stream: the bootstrap span covers only the pre-DDL windows;
+    # post-DDL windows exercise the normal per-window CoW MERGE on top
+    ddl = DDLSpec(commit_ts=3_000, ddl_type="add_column", column="tool_args")
+    spec = BinlogSpec(n_events=6_000, n_convs=100, seed=62, block=1_000, ddls=(ddl,))
+    binlog, resolved = gen_binlog(spark, spec), gen_resolved_log(spark, spec)
+
+    def run(path, fast):
+        cf = Changefeed(
+            spark, binlog, resolved, None, LakeTable(spark, path),
+            ChangefeedConfig(changefeed_id="bsc", n_buckets=4, sink_mode="cow",
+                             bootstrap_fast_path=fast),
+        )
+        cf.run()
+        return cf.target
+
+    fast = run(f"{tmp_path}/fast", True)
+    slow = run(f"{tmp_path}/slow", False)
+    from tests.conftest import assert_df_equal
+    assert_df_equal(fast.read(), slow.read(), ["conv_id", "turn_idx"])
+    assert fast.checkpoint["resolved_ts"] == slow.checkpoint["resolved_ts"]
+    assert not fast.manifest().get("deltas")  # CoW never carries deltas

@@ -338,6 +338,19 @@ class Changefeed:
         res["events"] = sum(r["event_count"] for r in res.get("lineage", []))
         return res
 
+    def _bootstrap_eligible(self) -> bool:
+        """True when the NEXT span would land on a completely empty table —
+        the initial-load fast path's gate (no base files, no deltas, no
+        truncate incarnation)."""
+        if not self.config.bootstrap_fast_path or not self.target.exists():
+            return False
+        m = self.target.manifest()
+        return (
+            not any(info["files"] for info in m["buckets"].values())
+            and not m.get("deltas")
+            and not m.get("truncate_ts", 0)
+        )
+
     def _apply_windows_batched(self, lo: int, uppers: list) -> dict:
         """Execute a DDL-free SPAN of resolved windows as ONE Spark job:
         filter once, dedup once per (window, key), mount once, write once
@@ -377,6 +390,10 @@ class Changefeed:
                 and not m.get("deltas")
                 and not m.get("truncate_ts", 0)
             )
+            if not bootstrap and self.config.sink_mode != "mor":
+                raise RuntimeError(
+                    "span execution on a non-empty CoW table — the span "
+                    "gate only admits CoW for the bootstrap span")
             import os as _os
             import uuid as _uuid
 
@@ -395,12 +412,20 @@ class Changefeed:
                                 defaults=self.config.defaults)
                 payload_cols = mounted_columns(self.registry, hi)
                 n_buckets = m["n_buckets"]
+                # CoW tables carry no LWW order metadata in their schema;
+                # write exactly the target's columns
+                meta_cols = (
+                    [
+                        F.col("commit_ts").alias("_commit_ts"),
+                        F.col("start_ts").alias("_start_ts"),
+                        F.col("op_rank").alias("_op_rank"),
+                        (F.col("op") == "D").cast("int").alias("_deleted"),
+                    ]
+                    if "_commit_ts" in [x[0] for x in m["schema"]]
+                    else []
+                )
                 src = mounted.select(
-                    *self.config.key, *payload_cols,
-                    F.col("commit_ts").alias("_commit_ts"),
-                    F.col("start_ts").alias("_start_ts"),
-                    F.col("op_rank").alias("_op_rank"),
-                    (F.col("op") == "D").cast("int").alias("_deleted"),
+                    *self.config.key, *payload_cols, *meta_cols,
                 ).withColumn(
                     "_bucket", self.target._bucket_expr(n_buckets,
                                                         self.config.key[0]),
@@ -710,9 +735,13 @@ class Changefeed:
             bounds = [d for d in self.ddl_rows if ckpt < int(d["commit_ts"]) <= r]
             if (
                 not bounds
-                and self.config.sink_mode == "mor"
                 and not self.config.force_replicate
                 and self.config.max_windows_per_job > 1
+                and (self.config.sink_mode == "mor"
+                     # CoW takes the span path ONLY for the bootstrap span
+                     # (empty table): the folded base write is mode-
+                     # agnostic; steady-state CoW stays per-window MERGE
+                     or self._bootstrap_eligible())
             ):
                 # DDL-free span: schedule up to max_windows_per_job windows
                 # as ONE Spark job with per-window group commits — the
