@@ -46,10 +46,17 @@ try:
     gen_binlog(spark, spec).repartitionByRange(max(cores * 4, 8), "commit_ts").write.parquet(wal)
     binlog = spark.read.parquet(wal)
     compact_every = int(os.environ.get("SCALE_COMPACT", "8"))
+    # SCALE_BOOTSTRAP=0 pins the delta+compact path: the 4-vs-32-batch
+    # serial-constant sweep must do identical physical work per event at
+    # both batch counts (bootstrap covers a DIFFERENT fraction of the run
+    # at different batch counts); the N-vs-4N ratio itself is fair either
+    # way (same work at both levels).
+    bootstrap = os.environ.get("SCALE_BOOTSTRAP", "1") != "0"
     cf = Changefeed(spark, binlog, gen_resolved_log(spark, spec), None,
                     LakeTable(spark, os.path.join(work, "t")),
                     ChangefeedConfig(changefeed_id="scale", n_buckets=32, sink_mode="mor",
-                                     compact_every=compact_every))
+                                     compact_every=compact_every,
+                                     bootstrap_fast_path=bootstrap))
     t0 = time.time()
     stats = cf.run()
     dt = time.time() - t0
