@@ -198,3 +198,32 @@ def test_bootstrap_fast_path_cow_state_identical(spark, tmp_path):
     assert_df_equal(fast.read(), slow.read(), ["conv_id", "turn_idx"])
     assert fast.checkpoint["resolved_ts"] == slow.checkpoint["resolved_ts"]
     assert not fast.manifest().get("deltas")  # CoW never carries deltas
+
+
+def test_bootstrap_then_incremental_resume(spark, tmp_path):
+    """A partial first run bootstraps some windows to base; the resumed run
+    finds a NON-empty table, continues on the normal delta path, and the
+    final state equals a single uninterrupted run."""
+    from ticdc_spark.sinks.lake import LakeTable
+    from ticdc_spark.sources.binlog_gen import BinlogSpec, gen_binlog, gen_resolved_log
+    from ticdc_spark.streaming.pipeline import Changefeed, ChangefeedConfig
+
+    spec = BinlogSpec(n_events=6_000, n_convs=100, seed=63, block=1_000)
+    binlog, resolved = gen_binlog(spark, spec), gen_resolved_log(spark, spec)
+
+    def cf(path):
+        return Changefeed(
+            spark, binlog, resolved, None, LakeTable(spark, path),
+            ChangefeedConfig(changefeed_id="bsr", n_buckets=4, sink_mode="mor",
+                             compact_every=100),
+        )
+
+    cf(f"{tmp_path}/t").run(max_merges=2)   # bootstrap span, capped
+    c2 = cf(f"{tmp_path}/t")
+    c2.run()                                 # continues as deltas
+    assert c2.target.manifest().get("deltas")  # the continuation appended
+    full = cf(f"{tmp_path}/full")
+    full.run()
+    from tests.conftest import assert_df_equal
+    assert_df_equal(c2.target.read(), full.target.read(), ["conv_id", "turn_idx"])
+    assert c2.target.checkpoint["resolved_ts"] == full.target.checkpoint["resolved_ts"]
