@@ -374,37 +374,39 @@ class Changefeed:
         for i in range(len(uppers) - 2, -1, -1):
             wexpr = F.when(F.col("commit_ts") <= uppers[i], i).otherwise(wexpr)
         df = df.withColumn("_win", wexpr.cast("int"))
-        deduped = self._dedup_window(df, ["_win", *self.config.key]).persist()
+        m = self.target.manifest()
+        bucketed = m.get("delta_layout", "flat") == "bucketed"
+        # initial-load fast path: on an EMPTY table the span IS the
+        # table's first content — fold it across windows (LWW is
+        # associative over (commit_ts, start_ts, op_rank)) and write
+        # the compacted BASE once, instead of delta-writing every
+        # window and immediately compacting (2x write, and decode of
+        # one row per key per WINDOW instead of per key)
+        bootstrap = (
+            self.config.bootstrap_fast_path
+            and not any(info["files"] for info in m["buckets"].values())
+            and not m.get("deltas")
+            and not m.get("truncate_ts", 0)
+        )
+        if not bootstrap and self.config.sink_mode != "mor":
+            raise RuntimeError(
+                "span execution on a non-empty CoW table — the span "
+                "gate only admits CoW for the bootstrap span")
+        # bootstrap caches the RAW span (lineage stats group it by window;
+        # the dedup then runs ONCE over keys — no per-window pre-dedup
+        # exchange); the delta path caches the per-window dedup instead
+        deduped = (
+            df if bootstrap
+            else self._dedup_window(df, ["_win", *self.config.key])
+        ).persist()
         try:
-            m = self.target.manifest()
-            bucketed = m.get("delta_layout", "flat") == "bucketed"
-            # initial-load fast path: on an EMPTY table the span IS the
-            # table's first content — fold it across windows (LWW is
-            # associative over (commit_ts, start_ts, op_rank)) and write
-            # the compacted BASE once, instead of delta-writing every
-            # window and immediately compacting (2x write, and decode of
-            # one row per key per WINDOW instead of per key)
-            bootstrap = (
-                self.config.bootstrap_fast_path
-                and not any(info["files"] for info in m["buckets"].values())
-                and not m.get("deltas")
-                and not m.get("truncate_ts", 0)
-            )
-            if not bootstrap and self.config.sink_mode != "mor":
-                raise RuntimeError(
-                    "span execution on a non-empty CoW table — the span "
-                    "gate only admits CoW for the bootstrap span")
             import os as _os
             import uuid as _uuid
 
             staging = _os.path.join(self.target.data_dir, _uuid.uuid4().hex)
             if bootstrap:
-                from ticdc_spark.operators.sortdedup import lww_dedup
-
-                final = lww_dedup(
-                    deduped.drop("_win", "_n_events", "_max_commit_ts"),
-                    list(self.config.key),
-                )
+                final = self._dedup_window(deduped.drop("_win"),
+                                           self.config.key)
                 # final-state tombstones leave the base entirely — exactly
                 # what compact(drop_tombstones=True) produces in this mode
                 final = final.filter(F.col("op_rank") != 1)
@@ -454,14 +456,24 @@ class Changefeed:
                     )
                     pcols.append("_bucket")
                 src.write.partitionBy(*pcols).parquet(staging)
-            # per-(window, source partition) lineage off the cached dedup:
+            # per-(window, source partition) lineage off the cached frame:
             # one metadata-cardinality job amortized over the whole span
-            stats = (
-                deduped.groupBy("_win", "partition_id")
-                .agg(F.sum("_n_events").alias("n"),
-                     F.max("_max_commit_ts").alias("mx"))
-                .collect()
-            )
+            # (bootstrap caches raw events; the delta path caches the
+            # per-window dedup with its folded per-key stats)
+            if bootstrap:
+                stats = (
+                    deduped.groupBy("_win", "partition_id")
+                    .agg(F.count(F.lit(1)).alias("n"),
+                         F.max("commit_ts").alias("mx"))
+                    .collect()
+                )
+            else:
+                stats = (
+                    deduped.groupBy("_win", "partition_id")
+                    .agg(F.sum("_n_events").alias("n"),
+                         F.max("_max_commit_ts").alias("mx"))
+                    .collect()
+                )
             by_win: dict = {}
             for r in stats:
                 by_win.setdefault(int(r["_win"]), []).append(r)
