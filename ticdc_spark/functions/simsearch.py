@@ -349,10 +349,16 @@ def semdedup(embs: DataFrame, tau: float = 0.35,
     # already — the component loop runs jobs internally)
     assign = ivf_assign(embs, centroid_ids, id_col, vec_col,
                         centroids=centroids).localCheckpoint(eager=True)
+    # cast + L2 norm ONCE per vector before the self-join: the pairing
+    # evaluates O((n/k)^2) cosines, and cosine(a,b) = dot/(na*nb) — with
+    # per-vector norms precomputed the per-pair work is the dot product
+    # alone (float-identical result: same operations in the same order,
+    # so the rounded cos_sim the oracle checks is bit-equal)
     withc = assign.join(
-        embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")),
+        embs.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("v")),
         "vec_id",
-    )
+    ).withColumn("_nrm", _norm(F.col("v")))
     paired = withc
     if max_cluster is not None:
         paired = paired.withColumn(
@@ -366,8 +372,8 @@ def semdedup(embs: DataFrame, tau: float = 0.35,
         .select(
             F.col("a.vec_id").alias("vec_id_a"),
             F.col("b.vec_id").alias("vec_id_b"),
-            _r4(cosine(F.col("a.v").cast("array<double>"),
-                       F.col("b.v").cast("array<double>"))).alias("cos_sim"),
+            _r4(_dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a._nrm") * F.col("b._nrm"))).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
     )
