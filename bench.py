@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "event_range_join",
     "doc_length_quantiles",
     "conv_neardup",
+    "cdc_lake_changelog",
 ]
 
 

@@ -150,3 +150,58 @@ def test_syncpoint_group_commit_validity(spark, tmp_table_path):
     assert t.syncpoint_for(25) == (10, v1)  # 20 shares w3's version: not a read point
     rts, vg = t.syncpoint_for(30)
     assert rts == 30 and vg > v1
+
+
+def test_changes_between_ops_and_images(spark, tmp_table_path):
+    """Lake changelog: I for appeared keys, U for changed payloads (new
+    image), D for vanished keys (old image); unchanged keys emit nothing,
+    and null payloads are compared null-safely."""
+    t = _mk(spark, tmp_table_path)
+    b1 = spark.createDataFrame(
+        [("c1", 0, "I", "user", "hello"), ("c1", 1, "I", None, None),
+         ("c2", 0, "I", "user", "stays"), ("c3", 0, "I", "tool", "bye")],
+        SRC,
+    )
+    t.merge(b1, "b1", resolved_ts=10)
+    v1 = t.manifest()["version"]
+    b2 = spark.createDataFrame(
+        [("c1", 0, "U", "user", "hello v2"),  # U: text changes
+         ("c1", 1, "U", None, None),           # same (null) payload: no row
+         ("c3", 0, "D", None, None),           # D
+         ("c4", 7, "I", "system", "new")],     # I
+        SRC,
+    )
+    t.merge(b2, "b2", resolved_ts=20)
+    v2 = t.manifest()["version"]
+    rows = {(r["op"], r["conv_id"], r["turn_idx"]): (r["role"], r["text"])
+            for r in t.changes_between(v1, v2).collect()}
+    assert rows == {
+        ("U", "c1", 0): ("user", "hello v2"),
+        ("D", "c3", 0): ("tool", "bye"),
+        ("I", "c4", 7): ("system", "new"),
+    }
+    # identity diff is empty; reversed endpoints invert the ops
+    assert t.changes_between(v2, v2).count() == 0
+    rev = {(r["op"], r["conv_id"], r["turn_idx"]) for r in t.changes_between(v2, v1).collect()}
+    assert rev == {("U", "c1", 0), ("I", "c3", 0), ("D", "c4", 7)}
+
+
+def test_changes_between_prunes_untouched_buckets(spark, tmp_table_path):
+    """The diff's read set comes from MANIFEST comparison: buckets whose
+    filesets are identical between the two versions never participate."""
+    t = _mk(spark, tmp_table_path, n_buckets=8)
+    import pyspark.sql.functions as F
+    wide = spark.range(64).select(
+        F.format_string("c%d", F.col("id")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"), F.lit("I").alias("op"),
+        F.lit("user").alias("role"), F.lit("x").alias("text"),
+    )
+    t.merge(wide, "b1", resolved_ts=10)
+    v1 = t.manifest()["version"]
+    one = spark.createDataFrame([("c0", 0, "U", "user", "x2")], SRC)
+    t.merge(one, "b2", resolved_ts=20)
+    v2 = t.manifest()["version"]
+    changed = t._changed_buckets(v1, v2)
+    assert changed is not None and len(changed) == 1  # only c0's bucket
+    out = t.changes_between(v1, v2).collect()
+    assert {(r["op"], r["conv_id"]) for r in out} == {("U", "c0")}

@@ -4366,6 +4366,84 @@ GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 3
 """
 
 
+def q_cdc_lake_changelog(spark, sf_dir):
+    """Lake-side CHANGELOG (incremental read — the Iceberg incremental
+    scan / Delta change-data-feed analog, and the contract the
+    reference's storage-sink consumers decode): replay the engine with
+    per-window commits, pin the snapshot at the 2/3-stream syncpoint,
+    and emit every key whose resolved state differs between that
+    snapshot and the final one as op I/U/D — I/U with the new image, D
+    with the old. Bucket-pruned: only buckets whose filesets differ
+    between the two manifests are read."""
+    work = _work_dir("ticdc_chlog_")
+    cf = _run_engine(spark, sf_dir, os.path.join(work, "t"),
+                     cfg_extra={"max_windows_per_job": 1})
+    n = _events(spark, sf_dir).count()
+    bound = (1000 + n) * 2 // 3
+    v_lo = cf.target.syncpoint_for(bound)[1]
+    v_hi = cf.target.manifest()["version"]
+    return cf.target.changes_between(v_lo, v_hi)
+
+
+SQL_CDC_LAKE_CHANGELOG = f"""
+WITH {BINLOG_CTE},
+ddl AS (SELECT 1000 + 3 * (count(*) // 5) AS ddl_ts FROM events),
+bound AS (SELECT (2 * (1000 + count(*))) // 3 AS b FROM events),
+r1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM binlog WHERE commit_ts <= (SELECT b FROM bound)),
+s1 AS (
+  SELECT conv_id, turn_idx, TRUE AS was,
+         CASE WHEN turn_idx % 4 = 0 THEN 'user'
+              WHEN turn_idx % 4 = 1 THEN 'assistant'
+              WHEN turn_idx % 4 = 2 THEN 'system'
+              ELSE 'tool' END AS role,
+         'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+         CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+         make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+         CASE WHEN commit_ts > (SELECT ddl_ts FROM ddl)
+              THEN 'ta-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool_args
+  FROM r1 WHERE rn = 1 AND op <> 'D'),
+r2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY commit_ts DESC, start_ts DESC, {OP_RANK_SQL} DESC) AS rn
+  FROM binlog),
+s2 AS (
+  SELECT conv_id, turn_idx, TRUE AS present,
+         CASE WHEN turn_idx % 4 = 0 THEN 'user'
+              WHEN turn_idx % 4 = 1 THEN 'assistant'
+              WHEN turn_idx % 4 = 2 THEN 'system'
+              ELSE 'tool' END AS role,
+         'txt-' || CAST(commit_ts AS VARCHAR) AS text,
+         CASE WHEN turn_idx % 4 = 3 THEN 'search' ELSE NULL END AS tool,
+         make_timestamp((1700000000 + commit_ts) * 1000000) AS ts,
+         CASE WHEN commit_ts > (SELECT ddl_ts FROM ddl)
+              THEN 'ta-' || CAST(commit_ts AS VARCHAR) ELSE NULL END AS tool_args
+  FROM r2 WHERE rn = 1 AND op <> 'D')
+SELECT CASE WHEN s1.was IS NULL THEN 'I'
+            WHEN s2.present IS NULL THEN 'D'
+            ELSE 'U' END AS op,
+       coalesce(s1.conv_id, s2.conv_id) AS conv_id,
+       coalesce(s1.turn_idx, s2.turn_idx) AS turn_idx,
+       CASE WHEN s2.present IS NULL THEN s1.role ELSE s2.role END AS role,
+       CASE WHEN s2.present IS NULL THEN s1.text ELSE s2.text END AS text,
+       CASE WHEN s2.present IS NULL THEN s1.tool ELSE s2.tool END AS tool,
+       CASE WHEN s2.present IS NULL THEN s1.ts ELSE s2.ts END AS ts,
+       CASE WHEN s2.present IS NULL THEN s1.tool_args ELSE s2.tool_args END AS tool_args
+FROM s1 FULL OUTER JOIN s2
+  ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx
+WHERE s1.was IS NULL OR s2.present IS NULL
+   OR (s1.role IS DISTINCT FROM s2.role)
+   OR (s1.text IS DISTINCT FROM s2.text)
+   OR (s1.tool IS DISTINCT FROM s2.tool)
+   OR (s1.ts IS DISTINCT FROM s2.ts)
+   OR (s1.tool_args IS DISTINCT FROM s2.tool_args)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4383,6 +4461,7 @@ QUERIES = {
     "cdc_batch_add_table_e2e": q_cdc_batch_add_table_e2e,
     "cdc_partition_table_e2e": q_cdc_partition_table_e2e,
     "cdc_reorg_partition_e2e": q_cdc_reorg_partition_e2e,
+    "cdc_lake_changelog": q_cdc_lake_changelog,
     "cdc_drop_readd_e2e": q_cdc_drop_readd_e2e,
     "cdc_truncate_e2e": q_cdc_truncate_e2e,
     "cdc_modify_column_e2e": q_cdc_modify_column_e2e,
@@ -4492,6 +4571,7 @@ ORACLES = {
     "cdc_batch_add_table_e2e": SQL_CDC_BATCH_ADD_TABLE_E2E,
     "cdc_partition_table_e2e": SQL_CDC_PARTITION_TABLE_E2E,
     "cdc_reorg_partition_e2e": SQL_CDC_REORG_PARTITION_E2E,
+    "cdc_lake_changelog": SQL_CDC_LAKE_CHANGELOG,
     "cdc_drop_readd_e2e": SQL_CDC_DROP_READD_E2E,
     "cdc_truncate_e2e": SQL_CDC_TRUNCATE_E2E,
     "cdc_modify_column_e2e": SQL_CDC_MODIFY_COLUMN_E2E,
@@ -4714,6 +4794,11 @@ _DEMOTED = [
     #     plus truncate/re-shard/drop); batch-add's create+global-DDL
     #     shape stays judge-run at the tail.
     "cdc_batch_add_table_e2e",
+    #   cdc_syncpoint_read -> cdc_lake_changelog in-window: the changelog
+    #     is the strict superset of the same consumer-side family (it
+    #     resolves the SAME 2/3 syncpoint, time-travels BOTH endpoints,
+    #     and additionally diffs them into the I/U/D changelog contract).
+    "cdc_syncpoint_read",
     #   event_range_join tails in-family with event_asof_enrich (the
     #     in-window temporal-enrichment join; range join is its interval
     #     sibling, plan-audited to never nest-loop);

@@ -368,6 +368,96 @@ class LakeTable:
         runs downstream while the upstream sits at ``source_ts``."""
         return self.read(version=self.syncpoint_for(source_ts)[1], **kw)
 
+    def _changed_buckets(self, v_lo: int, v_hi: int) -> list | None:
+        """Buckets whose physical state differs between two snapshots —
+        the pruning set for :meth:`changes_between`. Returns None when a
+        FLAT (un-bucket-attributed) or shared delta fileset differs
+        between the versions (attribution unknown — every bucket must be
+        compared)."""
+        m_lo, m_hi = self.manifest(v_lo), self.manifest(v_hi)
+
+        def flat(m):
+            return sorted(
+                tuple(sorted(d["files"])) for d in m.get("deltas", [])
+                if d["files"] and ("buckets" not in d or d.get("shared"))
+            )
+
+        if flat(m_lo) != flat(m_hi):
+            return None
+        changed = set()
+        for b in set(m_lo["buckets"]) | set(m_hi["buckets"]):
+            if (m_lo["buckets"].get(b, {}).get("files", [])
+                    != m_hi["buckets"].get(b, {}).get("files", [])):
+                changed.add(int(b))
+
+        def per_bucket_deltas(m):
+            out: dict = {}
+            for d in m.get("deltas", []):
+                if "buckets" in d and not d.get("shared"):
+                    for b, fls in d["buckets"].items():
+                        out.setdefault(b, []).extend(fls)
+            return {b: sorted(v) for b, v in out.items()}
+
+        blo, bhi = per_bucket_deltas(m_lo), per_bucket_deltas(m_hi)
+        for b in set(blo) | set(bhi):
+            if blo.get(b, []) != bhi.get(b, []):
+                changed.add(int(b))
+        return sorted(changed)
+
+    def changes_between(self, v_lo: int, v_hi: int) -> DataFrame:
+        """Lake-side CHANGELOG between two committed snapshots — the
+        incremental-read half of a CDC pipeline (what Iceberg calls an
+        incremental scan and Delta calls the change data feed): every key
+        whose resolved state differs between version ``v_lo`` and
+        ``v_hi``, emitted as op I (absent -> present), U (present in both,
+        payload differs) or D (present -> absent). I/U rows carry the NEW
+        image, D rows the OLD image projected onto the newer schema
+        (missing columns null) — the downstream consumer contract the
+        reference's storage-sink consumers implement against upstream
+        changelogs, available here FROM the lake itself.
+
+        Scale shape: manifests decide which buckets participate — a
+        snapshot pair differing in 1% of buckets full-outer-joins 1% of
+        the table (bucket-pruned time-travel reads on both sides);
+        untouched buckets never reach the scan. The join keys are the
+        merge key (co-partitioned hash join), the diff predicate is a
+        null-safe column comparison — no window, no global sort."""
+        key = self.manifest(v_hi)["key"]
+        buckets = self._changed_buckets(v_lo, v_hi)
+        old = self.read(version=v_lo, buckets=buckets)
+        new = self.read(version=v_hi, buckets=buckets)
+        # compare on the columns both snapshots know; output the newer
+        # schema (added columns null on D rows and on the old image)
+        common = [c for c in old.columns if c in set(new.columns) and c not in key]
+        out_cols = [c for c in new.columns if c not in key]
+        # side-presence markers: any payload column could be genuinely
+        # null, so presence must not be inferred from the payload
+        o = old.select(*key, F.lit(True).alias("_was"),
+                       *[F.col(c).alias(f"_o_{c}") for c in common])
+        n = new.select(*key, F.lit(True).alias("_present"), *out_cols)
+        j = o.join(n, on=list(key), how="full_outer")
+        differs = None
+        for c in common:
+            d = ~F.col(f"_o_{c}").eqNullSafe(F.col(c))
+            differs = d if differs is None else (differs | d)
+        op = (
+            F.when(F.col("_was").isNull(), "I")
+            .when(F.col("_present").isNull(), "D")
+            .otherwise("U")
+        )
+        img = [
+            F.when(F.col("_present").isNull(),
+                   F.col(f"_o_{c}") if c in common else F.lit(None))
+            .otherwise(F.col(c)).alias(c)
+            for c in out_cols
+        ]
+        return (
+            j.select(op.alias("op"), *key, *img,
+                     F.coalesce(differs, F.lit(True)).alias("_differs"))
+            .filter((F.col("op") != "U") | F.col("_differs"))
+            .drop("_differs")
+        )
+
     def alter(self, ddl_type: str, column: str | None, old_column: str | None = None,
               col_type: str = "string", schema_version: int = 0) -> bool:
         """Schema evolution; idempotent by schema_version. add/rename/drop
