@@ -205,3 +205,32 @@ def test_changes_between_prunes_untouched_buckets(spark, tmp_table_path):
     assert changed is not None and len(changed) == 1  # only c0's bucket
     out = t.changes_between(v1, v2).collect()
     assert {(r["op"], r["conv_id"]) for r in out} == {("U", "c0")}
+
+
+def test_replicate_changes_chains_lake_to_lake(spark, tmp_path):
+    """Cascading replication: applying the changelog between two source
+    snapshots onto a second lake table reproduces the source's final
+    state there — chained changefeed without an MQ hop; idempotent."""
+    src = _mk(spark, f"{tmp_path}/src")
+    dst = _mk(spark, f"{tmp_path}/dst")
+    b1 = spark.createDataFrame(
+        [("c1", 0, "I", "user", "v1"), ("c2", 0, "I", "tool", "gone"),
+         ("c3", 1, "I", "system", "keep")],
+        SRC,
+    )
+    src.merge(b1, "b1", resolved_ts=10)
+    v1 = src.manifest()["version"]
+    # seed dst with the v1 state (the chained feed starts in sync)
+    dst.merge(b1, "seed", resolved_ts=10)
+    b2 = spark.createDataFrame(
+        [("c1", 0, "U", "user", "v2"), ("c2", 0, "D", None, None),
+         ("c4", 2, "I", "assistant", "new")],
+        SRC,
+    )
+    src.merge(b2, "b2", resolved_ts=20)
+    v2 = src.manifest()["version"]
+    r = src.replicate_changes_to(dst, v1, v2)
+    assert r["status"] == "committed"
+    assert _state(dst) == _state(src)
+    # replay is recognized
+    assert src.replicate_changes_to(dst, v1, v2)["status"] == "skipped"

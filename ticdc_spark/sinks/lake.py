@@ -368,6 +368,18 @@ class LakeTable:
         runs downstream while the upstream sits at ``source_ts``."""
         return self.read(version=self.syncpoint_for(source_ts)[1], **kw)
 
+    def replicate_changes_to(self, dst: "LakeTable", v_lo: int, v_hi: int) -> dict:
+        """Cascade replication LAKE -> LAKE: apply this table's changelog
+        between two snapshots onto ``dst`` as one exactly-once MERGE —
+        :meth:`changes_between` emits at most one row per key with an op
+        column, which is exactly :meth:`merge`'s input contract (the
+        downstream half of a chained changefeed, without an MQ hop).
+        Idempotent by the ``chlog:<v_lo>:<v_hi>`` batch id."""
+        return dst.merge(
+            self.changes_between(v_lo, v_hi),
+            batch_id=f"chlog:{v_lo}:{v_hi}",
+        )
+
     def _changed_buckets(self, v_lo: int, v_hi: int) -> list | None:
         """Buckets whose physical state differs between two snapshots —
         the pruning set for :meth:`changes_between`. Returns None when a
