@@ -239,7 +239,8 @@ def test_homogeneous_window_is_one_write_for_all_tables(spark, tmp_path, monkeyp
     mt = MultiTableChangefeed(
         spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))), None,
         table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
-        config=ChangefeedConfig(changefeed_id="h", n_buckets=4),
+        config=ChangefeedConfig(changefeed_id="h", n_buckets=4,
+                                bootstrap_fast_path=False),
         tables=list(specs),
     )
     stats = mt.run()
@@ -283,6 +284,7 @@ def test_homogeneous_fast_path_honors_bucketed_layout(spark, tmp_path):
         spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))), None,
         table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
         config=ChangefeedConfig(changefeed_id="bk", n_buckets=4,
+                                bootstrap_fast_path=False,
                                 delta_layout="bucketed", compact_every=10**9),
         tables=list(specs),
     )
@@ -323,7 +325,8 @@ def test_journal_crash_recovery(spark, tmp_path, monkeypatch):
         return MT(
             spark, binlog, gen_resolved_log(spark, next(iter(specs.values()))), None,
             table_factory=lambda t: LakeTable(spark, f"{tmp_path}/{t}"),
-            config=ChangefeedConfig(changefeed_id="jc", n_buckets=4),
+            config=ChangefeedConfig(changefeed_id="jc", n_buckets=4,
+                                    bootstrap_fast_path=False),
             tables=list(specs),
         )
 
@@ -741,3 +744,48 @@ def test_recover_table_and_batch_create(spark, tmp_path):
             gen_binlog(spark, sb).filter(cond & (F.col("commit_ts") > X)),
             mt.feeds[t].registry, sb.max_commit_ts, KEY)
         assert_df_equal(mt.read(t), want, KEY)
+
+
+def test_fleet_bootstrap_state_identical_and_single_pass(spark, tmp_path):
+    """Fleet initial load: when every applying table is empty, the span
+    folds once and writes every table's compacted BASE in one job — final
+    state, checkpoints and per-window batch ids identical to the
+    journal+delta path; bases populated, zero deltas, journal untouched."""
+    specs = {f"f{i}": BinlogSpec(n_events=3_000, n_convs=60, seed=70 + i)
+             for i in range(3)}
+    parts = [gen_binlog(spark, sp).withColumn("table_name", F.lit(t))
+             for t, sp in specs.items()]
+    wal = parts[0]
+    for p in parts[1:]:
+        wal = wal.unionByName(p)
+    resolved = gen_resolved_log(spark, next(iter(specs.values())))
+
+    def build(base, fast):
+        return MultiTableChangefeed(
+            spark, wal, resolved, None,
+            table_factory=lambda t: LakeTable(spark, f"{base}/{t}"),
+            config=ChangefeedConfig(changefeed_id="fb", n_buckets=4,
+                                    bootstrap_fast_path=fast),
+            tables=list(specs),
+        )
+
+    fast = build(f"{tmp_path}/fast", True)
+    s_fast = fast.run()
+    slow = build(f"{tmp_path}/slow", False)
+    slow.run()
+    for t in specs:
+        assert_df_equal(fast.read(t), slow.read(t), KEY)
+        mf = fast.feeds[t].target.manifest()
+        assert any(i["files"] for i in mf["buckets"].values())
+        assert not mf.get("deltas")
+        assert (fast.feeds[t].target.checkpoint["resolved_ts"]
+                == slow.feeds[t].target.checkpoint["resolved_ts"])
+        assert (set(fast.feeds[t].target.committed_batch_ids())
+                == set(slow.feeds[t].target.committed_batch_ids()))
+    assert s_fast["write_jobs"] == 1
+    assert not fast.journal.pending()
+    # replaying the whole feed is a no-op (recognition at bootstrap commit)
+    again = build(f"{tmp_path}/fast", True)
+    again.run()
+    for t in specs:
+        assert_df_equal(again.read(t), slow.read(t), KEY)

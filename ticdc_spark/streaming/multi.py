@@ -515,6 +515,14 @@ class MultiTableChangefeed:
         # reflects them (a lagging checkpoint would replay lifecycle
         # barriers short and mis-place the window loop's start)
         self._fold_journal()
+        # reap orphan fleet-bootstrap staging (a crash mid-bootstrap leaves
+        # the uncommitted span dir; committed tables are non-empty and the
+        # gate routes the rest through the normal path)
+        if self.feed_dir and os.path.isdir(self.feed_dir):
+            for d in os.listdir(self.feed_dir):
+                if d.startswith("_bootstrap_"):
+                    shutil.rmtree(os.path.join(self.feed_dir, d),
+                                  ignore_errors=True)
         # resume: rebuild live table set, targets, and missed column DDL
         start_ckpt = self.checkpoint()
         self._replay_lifecycle_below(start_ckpt)
@@ -740,6 +748,118 @@ class MultiTableChangefeed:
                 out["quarantined"] = 0
         return out
 
+    def _fleet_bootstrap(self, live: dict, applying: dict, ckpt0: dict,
+                         sliced, lo: int, uppers: list, span: bool,
+                         shared: bool, nb_all: set, probe, out: dict) -> bool:
+        """FLEET initial-load fast path — the multi-table twin of the
+        single-table bootstrap span (pipeline.py): when every applying
+        table's target is completely EMPTY, no journal window is pending,
+        and no table resumes mid-span, the span folds ONCE across windows
+        per (table, key), mounts only the survivors, and writes every
+        table's compacted BASE in one partitionBy(table, bucket) job —
+        per-window batch ids / syncpoints / lineage commit atomically per
+        table, the journal is bypassed for the span (its per-window O(1)
+        amortization exists for steady state; an initial load pays N
+        manifest commits ONCE). The normal path would journal every
+        window as deltas and write the data again at the first fold +
+        compaction. Excluded: shared fleet filesets (their per-bucket
+        mixed files have no per-table split yet) and mixed bucket counts
+        — those fleets take the normal path, correct either way."""
+        import uuid as _uuid
+
+        cfg = self.config
+        hi = uppers[-1]
+        if (not cfg.bootstrap_fast_path or not span or shared
+                or len(nb_all) != 1):
+            return False
+        if any(ckpt0[t] >= uppers[0] for t in applying.values()):
+            return False
+        if self.journal.pending():
+            return False  # unfolded windows: manifests understate state
+
+        def empty(t):
+            tg = live[t].target
+            if not tg.exists():
+                return False
+            m = tg.manifest()
+            return (not any(i["files"] for i in m["buckets"].values())
+                    and not m.get("deltas") and not m.get("truncate_ts", 0))
+
+        if not all(empty(t) for t in applying.values()):
+            return False
+        from ticdc_spark.functions.mount import mount, mounted_columns
+        from ticdc_spark.operators.sortdedup import lww_dedup
+
+        final = lww_dedup(
+            sliced.drop("_win", "_n_events", "_max_commit_ts"),
+            [self.table_col, *cfg.key],
+        ).filter(F.col("op_rank") != 1)
+        mounted = mount(final, probe.registry, as_of_ts=hi,
+                        defaults=cfg.defaults)
+        payload_cols = mounted_columns(probe.registry, hi)
+        nb = next(iter(nb_all))
+        src = mounted.select(
+            self.table_col, *cfg.key, *payload_cols,
+            F.col("commit_ts").alias("_commit_ts"),
+            F.col("start_ts").alias("_start_ts"),
+            F.col("op_rank").alias("_op_rank"),
+            (F.col("op") == "D").cast("int").alias("_deleted"),
+        ).withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(cfg.key[0])), F.lit(nb)).cast("int"),
+        )
+        staging = os.path.join(self.feed_dir, f"_bootstrap_{_uuid.uuid4().hex}")
+        (
+            src.repartition(len(applying) * nb, self.table_col,
+                            F.col("_bucket"))
+            .write.partitionBy(self.table_col, "_bucket").parquet(staging)
+        )
+        out["write_jobs"] = out.get("write_jobs", 0) + 1
+        stats = (
+            sliced.groupBy("_win", self.table_col, "partition_id")
+            .agg(F.sum("_n_events").alias("n"),
+                 F.max("_max_commit_ts").alias("mx"))
+            .collect()
+        )
+        by_key: dict = {}
+        for r in stats:
+            by_key.setdefault((int(r["_win"]), r[self.table_col]), []).append(r)
+        for name in sorted(applying):
+            t = applying[name]
+            feed = live[t]
+            sdir = os.path.join(staging, f"{self.table_col}={name}")
+            bucket_files: dict = {}
+            if os.path.isdir(sdir):
+                os.makedirs(feed.target.data_dir, exist_ok=True)
+                dest = os.path.join(feed.target.data_dir, _uuid.uuid4().hex)
+                os.rename(sdir, dest)
+                for d in sorted(os.listdir(dest)):
+                    if d.startswith("_bucket="):
+                        bdir = os.path.join(dest, d)
+                        bucket_files[d.split("=", 1)[1]] = sorted(
+                            os.path.join(bdir, x) for x in os.listdir(bdir)
+                            if x.endswith(".parquet")
+                        )
+            batches, prev = [], lo
+            for i, u in enumerate(uppers):
+                bid = f"{feed.config.changefeed_id}:{prev}:{u}"
+                rows = [
+                    {"batch_id": bid, "partition_id": int(r["partition_id"]),
+                     "resolved_ts": u, "event_count": int(r["n"]),
+                     "max_commit_ts": int(r["mx"])}
+                    for r in by_key.get((i, name), [])
+                ]
+                batches.append({"batch_id": bid, "resolved_ts": u,
+                                "lineage_rows": rows})
+                out["events"] += sum(r["event_count"] for r in rows)
+                out["merges"] += 1
+                prev = u
+            feed.target.bootstrap_base_group(batches, bucket_files)
+            self._state[t]["ckpt"] = hi
+        out["windows_merged"] += len(uppers)
+        shutil.rmtree(staging, ignore_errors=True)
+        return True
+
     def _apply_homogeneous(self, live: dict, names: dict, deduped, lo: int,
                            uppers: list, out: dict) -> bool:
         """HOMOGENEOUS-window fast path: when every live table shares the
@@ -801,6 +921,9 @@ class MultiTableChangefeed:
         # batches are recognized as replays at fold anyway)
         ckpt0 = {t: self._state[t]["ckpt"] for t in applying.values()}
         sliced = deduped.filter(F.col(self.table_col).isin(*applying))
+        if self._fleet_bootstrap(live, applying, ckpt0, sliced, lo, uppers,
+                                 span, shared, nb_all, probe, out):
+            return True
         mounted = mount(sliced, probe.registry, as_of_ts=hi, defaults=cfg.defaults)
         payload_cols = mounted_columns(probe.registry, hi)
         src = mounted.select(
