@@ -294,11 +294,13 @@ def test_chunk_documents_zero_shuffle_no_python(spark):
     assert "Generate" in plan  # the posexplode
 
 
-def test_semdedup_assignment_broadcasts_codebook(spark):
-    """SemDeDup's coarse quantizer must consume the codebook via a
-    BROADCAST join — the vector table is never shuffled for assignment
-    (the only exchanges are the per-vector window and the within-cluster
-    pairing, both keyed AFTER assignment)."""
+def test_semdedup_assignment_is_narrow_zero_shuffle(spark):
+    """SemDeDup's coarse quantizer (trained codebook) must be ONE narrow
+    pass over the vector table — the codebook is a task-local array, so
+    the plan has ZERO exchanges and no join of any kind: the vector table
+    is never shuffled (or even broadcast-joined) for assignment; the only
+    exchange in the operator is the within-cluster pairing, keyed AFTER
+    assignment."""
     from pyspark.sql import Row
 
     from ticdc_spark.functions.ivf_codebook import CENTROIDS
@@ -309,8 +311,8 @@ def test_semdedup_assignment_broadcasts_codebook(spark):
          for i in range(200)]
     )
     plan = _plan(ivf_assign(d, centroids=CENTROIDS))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") == 0
+    assert "Join" not in plan
 
 
 def test_consumer_decode_pure_column(spark):
@@ -403,10 +405,14 @@ def test_preference_pairs_adjacency_is_keyed_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
-def test_pq_encode_zero_shuffle_no_python(spark):
-    """PQ encoding must be a narrow map: the codebook is inlined as
-    literals, so the plan has ZERO exchanges, no join, and no Python —
-    at 100 TB re-encoding the corpus is one pass inside the scan stage."""
+def test_pq_encode_zero_shuffle(spark):
+    """PQ encoding must be a narrow map: the codebook is a task-local
+    array inside one Arrow-batched numpy pass (guide §4.2 — the JVM
+    higher-order-fold form evaluated ksub*m interpreted lambdas per
+    vector and was the dominant cost of the PQ family), so the plan has
+    ZERO exchanges and no join — at 100 TB re-encoding the corpus is one
+    pass inside the scan stage. Only the columns the kernel needs cross
+    the Python boundary."""
     from pyspark.sql import Row
 
     from ticdc_spark.functions.pq_codebook import PQ_CODEBOOK
@@ -419,7 +425,7 @@ def test_pq_encode_zero_shuffle_no_python(spark):
     plan = _plan(pq_encode(d, PQ_CODEBOOK))
     assert plan.count("Exchange") == 0
     assert "Join" not in plan
-    assert "EvalPython" not in plan
+    assert "MapInPandas" in plan
 
 
 def test_context_fit_single_window_exchange(spark):
@@ -468,17 +474,16 @@ def test_ivfpq_corpus_never_shuffled_before_topk(spark):
     )
     plan = _plan(ivfpq_topk(d, n_queries=4, k=3, n_probe=2,
                             centroids=CENTROIDS, codebook=PQ_CODEBOOK))
-    assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # broadcast probe join, not a shuffled one
-    assert "BroadcastHashJoin" in plan
-    # hash exchanges: the probe side's tiny per-query windows may shuffle,
-    # but corpus-derived rows reach the final rank window through exactly
-    # one query_id exchange — no exchange may partition on the corpus row
-    # identity (neighbor/vec id)
-    import re
+    # the corpus side is one narrow numpy pass — no join at all: both
+    # codebooks and the probe sets are task-local arrays
+    assert "Join" not in plan
+    # corpus-derived rows reach the final rank window through exactly one
+    # query_id exchange — no exchange may partition on the corpus row
+    # identity (neighbor/vec id), and one exchange total
     hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert not any("neighbor_id" in l or "vec_id" in l for l in hash_ex)
+    assert plan.count("Exchange") == 1
 
 
 def test_tfidf_topk_zero_shuffle_scoring_take_ordered(spark):

@@ -5,14 +5,26 @@ as the scale path (prune candidate pairs before the exact re-rank — at
 100 TB the bucketed join replaces the O(n²) cross join; the exact pass
 only runs within buckets).
 
-All arithmetic is native Column expressions (zip_with / aggregate run in
-codegen'd JVM) — no Python in the hot path.
+Hot-path arithmetic (round 6): the pairwise/encode kernels hand whole
+Arrow batches to numpy/BLAS inside mapInPandas/applyInPandas
+(optimization guide §4.2 — JVM higher-order-function folds evaluate
+lambda closures per array element and were the dominant cost), with the
+borderline-rounding guard in :mod:`ticdc_spark.functions.veclib` keeping
+every rounded value bit-identical to the declared oracles. The plan
+shapes that matter at 100 TB are unchanged: encode/assign are narrow
+zero-shuffle maps over the scan, pairing shuffles once on the
+bucket/cluster key, and the corpus vectors are never joined or shuffled
+for scoring.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ticdc_spark.functions import veclib
 
 
 def _dot(a, b):
@@ -42,23 +54,47 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _np_rows(series: pd.Series) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list column batch. float32 ->
+    float64 widening is exact, so downstream arithmetic matches the JVM
+    plans' cast('array<double>')."""
+    return np.array(series.tolist(), dtype=np.float64)
+
+
 def cosine_topk(embs: DataFrame, n_queries: int = 8, k: int = 3,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Brute-force exact top-k neighbors for the first `n_queries` vectors.
-    Broadcast the (tiny) query side so the candidate scan never shuffles."""
+    The query side is k-scale (collected like a codebook); scoring is ONE
+    narrow numpy pass over the corpus (batch GEMM against the query block,
+    guide §4.2) — the corpus is never shuffled; the only exchange is the
+    tiny per-query rank window."""
     from pyspark.sql import Window as W
 
-    q = embs.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    qrows = (
+        embs.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
     )
-    c = embs.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            _r4(cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>"))).alias("cos_sim"),
-        )
+    qids = np.array([int(r["qid"]) for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r["qv"]] for r in qrows], dtype=np.float64)
+
+    def score(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b[vec_col])
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            C = veclib.cos_rounded(X, Q)
+            n, nq = C.shape
+            out = pd.DataFrame({
+                "query_id": np.tile(qids, n),
+                "neighbor_id": np.repeat(ids, nq),
+                "cos_sim": C.ravel(),
+            })
+            yield out[out["query_id"] != out["neighbor_id"]]
+
+    scored = embs.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
@@ -127,11 +163,22 @@ def sign_lsh_bucket(embs: DataFrame, n_bits: int = 8,
 def rp_lsh_bucket(embs: DataFrame, n_bits: int = 8, dim: int = 64,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane sign-LSH: bucket = sign pattern of n_bits seeded
-    Gaussian projections (SimHash for embeddings, Charikar 2002)."""
-    return embs.select(
-        F.col(id_col).alias("vec_id"),
-        _rp_bucket_col(vec_col, rp_planes(n_bits, dim)).alias("bucket"),
-    )
+    Gaussian projections (SimHash for embeddings, Charikar 2002). One
+    narrow numpy pass (X @ planes.T per Arrow batch, sign-guarded at zero
+    — veclib.rp_project_signs), zero shuffle."""
+    planes = np.array(rp_planes(n_bits, dim), dtype=np.float64)
+
+    def f(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b[vec_col])
+            yield pd.DataFrame({
+                "vec_id": b[id_col].to_numpy(dtype=np.int64),
+                "bucket": veclib.rp_bucket(X, planes),
+            })
+
+    return embs.select(id_col, vec_col).mapInPandas(f, "vec_id long, bucket long")
 
 
 def _centroid_df(embs: DataFrame, centroid_ids, centroids, id_col, vec_col) -> DataFrame:
@@ -214,21 +261,45 @@ def kmeans_distortion(embs: DataFrame, centroids: list,
     return float(best.agg(F.avg(F.lit(1.0) - F.col("b"))).collect()[0][0])
 
 
+def _ivf_assign_np(embs: DataFrame, centroids: list,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """Trained-codebook coarse assignment as ONE narrow numpy pass: argmax
+    r4-rounded cosine with lowest-centroid-id tie-break (identical ranking
+    to the window form — veclib.argmax_cos_rounded). Zero shuffle, no
+    join: strictly stronger than the prior broadcast-join + per-vector
+    window shape (which shuffled one row per vector for the window)."""
+    C = np.array(centroids, dtype=np.float64)
+
+    def f(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b[vec_col])
+            yield pd.DataFrame({
+                "vec_id": b[id_col].to_numpy(dtype=np.int64),
+                "centroid_id": veclib.argmax_cos_rounded(X, C).astype(np.int32),
+            })
+
+    return embs.select(id_col, vec_col).mapInPandas(
+        f, "vec_id long, centroid_id int"
+    )
+
+
 def ivf_assign(embs: DataFrame, centroid_ids: tuple = tuple(range(100, 108)),
                id_col: str = "vec_id", vec_col: str = "embedding",
                centroids: list | None = None) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its best centroid.
     ``centroids`` takes a TRAINED codebook (:func:`train_ivf_kmeans`
-    literals); without it, deterministic data-derived stand-ins (the
-    vectors with ``centroid_ids``). Ranking is by cosine rounded to 4
-    decimals with centroid-id tie-break so external oracles reproduce it
-    exactly.
-
-    Plan shape: ONE pass over the table against a broadcast k-row centroid
-    set — no shuffle of the vectors; scales to any table size."""
+    literals) and runs as a narrow numpy pass (zero shuffle, no join);
+    without it, deterministic data-derived stand-ins (the vectors with
+    ``centroid_ids``) via the broadcast-join + window form. Ranking is by
+    cosine rounded to 4 decimals with centroid-id tie-break so external
+    oracles reproduce it exactly."""
     from pyspark.sql import Window as W
 
-    cents = _centroid_df(embs, centroid_ids, centroids, id_col, vec_col)
+    if centroids is not None:
+        return _ivf_assign_np(embs, centroids, id_col, vec_col)
+    cents = _centroid_df(embs, centroid_ids, None, id_col, vec_col)
     scored = embs.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")).join(
         F.broadcast(cents)
     ).select(
@@ -241,6 +312,24 @@ def ivf_assign(embs: DataFrame, centroid_ids: tuple = tuple(range(100, 108)),
     )
 
 
+def _probe_sets(qrows: list, centroids: list, n_probe: int) -> dict:
+    """Per-query probed centroid ids, ranked EXACTLY as the window form:
+    r4-rounded cosine desc, centroid id asc. Computed with the sequential
+    fold directly (k-scale work on the driver), so no guard is needed —
+    the values are the same IEEE composition the JVM plan evaluates."""
+    out = {}
+    for r in qrows:
+        q = [float(x) for x in r["qv"]]
+        ranked = sorted(
+            (
+                (-veclib.r4_floor(veclib.cos_seq(q, [float(x) for x in c])), cid)
+                for cid, c in enumerate(centroids)
+            ),
+        )
+        out[int(r["qid"])] = [cid for _, cid in ranked[:n_probe]]
+    return out
+
+
 def ivf_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2,
              centroid_ids: tuple = tuple(range(100, 108)),
              id_col: str = "vec_id", vec_col: str = "embedding",
@@ -249,11 +338,67 @@ def ivf_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2,
     query, exact cosine re-rank only within the probed lists — the inverted-
     file trade (scan O(probed lists), not O(table)). Candidates outside the
     probed lists are missed by design; that is the recall/latency dial.
-    ``centroids`` = trained codebook literals (:func:`train_ivf_kmeans`)."""
+    ``centroids`` = trained codebook literals (:func:`train_ivf_kmeans`),
+    run as ONE narrow numpy pass (assign + probe-mask + rounded cosine per
+    batch); the only exchange of corpus-derived rows is the tiny per-query
+    rank window."""
     from pyspark.sql import Window as W
 
-    assign = ivf_assign(embs, centroid_ids, id_col, vec_col, centroids=centroids)
-    cents = _centroid_df(embs, centroid_ids, centroids, id_col, vec_col)
+    if centroids is None:
+        return _ivf_topk_join(embs, n_queries, k, n_probe, centroid_ids,
+                              id_col, vec_col)
+    C = np.array(centroids, dtype=np.float64)
+    qrows = (
+        embs.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
+    )
+    probes = _probe_sets(qrows, centroids, n_probe)
+    qids = np.array(sorted(probes), dtype=np.int64)
+    Q = np.array(
+        [[float(x) for x in r["qv"]] for r in sorted(qrows, key=lambda r: int(r["qid"]))],
+        dtype=np.float64,
+    )
+    probe_masks = {int(q): np.array(probes[int(q)], dtype=np.int64) for q in qids}
+
+    def score(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b[vec_col])
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            assign = veclib.argmax_cos_rounded(X, C)
+            outs = []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(assign, probe_masks[int(qid)]) & (ids != qid)
+                if not mask.any():
+                    continue
+                cs = veclib.cos_rounded(X[mask], Q[qi:qi + 1])[:, 0]
+                outs.append(pd.DataFrame({
+                    "query_id": np.full(mask.sum(), qid, dtype=np.int64),
+                    "neighbor_id": ids[mask],
+                    "cos_sim": cs,
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand = embs.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    wr = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return cand.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
+        F.col("rank") <= k
+    ).select("query_id", "neighbor_id", "rank", "cos_sim")
+
+
+def _ivf_topk_join(embs: DataFrame, n_queries: int, k: int, n_probe: int,
+                   centroid_ids: tuple, id_col: str, vec_col: str) -> DataFrame:
+    """Data-derived-centroid variant (no trained codebook): the original
+    broadcast-join + window composition."""
+    from pyspark.sql import Window as W
+
+    assign = ivf_assign(embs, centroid_ids, id_col, vec_col)
+    cents = _centroid_df(embs, centroid_ids, None, id_col, vec_col)
     q = embs.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
@@ -281,6 +426,39 @@ def ivf_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2,
     ).select("query_id", "neighbor_id", "rank", "cos_sim")
 
 
+def _pair_fn(min_sim: float, max_group: int | None, key_col: str):
+    """Within-group pairing kernel: sort by vec_id, one symmetric GEMM of
+    the group's vectors (veclib.cos_rounded_sym — guarded rounding), emit
+    the upper-triangle pairs at/above ``min_sim``. Groups over
+    ``max_group`` are dropped before pairing (same cap semantics as the
+    window-count form: an over-full bucket carries no dup signal)."""
+    empty = pd.DataFrame({
+        "vec_id_a": pd.Series([], dtype="int64"),
+        "vec_id_b": pd.Series([], dtype="int64"),
+        "cos_sim": pd.Series([], dtype="float64"),
+    })
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2 or (max_group is not None and n > max_group):
+            return empty
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        V = np.array(pdf["v"].tolist(), dtype=np.float64)
+        Cm = veclib.cos_rounded_sym(V)
+        ia, ib = np.triu_indices(n, k=1)
+        sims = Cm[ia, ib]
+        keep = sims >= min_sim
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "vec_id_a": ids[ia[keep]],
+            "vec_id_b": ids[ib[keep]],
+            "cos_sim": sims[keep],
+        })
+
+    _ = key_col
+    return pairs
+
+
 def lsh_neardup_pairs(embs: DataFrame, n_bits: int = 8, min_cos: float = 0.1,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       planes: list | None = None,
@@ -289,11 +467,35 @@ def lsh_neardup_pairs(embs: DataFrame, n_bits: int = 8, min_cos: float = 0.1,
     (bucket-join candidate generation + exact verify).
 
     ``planes`` switches to random-projection buckets (pass
-    :func:`rp_planes` output). ``max_bucket`` drops buckets larger than the
-    cap before the self-join — a degenerate bucket (all-zero or boilerplate
-    embeddings) otherwise goes O(b²); an over-full bucket carries no
-    near-dup signal. Any oracle must apply the same cap."""
-    bucket = _rp_bucket_col(vec_col, planes) if planes else _bucket_col(vec_col, n_bits)
+    :func:`rp_planes` output) and runs the pairing as ONE exchange on the
+    bucket key + a per-bucket numpy GEMM (guide §4.2) — the prior form
+    paid a window-count exchange plus a self-join that re-evaluated the
+    projection subplan twice. ``max_bucket`` drops buckets larger than
+    the cap before the self-pairing — a degenerate bucket (all-zero or
+    boilerplate embeddings) otherwise goes O(b²); an over-full bucket
+    carries no near-dup signal. Any oracle must apply the same cap."""
+    if planes is not None:
+        P = np.array(planes, dtype=np.float64)
+
+        def withb(batches):
+            for b in batches:
+                if not len(b):
+                    continue
+                X = _np_rows(b[vec_col])
+                yield pd.DataFrame({
+                    "vec_id": b[id_col].to_numpy(dtype=np.int64),
+                    "bucket": veclib.rp_bucket(X, P),
+                    "v": b[vec_col],
+                })
+
+        bucketed = embs.select(id_col, vec_col).mapInPandas(
+            withb, "vec_id long, bucket long, v array<double>"
+        )
+        return bucketed.groupBy("bucket").applyInPandas(
+            _pair_fn(min_cos, max_bucket, "bucket"),
+            "vec_id_a long, vec_id_b long, cos_sim double",
+        )
+    bucket = _bucket_col(vec_col, n_bits)
     withb = embs.select(
         F.col(id_col).alias("vec_id"),
         bucket.alias("bucket"),
@@ -331,29 +533,72 @@ def semdedup(embs: DataFrame, tau: float = 0.35,
     canonical representative (the connected component's min vec_id), and
     every vector is labeled keep/drop.
 
-    Scale shape: the cluster assignment is one broadcast pass (the IVF
-    codebook, no table shuffle); within-cluster pairing shuffles once on
-    centroid_id and costs O((n/k)^2) per cluster — the paper's own trade,
-    dialed by training k proportional to corpus size (50k clusters for
-    LAION-scale); ``max_cluster`` additionally drops over-full clusters
-    from pairing (they carry no dup signal, same cap rationale as LSH
-    buckets). Components resolve with the same Pregel-lite min-label loop
-    as the text near-dup path."""
+    Scale shape: the cluster assignment is ONE narrow numpy pass (zero
+    shuffle, no join — the codebook is a task-local array); the
+    within-cluster pairing is ONE exchange on centroid_id feeding a
+    per-cluster numpy GEMM (guide §4.2 — the prior per-pair
+    higher-order-function fold was >20x slower at O((n/k)^2) pair
+    counts), which is the paper's own trade, dialed by training k
+    proportional to corpus size (50k clusters for LAION-scale);
+    ``max_cluster`` additionally drops over-full clusters from pairing
+    (they carry no dup signal, same cap rationale as LSH buckets).
+    Components resolve with the same Pregel-lite min-label loop as the
+    text near-dup path."""
+    from ticdc_spark.functions.textops import neardup_clusters
+
+    if centroids is None:
+        return _semdedup_join(embs, tau, centroid_ids, id_col, vec_col,
+                              max_cluster)
+    C = np.array(centroids, dtype=np.float64)
+
+    def enc_fn(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b[vec_col])
+            yield pd.DataFrame({
+                "vec_id": b[id_col].to_numpy(dtype=np.int64),
+                "centroid_id": veclib.argmax_cos_rounded(X, C).astype(np.int32),
+                "v": b[vec_col],
+            })
+
+    # the assignment feeds BOTH the pairing and the final label join;
+    # checkpoint it once so neither consumer recomputes the scan (the
+    # operator is action-bearing already — the component loop runs jobs)
+    enc = embs.select(id_col, vec_col).mapInPandas(
+        enc_fn, "vec_id long, centroid_id int, v array<double>"
+    ).localCheckpoint(eager=True)
+    pairs = enc.groupBy("centroid_id").applyInPandas(
+        _pair_fn(tau, max_cluster, "centroid_id"),
+        "vec_id_a long, vec_id_b long, cos_sim double",
+    )
+    comp = neardup_clusters(pairs, a_col="vec_id_a", b_col="vec_id_b")
+    assign = enc.select("vec_id", "centroid_id")
+    return assign.join(
+        comp.select(F.col("doc_id").alias("vec_id"),
+                    F.col("cluster").alias("_canon")),
+        "vec_id", "left",
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.coalesce(F.col("_canon"), F.col("vec_id"))
+        .cast("long").alias("canonical_id"),
+        (F.coalesce(F.col("_canon"), F.col("vec_id")) == F.col("vec_id"))
+        .alias("is_kept"),
+    )
+
+
+def _semdedup_join(embs: DataFrame, tau: float, centroid_ids: tuple,
+                   id_col: str, vec_col: str,
+                   max_cluster: int | None) -> DataFrame:
+    """Data-derived-centroid variant: the original self-join composition
+    with per-vector precomputed norms."""
     from pyspark.sql import Window as W
 
     from ticdc_spark.functions.textops import neardup_clusters
 
-    # the assignment feeds BOTH the pairing self-join and the final label
-    # join; checkpoint it once so neither consumer recomputes the
-    # broadcast-scan + window lineage (the operator is action-bearing
-    # already — the component loop runs jobs internally)
     assign = ivf_assign(embs, centroid_ids, id_col, vec_col,
-                        centroids=centroids).localCheckpoint(eager=True)
-    # cast + L2 norm ONCE per vector before the self-join: the pairing
-    # evaluates O((n/k)^2) cosines, and cosine(a,b) = dot/(na*nb) — with
-    # per-vector norms precomputed the per-pair work is the dot product
-    # alone (float-identical result: same operations in the same order,
-    # so the rounded cos_sim the oracle checks is bit-equal)
+                        centroids=None).localCheckpoint(eager=True)
     withc = assign.join(
         embs.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("v")),
@@ -476,9 +721,9 @@ def train_pq_kmeans(embs: DataFrame, m: int = 8, ksub: int = 16, iters: int = 3,
 def _pq_code_expr(v, codebook: list, dim: int):
     """The M-code of a vector as a narrow Column expression: per subspace,
     one transform (distances to the ksub literal centroids) + one zip_with
-    (attach ids) + array_min (argmin with id tie-break) — not ksub inlined
-    aggregates, keeping the codegen'd tree small. ``v`` must already be
-    array<double>."""
+    (attach ids) + array_min (argmin with id tie-break). Kept as the JVM
+    twin of veclib.pq_codes for tests/oracle documentation; the hot path
+    encodes in numpy. ``v`` must already be array<double>."""
     m, ksub = len(codebook), len(codebook[0])
     d_sub = dim // m
     code = []
@@ -500,16 +745,26 @@ def _pq_code_expr(v, codebook: list, dim: int):
 def pq_encode(embs: DataFrame, codebook: list, dim: int = 64,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """PQ encode: per subspace, the argmin-L2 centroid id — D floats
-    become M small ints. ZERO shuffle and no join: the codebook is inlined
-    as literal expressions, so encoding is a narrow map that runs entirely
-    inside the scan stage (at 100 TB this is the property that matters —
-    re-encoding a corpus is a single pass). Argmin ranks on the distance
-    rounded to 6 decimals with centroid-id tie-break, so an external
-    engine reproduces every code exactly."""
-    v = F.col(vec_col).cast("array<double>")
-    return embs.select(
-        F.col(id_col).alias("vec_id"),
-        _pq_code_expr(v, codebook, dim).alias("code"),
+    become M small ints. ZERO shuffle and no join: one narrow numpy pass
+    (veclib.pq_codes — batched subspace distances with the guarded r6
+    rounding and the same lowest-cid tie-break), so encoding runs
+    entirely inside the scan stage (at 100 TB this is the property that
+    matters — re-encoding a corpus is a single pass)."""
+    CB = np.array(codebook, dtype=np.float64)
+
+    def f(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b[vec_col])
+            codes = veclib.pq_codes(X, CB)
+            yield pd.DataFrame({
+                "vec_id": b[id_col].to_numpy(dtype=np.int64),
+                "code": list(codes),
+            })
+
+    return embs.select(id_col, vec_col).mapInPandas(
+        f, "vec_id long, code array<int>"
     )
 
 
@@ -519,36 +774,49 @@ def pq_topk(embs: DataFrame, n_queries: int = 8, k: int = 3,
     """PQ approximate top-k by asymmetric distance (ADC): queries keep
     their exact vectors; every corpus vector is represented ONLY by its
     M-code, and the approximate distance is the sum of per-subspace exact
-    query->centroid distances. The corpus vectors are never re-read for
-    scoring — the scan side is the compressed code table joined against
-    the broadcast query set (the cosine_topk shape, but over codes)."""
+    query->centroid distances. One narrow numpy pass encodes each batch
+    and scores it against the per-query ADC tables (exact r6 terms,
+    fold-ordered sum — veclib.adc_rounded); the corpus vectors are never
+    re-read or shuffled for scoring, and the only exchange is the tiny
+    per-query rank window."""
     from pyspark.sql import Window as W
 
-    m, ksub = len(codebook), len(codebook[0])
-    d_sub = dim // m
-    codes = pq_encode(embs, codebook, dim=dim, id_col=id_col, vec_col=vec_col)
-    q = embs.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    CB = np.array(codebook, dtype=np.float64)
+    qrows = (
+        embs.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
     )
-    cand = codes.withColumnRenamed("vec_id", "neighbor_id").join(
-        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    )
-    terms = [
-        _r6(_l2sq(
-            _sub_slice(F.col("qv"), s, d_sub),
-            F.element_at(
-                F.array(*[
-                    F.array(*[F.lit(float(x)) for x in codebook[s][j]])
-                    for j in range(ksub)
-                ]),
-                F.col("code")[s] + 1,
-            ),
-        ))
-        for s in range(m)
-    ]
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        _r4(sum(terms[1:], terms[0])).alias("adist"),
+    qids = sorted(int(r["qid"]) for r in qrows)
+    tables = {
+        int(r["qid"]): veclib.pq_query_tables(
+            np.array([float(x) for x in r["qv"]], dtype=np.float64), CB)
+        for r in qrows
+    }
+
+    def score(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b[vec_col])
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            codes = veclib.pq_codes(X, CB)
+            outs = []
+            for qid in qids:
+                mask = ids != qid
+                if not mask.any():
+                    continue
+                ad = veclib.adc_rounded(codes[mask], tables[qid])
+                outs.append(pd.DataFrame({
+                    "query_id": np.full(int(mask.sum()), qid, dtype=np.int64),
+                    "neighbor_id": ids[mask],
+                    "adist": ad,
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = embs.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, adist double"
     )
     w = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
@@ -579,13 +847,13 @@ def ivfpq_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2
                dim: int = 64, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
     """IVF-PQ: the production composition (the FAISS IVFPQ shape) —
-    coarse-quantize AND PQ-encode every vector in ONE narrow pass (both
-    codebooks inlined as literals: zero shuffle, no join on the corpus
-    side), broadcast the probed (query, centroid) set, score candidates
-    by asymmetric distance over the codes alone, and rank per query.
-    The ONLY exchange over corpus-derived rows is the final per-query
-    top-k window, whose input is already probe-pruned; the corpus
-    vectors are read exactly once and never shuffled.
+    coarse-quantize AND PQ-encode every vector in ONE narrow numpy pass
+    (both codebooks are task-local arrays: zero shuffle, no join on the
+    corpus side), mask candidates by the per-query probe sets, score by
+    asymmetric distance over the codes alone, and rank per query. The
+    ONLY exchange over corpus-derived rows is the final per-query top-k
+    window, whose input is already probe-pruned; the corpus vectors are
+    read exactly once and never shuffled.
 
     Codes quantize the RAW vectors (the by_residual=false variant):
     full-probe IVFPQ is then bit-identical to plain PQ/ADC (the tested
@@ -593,45 +861,46 @@ def ivfpq_topk(embs: DataFrame, n_queries: int = 8, k: int = 3, n_probe: int = 2
     and trades that equivalence for recall."""
     from pyspark.sql import Window as W
 
-    m, ksub = len(codebook), len(codebook[0])
-    d_sub = dim // m
-    v = F.col(vec_col).cast("array<double>")
-    enc = embs.select(
-        F.col(id_col).alias("neighbor_id"),
-        ivf_assign_inline(v, centroids).alias("centroid_id"),
-        _pq_code_expr(v, codebook, dim).alias("code"),
+    C = np.array(centroids, dtype=np.float64)
+    CB = np.array(codebook, dtype=np.float64)
+    qrows = (
+        embs.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .collect()
     )
-    cents = _centroid_df(embs, None, centroids, id_col, vec_col)
-    q = embs.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    qs = q.join(F.broadcast(cents)).select(
-        "query_id", "qv", "centroid_id",
-        _r4(cosine(F.col("qv"), F.col("cv").cast("array<double>"))).alias("c"),
-    )
-    wq = W.partitionBy("query_id").orderBy(F.col("c").desc(), F.col("centroid_id"))
-    probes = qs.withColumn("rn", F.row_number().over(wq)).filter(
-        F.col("rn") <= n_probe
-    ).select("query_id", "qv", "centroid_id")
-    cand = enc.join(F.broadcast(probes), "centroid_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    terms = [
-        _r6(_l2sq(
-            _sub_slice(F.col("qv"), s, d_sub),
-            F.element_at(
-                F.array(*[
-                    F.array(*[F.lit(float(x)) for x in codebook[s][j]])
-                    for j in range(ksub)
-                ]),
-                F.col("code")[s] + 1,
-            ),
-        ))
-        for s in range(m)
-    ]
-    scored = cand.select(
-        "query_id", "neighbor_id",
-        _r4(sum(terms[1:], terms[0])).alias("adist"),
+    probes = _probe_sets(qrows, centroids, n_probe)
+    qids = sorted(probes)
+    tables = {
+        int(r["qid"]): veclib.pq_query_tables(
+            np.array([float(x) for x in r["qv"]], dtype=np.float64), CB)
+        for r in qrows
+    }
+    probe_arr = {q: np.array(probes[q], dtype=np.int64) for q in qids}
+
+    def score(batches):
+        for b in batches:
+            if not len(b):
+                continue
+            X = _np_rows(b[vec_col])
+            ids = b[id_col].to_numpy(dtype=np.int64)
+            assign = veclib.argmax_cos_rounded(X, C)
+            codes = veclib.pq_codes(X, CB)
+            outs = []
+            for qid in qids:
+                mask = np.isin(assign, probe_arr[qid]) & (ids != qid)
+                if not mask.any():
+                    continue
+                ad = veclib.adc_rounded(codes[mask], tables[qid])
+                outs.append(pd.DataFrame({
+                    "query_id": np.full(int(mask.sum()), qid, dtype=np.int64),
+                    "neighbor_id": ids[mask],
+                    "adist": ad,
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = embs.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, adist double"
     )
     wr = W.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(wr).cast("long")).filter(
