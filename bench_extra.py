@@ -83,32 +83,35 @@ def cmd_replay(argv):
         phases["gen_wal_untimed"] = round(time.time() - t0, 3)
         binlog = spark.read.parquet(wal)
 
-        # phase A: scan + prepare (filters/splits/op-rank), noop
-        from ticdc_spark.operators.sortdedup import lww_dedup, with_op_rank
+        from pyspark.sql import functions as F
 
-        spark.sparkContext.setJobDescription("bx:replay-scan-prepare")
-        t0 = time.time()
-        _noop(with_op_rank(binlog).drop("pre_payload", "op"))
-        phases["scan_prepare_noop"] = round(time.time() - t0, 3)
-
-        # phase B: + LWW dedup, noop
-        spark.sparkContext.setJobDescription("bx:replay-dedup")
-        t0 = time.time()
-        _noop(lww_dedup(with_op_rank(binlog).drop("pre_payload", "op"),
-                        stats=True))
-        phases["dedup_noop"] = round(time.time() - t0, 3)
-
-        # phase C: + mount, noop
         from ticdc_spark.functions.mount import mount
+        from ticdc_spark.operators.sortdedup import lww_dedup, with_op_rank
         from ticdc_spark.plans.schema_registry import SchemaRegistry
 
-        spark.sparkContext.setJobDescription("bx:replay-mount")
         reg = SchemaRegistry()
-        t0 = time.time()
-        _noop(mount(lww_dedup(with_op_rank(binlog).drop("pre_payload", "op"),
-                              stats=True),
-                    reg, spec.max_commit_ts))
-        phases["dedup_mount_noop"] = round(time.time() - t0, 3)
+
+        def _phase(name, df, repeats=2):
+            times = []
+            for _ in range(repeats):
+                spark.sparkContext.setJobDescription(f"bx:replay-{name}")
+                t0 = time.time()
+                _noop(df)
+                times.append(round(time.time() - t0, 3))
+            phases[name] = times
+
+        prepared = with_op_rank(binlog).drop("pre_payload", "op")
+        # A: scan + prepare (filters/splits/op-rank) — the zero-shuffle floor
+        _phase("scan_prepare_noop", prepared)
+        # B: pure payload shuffle, no aggregate — isolates exchange bytes
+        _phase("shuffle_only_noop",
+               prepared.repartition(int(spark.conf.get(
+                   "spark.sql.shuffle.partitions")), "conv_id", "turn_idx"))
+        # C: + LWW dedup (the one exchange + sort-agg of the engine)
+        _phase("dedup_noop", lww_dedup(prepared, stats=True))
+        # D: + mount
+        _phase("dedup_mount_noop",
+               mount(lww_dedup(prepared, stats=True), reg, spec.max_commit_ts))
 
         # phase D: the full engine run (real sink)
         spark.sparkContext.setJobDescription("bx:replay-full")
@@ -128,6 +131,20 @@ def cmd_replay(argv):
     phases["loadavg"] = round(os.getloadavg()[0], 2)
     print(json.dumps({"n_events": n_events, "sink_mode": sink_mode,
                       "phases": phases}))
+
+
+def cmd_multi(argv):
+    """Fleet replay at driver-bench shape (bench.py:104) with parametrized
+    table count / events per table, reporting wall time and write jobs."""
+    n_tables = int(argv[0]) if argv else 8
+    events_per_table = int(argv[1]) if len(argv) > 1 else 2_500_000
+    spark = _spark()
+    from bench import bench_multi_table_replay
+
+    la0 = os.getloadavg()[0]
+    r = bench_multi_table_replay(spark, n_tables, events_per_table)
+    r["loadavg"] = [round(la0, 2), round(os.getloadavg()[0], 2)]
+    print(json.dumps(r))
 
 
 def cmd_explain(argv):
@@ -150,5 +167,5 @@ def cmd_explain(argv):
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "queries"
-    {"queries": cmd_queries, "replay": cmd_replay,
+    {"queries": cmd_queries, "replay": cmd_replay, "multi": cmd_multi,
      "explain": cmd_explain}[cmd](sys.argv[2:])

@@ -518,15 +518,17 @@ def test_corpus_rollup_single_expand_single_aggregate(spark):
 
 
 def test_turn_dedup_boilerplate_joins_broadcast(spark):
-    """Both removal joins must BROADCAST the (tiny) boilerplate set — the
-    transcript corpus itself is never shuffled for the join; the only
-    wide exchanges are the keyed aggregates."""
+    """The removal join must BROADCAST the (tiny) boilerplate set — the
+    transcript corpus itself is never shuffled for the join — and there
+    is exactly ONE such join: kept/dropped counts and the reassembled
+    document all fold out of one conditional aggregate over it, so the
+    corpus-derivation subtree is not duplicated per output column."""
     from ticdc_spark.functions.transcripts import turn_dedup
     from ticdc_spark.queries import transcripts_from_events
 
     tr = transcripts_from_events(spark, "/root/testdata/sf0.001")
     plan = _plan(turn_dedup(tr))
-    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("BroadcastHashJoin") == 1
     assert "SortMergeJoin" not in plan
 
 

@@ -169,12 +169,23 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def minhash_bands(docs: DataFrame, text_col: str = "text", n_bands: int = N_BANDS) -> DataFrame:
     """Banded minhash signature: band b's hash function = md5(b || shingle);
-    signature = min per band. (doc_id, band, minhash)."""
+    signature = min per band. (doc_id, band, minhash).
+
+    Computed as ONE aggregate over the shingle rows — n_bands ``min(md5(b
+    || h))`` expressions per doc, unpivoted with ``stack`` afterwards —
+    instead of exploding every shingle row n_bands ways before the
+    aggregate: min(string) falls back to sort-based aggregation, so the
+    explode form sorted n_bands x the shingle volume; this form sorts it
+    once (and shuffles one row per doc instead of one per (doc, band))."""
     sh = shingles(docs, text_col)
-    banded = sh.select(
-        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"), "h"
-    ).select("doc_id", "band", F.md5(F.concat(F.col("band").cast("string"), F.col("h"))).alias("bh"))
-    return banded.groupBy("doc_id", "band").agg(F.min("bh").alias("minhash"))
+    per_doc = sh.groupBy("doc_id").agg(*[
+        F.min(F.md5(F.concat(F.lit(str(b)), F.col("h")))).alias(f"_m{b}")
+        for b in range(n_bands)
+    ])
+    stack_args = ", ".join(f"{b}, _m{b}" for b in range(n_bands))
+    return per_doc.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_args}) AS (band, minhash)"
+    )
 
 
 def neardup_pairs(
@@ -189,19 +200,31 @@ def neardup_pairs(
     self-join. Buckets above the cap are dropped entirely — standard LSH
     practice (an over-full bucket carries no dedup signal; its members are
     near-duplicates of *boilerplate*, not of each other specifically).
-    The same rule must be applied in any oracle comparing results."""
+    The same rule must be applied in any oracle comparing results.
+
+    Executed bucket-at-a-time rather than as a self-join: each (band,
+    minhash) bucket gathers its (distinct, by construction) doc_ids into
+    a sorted array and emits the i<j combinations with a JVM
+    higher-order transform — the self-join form recomputed the whole
+    shingle+minhash subtree four times (a side, b side, and the size
+    gate's aggregate on each) with a sort-based min(string) aggregate in
+    every copy. Pair rows, order semantics (`<` on doc_id) and the
+    bucket-cap rule are identical; buckets are bounded by ``max_bucket``
+    so the per-row combination arrays stay tiny."""
     mh = minhash_bands(docs, text_col)
+    buckets = mh.groupBy("band", "minhash").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("_ids")
+    )
     if max_bucket is not None:
-        sizes = mh.groupBy("band", "minhash").agg(F.count(F.lit(1)).alias("_bsz"))
-        mh = mh.join(sizes.filter(F.col("_bsz") <= max_bucket), ["band", "minhash"]).drop("_bsz")
-    a = mh.alias("a")
-    b = mh.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.minhash") == F.col("b.minhash"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        buckets = buckets.filter(F.size("_ids") <= max_bucket)
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ids, (x, i) -> "
+                "transform(slice(_ids, i + 2, size(_ids)), y -> struct(x, y))))"
+            )
+        ).alias("_p")
+    ).select(F.col("_p.x").alias("doc_id_a"), F.col("_p.y").alias("doc_id_b"))
     return (
         pairs.groupBy("doc_id_a", "doc_id_b")
         .agg(F.count(F.lit(1)).alias("n_bands"))

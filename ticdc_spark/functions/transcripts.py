@@ -240,30 +240,34 @@ def turn_dedup(tr: DataFrame, min_convs: int = 3) -> DataFrame:
         .filter(F.col("_nc") >= min_convs)
         .select("_ntext")
     )
-    dropped = turns.filter(F.col("role") == "assistant").join(
-        F.broadcast(boiler), "_ntext"
-    )
-    kept = turns.join(
+    # ONE broadcast join + ONE conditional aggregate produce kept count,
+    # dropped count and the reassembled document together — the
+    # kept/dropped split-and-rejoin form evaluated the upstream
+    # transcript derivation four times (boiler twice, kept, dropped).
+    # collect_list skips the null structs of dropped turns; a
+    # conversation whose every turn is boilerplate (impossible while
+    # user/system turns are never dropped, but kept as an explicit gate)
+    # is filtered exactly as the kept-side groupBy implied.
+    joined = turns.join(
         F.broadcast(boiler.withColumn("_boiler", F.lit(True))),
         "_ntext", "left",
-    ).filter((F.col("role") != "assistant") | F.col("_boiler").isNull())
-    n_drop = dropped.groupBy("conv_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_dropped"))
+    )
+    keep = (F.col("role") != "assistant") | F.col("_boiler").isNull()
     return (
-        kept.groupBy("conv_id")
+        joined.groupBy("conv_id")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_dropped"),
             F.array_sort(
-                F.collect_list(F.struct(
+                F.collect_list(F.when(keep, F.struct(
                     F.col("turn_idx").alias("i"),
                     F.concat_ws(": ", "role", "text").alias("l"),
-                ))
+                )))
             ).alias("_ls"),
         )
-        .join(n_drop, "conv_id", "left")
+        .filter(F.col("n_kept") > 0)
         .select(
-            "conv_id", "n_kept",
-            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+            "conv_id", "n_kept", "n_dropped",
             F.array_join(F.transform("_ls", lambda x: x["l"]), "\n").alias("doc"),
         )
     )

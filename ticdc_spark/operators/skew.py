@@ -101,14 +101,19 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: Sequence[str],
         )
         .drop("_heavy")
     )
-    d = dim.join(heavy_b, key, "left")
-    d_cold = d.filter(F.col("_heavy").isNull()).withColumn(
-        "_salt", F.lit(0).cast("int")
-    ).drop("_heavy")
-    d_hot = (
-        d.filter(F.col("_heavy").isNotNull())
+    # ONE pass over dim: heavy keys explode a full salt sequence, cold
+    # keys a singleton [0] — the cold/hot filter-and-union form rebuilt
+    # the heavy-key aggregate subtree once per branch
+    d = (
+        dim.join(heavy_b, key, "left")
+        .withColumn(
+            "_salt",
+            F.explode(
+                F.when(F.col("_heavy").isNotNull(),
+                       F.sequence(F.lit(0), F.lit(n_salts - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
         .drop("_heavy")
-        .withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
-        .withColumn("_salt", F.col("_salt").cast("int"))
     )
-    return f.join(d_cold.unionByName(d_hot), key + ["_salt"], how).drop("_salt")
+    return f.join(d, key + ["_salt"], how).drop("_salt")

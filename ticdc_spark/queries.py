@@ -445,7 +445,14 @@ def q_salted_skew_join(spark, sf_dir):
     exact)."""
     from ticdc_spark.operators.skew import detect_heavy_keys, salted_join
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # project the fact to the two columns the aggregate consumes BEFORE
+    # salting (guide §2.3): the salt hash covers exactly the projected
+    # columns, so the scan reads 2 columns instead of the full 16 — the
+    # output is salt-value-independent either way (hot-key dim rows are
+    # replicated across every salt)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity"
+    )
     part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
@@ -4374,13 +4381,22 @@ def q_cdc_lake_changelog(spark, sf_dir):
     and emit every key whose resolved state differs between that
     snapshot and the final one as op I/U/D — I/U with the new image, D
     with the old. Bucket-pruned: only buckets whose filesets differ
-    between the two manifests are read."""
+    between the two manifests are read.
+
+    The diff consumes exactly TWO snapshots — the one at the bound and
+    the final one — so the fixture replays in two phases (finish-at the
+    bound, then resume to the end) instead of forcing a manifest commit
+    per window: phase 1 keeps span batching and the CoW bootstrap fold,
+    phase 2 merges the remainder. State at both pinned versions, and
+    therefore the changelog output, is identical to the per-window
+    replay (LWW is associative across window partitioning)."""
     work = _work_dir("ticdc_chlog_")
-    cf = _run_engine(spark, sf_dir, os.path.join(work, "t"),
-                     cfg_extra={"max_windows_per_job": 1})
     n = _events(spark, sf_dir).count()
     bound = (1000 + n) * 2 // 3
+    path = os.path.join(work, "t")
+    cf = _run_engine(spark, sf_dir, path, cfg_extra={"target_ts": bound})
     v_lo = cf.target.syncpoint_for(bound)[1]
+    cf = _run_engine(spark, sf_dir, path)  # resume past the bound
     v_hi = cf.target.manifest()["version"]
     return cf.target.changes_between(v_lo, v_hi)
 

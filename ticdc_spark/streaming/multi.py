@@ -682,6 +682,17 @@ class MultiTableChangefeed:
             dkey = ["_win", self.table_col, *self.config.key]
         else:
             dkey = [self.table_col, *self.config.key]
+        # FLEET initial load: when the whole span lands on empty tables,
+        # skip the per-window pre-dedup, the table-clustering sort and the
+        # cache entirely — one direct (table, key) LWW over the raw span
+        # plus one column-pruned stats re-scan (see _fleet_bootstrap)
+        if span and self._fleet_bootstrap(live, names, df, lo, uppers, out):
+            if qobs is not None:
+                try:
+                    out["quarantined"] = int(qobs.get.get("quarantined") or 0)
+                except Exception:
+                    out["quarantined"] = 0
+            return out
         deduped = probe._dedup_window(df, dkey)
         # cluster the cached dedup output by table WITHIN partitions (no
         # extra exchange): cache batches become single-table runs, so each
@@ -748,32 +759,51 @@ class MultiTableChangefeed:
                 out["quarantined"] = 0
         return out
 
-    def _fleet_bootstrap(self, live: dict, applying: dict, ckpt0: dict,
-                         sliced, lo: int, uppers: list, span: bool,
-                         shared: bool, nb_all: set, probe, out: dict) -> bool:
+    def _fleet_bootstrap(self, live: dict, names: dict, df,
+                         lo: int, uppers: list, out: dict) -> bool:
         """FLEET initial-load fast path — the multi-table twin of the
         single-table bootstrap span (pipeline.py): when every applying
         table's target is completely EMPTY, no journal window is pending,
         and no table resumes mid-span, the span folds ONCE across windows
-        per (table, key), mounts only the survivors, and writes every
-        table's compacted BASE in one partitionBy(table, bucket) job —
-        per-window batch ids / syncpoints / lineage commit atomically per
-        table, the journal is bypassed for the span (its per-window O(1)
-        amortization exists for steady state; an initial load pays N
-        manifest commits ONCE). The normal path would journal every
-        window as deltas and write the data again at the first fold +
-        compaction. Excluded: shared fleet filesets (their per-bucket
-        mixed files have no per-table split yet) and mixed bucket counts
-        — those fleets take the normal path, correct either way."""
+        per (table, key) DIRECTLY off the raw prepared span — no
+        per-window pre-dedup exchange, no table-clustering sort, no cache
+        of the undeduped span (at a true 100-TB initial load that cache
+        would hold the whole corpus) — mounts only the survivors, and
+        writes every table's compacted BASE in one
+        partitionBy(table, bucket) job. Lineage re-scans the WAL pruned
+        to (win, table, partition_id, commit_ts). Per-window batch ids /
+        syncpoints / lineage commit atomically per table; the journal is
+        bypassed for the span (its per-window O(1) amortization exists
+        for steady state; an initial load pays N manifest commits ONCE).
+        The normal path would journal every window as deltas and write
+        the data again at the first fold + compaction. Excluded: CoW,
+        diverged schema chains, DDL-at-boundary, truncate incarnations,
+        shared fleet filesets (their per-bucket mixed files have no
+        per-table split yet) and mixed bucket counts — those fleets take
+        the normal path, correct either way."""
         import uuid as _uuid
 
         cfg = self.config
         hi = uppers[-1]
-        if (not cfg.bootstrap_fast_path or not span or shared
-                or len(nb_all) != 1):
+        if not cfg.bootstrap_fast_path or cfg.sink_mode != "mor":
             return False
-        if any(ckpt0[t] >= uppers[0] for t in applying.values()):
+        digests = set()
+        for name, t in names.items():
+            feed = live[t]
+            st = self._state[t]
+            if feed._ddl_at(hi) is not None or st["truncate"]:
+                return False
+            if st["ckpt"] >= uppers[0]:
+                return False  # resumes mid-span: per-window path handles it
+            digests.add(feed.registry.chain_digest(hi))
+        if len(digests) > 1:
+            return False  # diverged chains: one mount can't decode all
+        applying = names
+        nb_all = {self._state[t]["n_buckets"] for t in applying.values()}
+        if len(nb_all) != 1:
             return False
+        if len(applying) >= cfg.shared_deltas_after:
+            return False  # shared fileset mode owns fleets this large
         if self.journal.pending():
             return False  # unfolded windows: manifests understate state
 
@@ -788,11 +818,10 @@ class MultiTableChangefeed:
         if not all(empty(t) for t in applying.values()):
             return False
         from ticdc_spark.functions.mount import mount, mounted_columns
-        from ticdc_spark.operators.sortdedup import lww_dedup
 
-        final = lww_dedup(
-            sliced.drop("_win", "_n_events", "_max_commit_ts"),
-            [self.table_col, *cfg.key],
+        probe = live[next(iter(applying.values()))]
+        final = probe._dedup_window(
+            df.drop("_win"), [self.table_col, *cfg.key]
         ).filter(F.col("op_rank") != 1)
         mounted = mount(final, probe.registry, as_of_ts=hi,
                         defaults=cfg.defaults)
@@ -816,9 +845,9 @@ class MultiTableChangefeed:
         )
         out["write_jobs"] = out.get("write_jobs", 0) + 1
         stats = (
-            sliced.groupBy("_win", self.table_col, "partition_id")
-            .agg(F.sum("_n_events").alias("n"),
-                 F.max("_max_commit_ts").alias("mx"))
+            df.groupBy("_win", self.table_col, "partition_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("commit_ts").alias("mx"))
             .collect()
         )
         by_key: dict = {}
@@ -921,9 +950,6 @@ class MultiTableChangefeed:
         # batches are recognized as replays at fold anyway)
         ckpt0 = {t: self._state[t]["ckpt"] for t in applying.values()}
         sliced = deduped.filter(F.col(self.table_col).isin(*applying))
-        if self._fleet_bootstrap(live, applying, ckpt0, sliced, lo, uppers,
-                                 span, shared, nb_all, probe, out):
-            return True
         mounted = mount(sliced, probe.registry, as_of_ts=hi, defaults=cfg.defaults)
         payload_cols = mounted_columns(probe.registry, hi)
         src = mounted.select(

