@@ -171,16 +171,37 @@ def minhash_bands(docs: DataFrame, text_col: str = "text", n_bands: int = N_BAND
     """Banded minhash signature: band b's hash function = md5(b || shingle);
     signature = min per band. (doc_id, band, minhash).
 
-    Computed as ONE aggregate over the shingle rows — n_bands ``min(md5(b
-    || h))`` expressions per doc, unpivoted with ``stack`` afterwards —
-    instead of exploding every shingle row n_bands ways before the
-    aggregate: min(string) falls back to sort-based aggregation, so the
-    explode form sorted n_bands x the shingle volume; this form sorts it
-    once (and shuffles one row per doc instead of one per (doc, band))."""
+    Kept in the explode form deliberately: consumers that only need the
+    GROUPING (cardinality per (doc, band), e.g. a bare count over the
+    signature table) let the optimizer prune the min(md5) aggregate and
+    skip the hash work entirely — a single-aggregate-with-stack form
+    defeats that pruning because the unpivot consumes the minima.
+    Consumers that genuinely read the minhash VALUES should use
+    :func:`_band_minhashes` (one aggregate, hashes computed in a
+    codegen'd project) as :func:`neardup_pairs` does."""
     sh = shingles(docs, text_col)
-    per_doc = sh.groupBy("doc_id").agg(*[
-        F.min(F.md5(F.concat(F.lit(str(b)), F.col("h")))).alias(f"_m{b}")
+    banded = sh.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"), "h"
+    ).select("doc_id", "band", F.md5(F.concat(F.col("band").cast("string"), F.col("h"))).alias("bh"))
+    return banded.groupBy("doc_id", "band").agg(F.min("bh").alias("minhash"))
+
+
+def _band_minhashes(docs: DataFrame, text_col: str = "text",
+                    n_bands: int = N_BANDS) -> DataFrame:
+    """Value-consuming twin of :func:`minhash_bands`: the same
+    (doc_id, band, minhash) rows, computed as ONE aggregate over the
+    shingle rows — the n_bands band hashes evaluate in a codegen'd
+    PROJECT (one row per shingle, not n_bands), n_bands min() buffers
+    fold per doc, and ``stack`` unpivots after the aggregate. Shuffles
+    one row per doc instead of one per (doc, band) and sorts the shingle
+    volume once instead of n_bands times (min(string) is sort-based)."""
+    sh = shingles(docs, text_col)
+    hashed = sh.select("doc_id", *[
+        F.md5(F.concat(F.lit(str(b)), F.col("h"))).alias(f"_bh{b}")
         for b in range(n_bands)
+    ])
+    per_doc = hashed.groupBy("doc_id").agg(*[
+        F.min(f"_bh{b}").alias(f"_m{b}") for b in range(n_bands)
     ])
     stack_args = ", ".join(f"{b}, _m{b}" for b in range(n_bands))
     return per_doc.selectExpr(
@@ -211,7 +232,7 @@ def neardup_pairs(
     every copy. Pair rows, order semantics (`<` on doc_id) and the
     bucket-cap rule are identical; buckets are bounded by ``max_bucket``
     so the per-row combination arrays stay tiny."""
-    mh = minhash_bands(docs, text_col)
+    mh = _band_minhashes(docs, text_col)
     buckets = mh.groupBy("band", "minhash").agg(
         F.sort_array(F.collect_list("doc_id")).alias("_ids")
     )

@@ -1318,8 +1318,15 @@ def _transcript_binlog(spark, sf_dir, ddl_ts: int, key_change: bool = False):
     """Transcript-payload change stream for the engine e2e: JSON payloads,
     an add_column DDL at ddl_ts, 4 source partitions. ``key_change`` adds
     pre-image key columns on every 7th update (the same rule as
-    :func:`_kc_binlog`) so the engine's update-split path is exercised."""
-    b = binlog_from_events(spark, sf_dir)
+    :func:`_kc_binlog`) so the engine's update-split path is exercised.
+
+    The events parquet is a single row group, so an un-repartitioned
+    derivation runs its JSON payload encode on ONE task in every engine
+    window job; the narrow pre-encode rows are exchanged first so the
+    encode parallelizes (the exchange carries ~no payload bytes)."""
+    b = binlog_from_events(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     role = (
         F.when(F.col("turn_idx") % 4 == 0, "user")
         .when(F.col("turn_idx") % 4 == 1, "assistant")
