@@ -387,12 +387,12 @@ def test_lm_score_total_broadcasts_corpus_never_collected(spark):
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
-def test_preference_pairs_adjacency_is_keyed_join(spark):
-    """The prompt->reply adjacency must be a keyed equi-join on
-    (conv_id, turn) and the pair reduction a combining hash aggregate —
-    no cartesian pairing, no Python eval anywhere."""
-    from pyspark.sql import Row
-
+def test_preference_pairs_adjacency_is_single_pass(spark):
+    """The prompt->reply adjacency must be ONE lead() window over a single
+    evaluation of the transcript input — no join of any kind (the r6
+    rewrite removed the (conv_id, turn) self-join and its second subtree
+    evaluation), no cartesian pairing, no Python eval; exactly two
+    exchanges (the conv_id window + the prompt-keyed pair aggregate)."""
     from ticdc_spark.functions.transcripts import preference_pairs
 
     d = spark.createDataFrame(
@@ -404,7 +404,9 @@ def test_preference_pairs_adjacency_is_keyed_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") == 2
 
 
 def test_pq_encode_zero_shuffle(spark):

@@ -85,23 +85,37 @@ def preference_pairs(tr: DataFrame) -> DataFrame:
     hash-stable on any engine, and one-pair-per-prompt keeps output
     linear in prompt groups — never the quadratic all-pairs blowup.
 
-    Scale shape: the prompt->reply adjacency is ONE equi-join
-    co-partitioned on (conv_id, turn) — both sides are the same
-    transcript scan, so AQE plans it as a single exchange shape — and the
-    pair reduction is ONE combining hash aggregate keyed by prompt text
-    (production would key by a prompt fingerprint; oracle scale keys the
-    raw text so an external engine reproduces it exactly). Prompt groups
-    are bounded by how often a prompt repeats — the natural cap a
-    dedup-ed corpus already enforces."""
-    u = tr.filter(F.col("role") == "user").select(
-        "conv_id", (F.col("turn_idx") + 1).alias("_j"), F.col("text").alias("prompt")
+    Scale shape: the prompt->reply adjacency is ONE lead() window per
+    conversation — turn_idx is unique within a conversation (the CDC
+    ingest assigns it by row_number), so "the assistant turn at
+    turn_idx+1" is exactly "the next turn in order, when it is an
+    assistant turn at turn_idx+1"; the guard keeps the semantics
+    identical to the (conv_id, turn_idx+1) equi-join it replaces while
+    evaluating the transcript subtree ONCE and sharing its conv_id
+    partitioning (no join, no second scan). The pair reduction is ONE
+    combining hash aggregate keyed by prompt text (production would key
+    by a prompt fingerprint; oracle scale keys the raw text so an
+    external engine reproduces it exactly). Prompt groups are bounded by
+    how often a prompt repeats — the natural cap a dedup-ed corpus
+    already enforces."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("conv_id").orderBy("turn_idx")
+    nxt = tr.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.lead("turn_idx").over(w).alias("_nidx"),
+        F.lead("role").over(w).alias("_nrole"),
+        F.lead("text").over(w).alias("_ntext"),
     )
-    a = tr.filter(F.col("role") == "assistant").select(
-        "conv_id", F.col("turn_idx").alias("_j"), F.col("text").alias("reply")
-    )
-    cand = u.join(a, ["conv_id", "_j"]).select(
-        "prompt", "reply", "conv_id",
-        F.size(F.split(F.trim(F.col("reply")), r"\s+")).cast("long").alias("score"),
+    cand = nxt.filter(
+        (F.col("role") == "user")
+        & (F.col("_nrole") == "assistant")
+        & (F.col("_nidx") == F.col("turn_idx") + 1)
+    ).select(
+        F.col("text").alias("prompt"),
+        F.col("_ntext").alias("reply"),
+        "conv_id",
+        F.size(F.split(F.trim(F.col("_ntext")), r"\s+")).cast("long").alias("score"),
     )
     g = cand.groupBy("prompt").agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),

@@ -45,7 +45,53 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
+def _spread(
+    spark: SparkSession, df: DataFrame, *cols: str, min_bytes: int = 0
+) -> DataFrame:
+    """Input-layout guard (optimization guide §2.5, "input skew: one huge
+    unsplittable file... repartition immediately after the read"): the
+    deterministic test tables are single-row-group parquet files, i.e. ONE
+    scan split, so every expression pipelined above the scan — shingle
+    explodes, md5 chains, token splits, partial aggregates — runs on one
+    core no matter how many the master has. When the scan has fewer
+    splits than the default parallelism, re-key the narrow base rows
+    across the cluster with one tiny hash exchange (unique-key hash, so
+    no round-robin pre-sort and no skew); when the input already arrives
+    in >= cores splits (any production table), this is a structural
+    no-op — no exchange enters the plan.
+
+    ``min_bytes`` gates the spread on scan volume for operators whose
+    serial pre-exchange compute scales with input bytes but whose
+    exchange would be ADDITIVE (not replace an existing one): below the
+    threshold the one-task compute is cheaper than the extra exchange's
+    fixed cost (measured crossover ~2-4 MB between sf0.1 and 10x its
+    volume); above it the spread wins and keeps growing with scale.
+    Call sites whose downstream aggregate shares the spread key pass
+    min_bytes=0 — their exchange replaces the aggregate's, so spreading
+    is free at any size."""
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    if min_bytes:
+        try:
+            # file URIs ("file:///root/x") -> POSIX paths; extra leading
+            # slashes are harmless to getsize
+            size = sum(
+                os.path.getsize(p.removeprefix("file:")) for p in df.inputFiles()
+            )
+        except OSError:
+            size = min_bytes  # undeterminable -> assume big enough
+        if size < min_bytes:
+            return df
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deliberately NOT _spread: for most doc operators the heavy work
+    # already sits above a keyed exchange, and the measured extra-exchange
+    # constant (~0.1-0.4 s/query at sf0.1) outweighs the serial-scan
+    # relief; only operators whose dominant compute is pipelined directly
+    # on the scan (the LSH signature family) opt in at their call sites.
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
@@ -564,10 +610,16 @@ def q_doc_chunk(spark, sf_dir):
     """Sliding-window chunking (context-window prep / retrieval indexing):
     32-token windows at stride 24 over each document's whitespace tokens;
     a trailing window appears only when its predecessor did not already
-    cover the document's tail. Zero-shuffle: one posexplode projection."""
+    cover the document's tail. Zero-shuffle: one posexplode projection
+    (the byte-thresholded _spread adds the one input-layout exchange only
+    when a big single-split scan would serialize the chunking; measured
+    10x: 0.75 -> 0.36 s)."""
     from ticdc_spark.functions.textops import chunk_documents
 
-    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, stride=24)
+    return chunk_documents(
+        _spread(spark, _docs(spark, sf_dir), "doc_id", min_bytes=3 << 20),
+        chunk_tokens=32, stride=24,
+    )
 
 
 SQL_DOC_CHUNK = r"""
@@ -842,7 +894,16 @@ _LSH_MAX_BUCKET = 64
 def q_doc_neardup_pairs(spark, sf_dir):
     from ticdc_spark.functions.textops import neardup_pairs
 
-    return neardup_pairs(_docs(spark, sf_dir), min_bands=3, max_bucket=_LSH_MAX_BUCKET)
+    # _spread by doc_id: the LSH signature chain (shingle explode + 5 md5
+    # per shingle + per-doc min aggregate) is pipelined straight on the
+    # scan, so a single-split input serializes ~90% of the query on one
+    # core; the spread exchange hashes on doc_id, the SAME key the
+    # signature aggregate needs, so it REPLACES that aggregate's exchange
+    # instead of adding one (measured sf0.1: 1.89 -> 1.25 s).
+    return neardup_pairs(
+        _spread(spark, _docs(spark, sf_dir), "doc_id"),
+        min_bands=3, max_bucket=_LSH_MAX_BUCKET,
+    )
 
 
 SQL_DOC_NEARDUP_PAIRS = f"""
@@ -896,7 +957,10 @@ def q_doc_neardup_clusters(spark, sf_dir):
     to keep ONE doc per near-dup cluster."""
     from ticdc_spark.functions.textops import neardup_clusters, neardup_pairs
 
-    pairs = neardup_pairs(_docs(spark, sf_dir), min_bands=3, max_bucket=_LSH_MAX_BUCKET)
+    pairs = neardup_pairs(
+        _spread(spark, _docs(spark, sf_dir), "doc_id"),
+        min_bands=3, max_bucket=_LSH_MAX_BUCKET,
+    )
     return q_cast_clusters(neardup_clusters(pairs))
 
 
@@ -1087,7 +1151,9 @@ LEFT JOIN inter ON inter.doc_id = sa.doc_id
 def q_doc_simhash16(spark, sf_dir):
     from ticdc_spark.functions.textops import simhash16
 
-    return simhash16(_docs(spark, sf_dir))
+    # byte-thresholded _spread: per-token md5 nibble math is pipelined on
+    # the scan; above the crossover the serial single-split cost dominates
+    return simhash16(_spread(spark, _docs(spark, sf_dir), "doc_id", min_bytes=3 << 20))
 
 
 SQL_DOC_SIMHASH16 = r"""
@@ -3442,7 +3508,12 @@ def q_doc_bpe_encode(spark, sf_dir):
     semantics — (min rank, leftmost), rescan — as a recursive CTE."""
     from ticdc_spark.functions.bpe import TRAINED_MERGES, bpe_encode
 
-    return bpe_encode(_docs(spark, sf_dir), TRAINED_MERGES)
+    # byte-thresholded _spread: the word explode + distinct partial agg is
+    # pipelined on the scan (measured 10x: 1.51 -> 1.11 s with the spread)
+    return bpe_encode(
+        _spread(spark, _docs(spark, sf_dir), "doc_id", min_bytes=3 << 20),
+        TRAINED_MERGES,
+    )
 
 
 def _bpe_sql() -> str:
@@ -3564,7 +3635,12 @@ def q_doc_substring_dedup(spark, sf_dir):
     spans, duplicated share in integer basis points."""
     from ticdc_spark.functions.textops import substring_dedup
 
-    return substring_dedup(_docs(spark, sf_dir), window=16, stride=8)
+    # byte-thresholded _spread: span-window assembly is pipelined on the
+    # scan (measured 10x-volume: 1.18 -> 0.55 s with the spread)
+    return substring_dedup(
+        _spread(spark, _docs(spark, sf_dir), "doc_id", min_bytes=3 << 20),
+        window=16, stride=8,
+    )
 
 
 SQL_DOC_SUBSTRING_DEDUP = r"""
@@ -3600,7 +3676,9 @@ def q_doc_lm_score(spark, sf_dir):
     end."""
     from ticdc_spark.functions.textops import lm_score
 
-    return lm_score(_docs(spark, sf_dir))
+    # byte-thresholded _spread: the token explode + (doc, tok) partial
+    # aggregate is pipelined on the scan (measured 10x: 1.93 -> 0.50 s)
+    return lm_score(_spread(spark, _docs(spark, sf_dir), "doc_id", min_bytes=3 << 20))
 
 
 SQL_DOC_LM_SCORE = r"""
@@ -4092,7 +4170,9 @@ def q_doc_tfidf_topk(spark, sf_dir):
     row, TakeOrdered top-k."""
     from ticdc_spark.functions.textops import tfidf_topk
 
-    return tfidf_topk(_docs(spark, sf_dir), k=100)
+    # byte-thresholded _spread: BOTH passes (df stats + scoring) split the
+    # text on the scan (measured 10x: 2.70 -> 0.70 s with the spread)
+    return tfidf_topk(_spread(spark, _docs(spark, sf_dir), "doc_id", min_bytes=3 << 20), k=100)
 
 
 SQL_DOC_TFIDF_TOPK = r"""
