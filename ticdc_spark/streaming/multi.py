@@ -820,29 +820,63 @@ class MultiTableChangefeed:
         from ticdc_spark.functions.mount import mount, mounted_columns
 
         probe = live[next(iter(applying.values()))]
-        final = probe._dedup_window(
-            df.drop("_win"), [self.table_col, *cfg.key]
-        ).filter(F.col("op_rank") != 1)
+        nb = next(iter(nb_all))
+        n_slots = len(applying) * nb
+        dp = self.spark.sparkContext.defaultParallelism
+        raw = df.drop("_win").withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(cfg.key[0])), F.lit(nb)).cast("int"),
+        )
+        if n_slots >= dp:
+            # the fleet twin of the single-table aligned bootstrap: ONE
+            # exchange of the raw span, placed (table, bucket) -> partition
+            # 1:1 (operators/placement.py — plain hash-on-(table,bucket)
+            # collides and staggers the whole dedup+mount+write stage);
+            # the (table, bucket, key) aggregate reuses the partitioning
+            # in a single sort pass, and the partitionBy write streams
+            # straight out of mount — the mounted rows are never
+            # exchanged a second time, one file per (table, bucket).
+            from ticdc_spark.operators.placement import placement_token_column
+
+            tnames = sorted(applying)
+            tmap = F.create_map(
+                *[x for i, tn in enumerate(tnames)
+                  for x in (F.lit(tn), F.lit(i))]
+            )
+            idx = (
+                F.coalesce(F.element_at(tmap, F.col(self.table_col)),
+                           F.lit(0)) * nb + F.col("_bucket")
+            )
+            raw = raw.withColumn(
+                "_pt", placement_token_column(self.spark, n_slots, idx)
+            ).repartition(n_slots, F.col("_pt"))
+            final = probe._dedup_window(
+                raw, ["_pt", self.table_col, "_bucket", *cfg.key]
+            ).drop("_pt").filter(F.col("op_rank") != 1)
+        else:
+            # fewer (table, bucket) slots than cores: spread the raw span
+            # by (table, key[0]) — the aggregate reuses it, still one
+            # sort pass — and align buckets in a second small exchange of
+            # the deduped mounted rows.
+            raw = raw.repartition(dp, F.col(self.table_col),
+                                  F.col(cfg.key[0]))
+            final = probe._dedup_window(
+                raw, [self.table_col, "_bucket", *cfg.key]
+            ).filter(F.col("op_rank") != 1)
         mounted = mount(final, probe.registry, as_of_ts=hi,
                         defaults=cfg.defaults)
         payload_cols = mounted_columns(probe.registry, hi)
-        nb = next(iter(nb_all))
         src = mounted.select(
-            self.table_col, *cfg.key, *payload_cols,
+            self.table_col, "_bucket", *cfg.key, *payload_cols,
             F.col("commit_ts").alias("_commit_ts"),
             F.col("start_ts").alias("_start_ts"),
             F.col("op_rank").alias("_op_rank"),
             (F.col("op") == "D").cast("int").alias("_deleted"),
-        ).withColumn(
-            "_bucket",
-            F.pmod(F.xxhash64(F.col(cfg.key[0])), F.lit(nb)).cast("int"),
         )
+        if n_slots < dp:
+            src = src.repartition(n_slots, self.table_col, F.col("_bucket"))
         staging = os.path.join(self.feed_dir, f"_bootstrap_{_uuid.uuid4().hex}")
-        (
-            src.repartition(len(applying) * nb, self.table_col,
-                            F.col("_bucket"))
-            .write.partitionBy(self.table_col, "_bucket").parquet(staging)
-        )
+        src.write.partitionBy(self.table_col, "_bucket").parquet(staging)
         out["write_jobs"] = out.get("write_jobs", 0) + 1
         stats = (
             df.groupBy("_win", self.table_col, "partition_id")

@@ -409,15 +409,50 @@ class Changefeed:
 
             staging = _os.path.join(self.target.data_dir, _uuid.uuid4().hex)
             if bootstrap:
-                final = self._dedup_window(deduped.drop("_win"),
-                                           self.config.key)
+                n_buckets = m["n_buckets"]
+                dp = self.spark.sparkContext.defaultParallelism
+                raw = deduped.drop("_win")
+                aligned = n_buckets >= dp
+                if aligned:
+                    # exchange the raw span ONCE, placed bucket->partition
+                    # 1:1 (operators/placement.py); the (bucket, key)
+                    # aggregate reuses that partitioning (bucket is a
+                    # function of key[0], so the groups are identical to a
+                    # plain key dedup) in a single sort pass — no map-side
+                    # partial sort — and the partitionBy write streams
+                    # straight out of mount: the mounted rows are never
+                    # exchanged a second time and each task writes exactly
+                    # one bucket file.
+                    from ticdc_spark.operators.placement import (
+                        placement_token_column,
+                    )
+
+                    raw = raw.withColumn(
+                        "_bucket",
+                        self.target._bucket_expr(n_buckets,
+                                                 self.config.key[0]),
+                    ).withColumn(
+                        "_pt",
+                        placement_token_column(self.spark, n_buckets,
+                                               F.col("_bucket")),
+                    ).repartition(n_buckets, F.col("_pt"))
+                    final = self._dedup_window(
+                        raw, ["_pt", "_bucket", *self.config.key]
+                    ).drop("_pt")
+                else:
+                    # fewer buckets than cores: bucket-aligned placement
+                    # would underuse the cluster, so spread the raw span
+                    # by key[0] (the aggregate reuses it — still a single
+                    # sort pass) and align buckets only in a second small
+                    # exchange of the already-deduped mounted rows.
+                    raw = raw.repartition(dp, F.col(self.config.key[0]))
+                    final = self._dedup_window(raw, self.config.key)
                 # final-state tombstones leave the base entirely — exactly
                 # what compact(drop_tombstones=True) produces in this mode
                 final = final.filter(F.col("op_rank") != 1)
                 mounted = mount(final, self.registry, as_of_ts=hi,
                                 defaults=self.config.defaults)
                 payload_cols = mounted_columns(self.registry, hi)
-                n_buckets = m["n_buckets"]
                 # CoW tables carry no LWW order metadata in their schema;
                 # write exactly the target's columns
                 meta_cols = (
@@ -430,16 +465,20 @@ class Changefeed:
                     if "_commit_ts" in [x[0] for x in m["schema"]]
                     else []
                 )
-                src = mounted.select(
-                    *self.config.key, *payload_cols, *meta_cols,
-                ).withColumn(
-                    "_bucket", self.target._bucket_expr(n_buckets,
-                                                        self.config.key[0]),
-                )
-                (
-                    src.repartition(n_buckets, F.col("_bucket"))
-                    .write.partitionBy("_bucket").parquet(staging)
-                )
+                if aligned:
+                    src = mounted.select(
+                        "_bucket", *self.config.key, *payload_cols,
+                        *meta_cols,
+                    )
+                else:
+                    src = mounted.select(
+                        *self.config.key, *payload_cols, *meta_cols,
+                    ).withColumn(
+                        "_bucket",
+                        self.target._bucket_expr(n_buckets,
+                                                 self.config.key[0]),
+                    ).repartition(n_buckets, F.col("_bucket"))
+                src.write.partitionBy("_bucket").parquet(staging)
             else:
                 mounted = mount(deduped, self.registry, as_of_ts=hi,
                                 defaults=self.config.defaults)
