@@ -39,7 +39,11 @@ def get_spark(
     # shared/virtualized kernels a 32-thread parallel GC degenerates into a
     # futex storm (measured here: a pure-CPU job ran 3-5x slower at
     # local[32] until GC threads were pinned). Harmless on real hardware.
-    java_opts = "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2"
+    # Overridable per-run for experiments without touching code.
+    java_opts = os.environ.get(
+        "TICDC_SPARK_JAVA_OPTS",
+        "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2 -XX:CICompilerCount=2",
+    )
 
     b = (
         SparkSession.builder.master(master)
