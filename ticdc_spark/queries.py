@@ -4481,9 +4481,14 @@ def q_cdc_lake_changelog(spark, sf_dir):
     n = _events(spark, sf_dir).count()
     bound = (1000 + n) * 2 // 3
     path = os.path.join(work, "t")
-    cf = _run_engine(spark, sf_dir, path, cfg_extra={"target_ts": bound})
+    # MOR fixture: the changelog diff reads committed snapshots either
+    # way; delta-append + compaction builds them measurably cheaper than
+    # CoW's two bucket-rewriting merges (11.7 -> 10.6 s warm at sf1.0
+    # volume), and state at both pinned versions is mode-independent
+    cf = _run_engine(spark, sf_dir, path, sink_mode="mor",
+                     cfg_extra={"target_ts": bound})
     v_lo = cf.target.syncpoint_for(bound)[1]
-    cf = _run_engine(spark, sf_dir, path)  # resume past the bound
+    cf = _run_engine(spark, sf_dir, path, sink_mode="mor")  # resume past the bound
     v_hi = cf.target.manifest()["version"]
     return cf.target.changes_between(v_lo, v_hi)
 
