@@ -4470,25 +4470,25 @@ def q_cdc_lake_changelog(spark, sf_dir):
     with the old. Bucket-pruned: only buckets whose filesets differ
     between the two manifests are read.
 
-    The diff consumes exactly TWO snapshots — the one at the bound and
-    the final one — so the fixture replays in two phases (finish-at the
-    bound, then resume to the end) instead of forcing a manifest commit
-    per window: phase 1 keeps span batching and the CoW bootstrap fold,
-    phase 2 merges the remainder. State at both pinned versions, and
-    therefore the changelog output, is identical to the per-window
-    replay (LWW is associative across window partitioning)."""
+    The diff consumes exactly TWO snapshots (the bound and the final
+    one), but building the history with per-window commits in ONE
+    engine call measures faster than a two-phase finish-at/resume
+    replay — see the fixture comment below."""
     work = _work_dir("ticdc_chlog_")
     n = _events(spark, sf_dir).count()
     bound = (1000 + n) * 2 // 3
     path = os.path.join(work, "t")
-    # MOR fixture: the changelog diff reads committed snapshots either
-    # way; delta-append + compaction builds them measurably cheaper than
-    # CoW's two bucket-rewriting merges (11.7 -> 10.6 s warm at sf1.0
-    # volume), and state at both pinned versions is mode-independent
-    cf = _run_engine(spark, sf_dir, path, sink_mode="mor",
-                     cfg_extra={"target_ts": bound})
+    # fixture measured four ways at sf1.0 volume (warm min-of-3 each):
+    # per-window CoW 9.44 s (this form — one engine call, a manifest
+    # version per window), per-window MOR 9.88, two-phase MOR 10.56,
+    # two-phase CoW 11.68. The round's two-phase rewrite double-paid the
+    # engine-call fixed costs (count, derivation lineage, journal read,
+    # window planning) and lost more than the per-window commits cost;
+    # reverted to the round-5 shape, which is also the strongest
+    # demonstration (the diff spans many committed versions).
+    cf = _run_engine(spark, sf_dir, path, sink_mode="cow",
+                     cfg_extra={"max_windows_per_job": 1})
     v_lo = cf.target.syncpoint_for(bound)[1]
-    cf = _run_engine(spark, sf_dir, path, sink_mode="mor")  # resume past the bound
     v_hi = cf.target.manifest()["version"]
     return cf.target.changes_between(v_lo, v_hi)
 
